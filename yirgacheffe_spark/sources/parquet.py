@@ -1,0 +1,212 @@
+"""Raster tiles stored as a parquet table — this engine's native raster format.
+
+Layout (one directory per raster):
+
+* ``part-*.parquet`` — rows ``(band:int, tile_y:int, tile_x:int, ysize:int,
+  xsize:int, payload:binary)``; ``payload`` is the row-major numpy buffer of
+  that tile in the raster's dtype.  Tile ``(tile_y, tile_x)`` covers pixels
+  ``[tile_y*S, tile_y*S+ysize) x [tile_x*S, tile_x*S+xsize)`` of the raster's
+  own pixel space.  Files are written sorted by ``(band, tile_y, tile_x)`` so
+  parquet row-group statistics give tile-range predicate pushdown for free.
+* ``_raster_meta.json`` — area, projection, pitch, dtype, nodata, tile size.
+
+Binary payloads (rather than ``array<double>``) keep all eleven dtypes —
+including the unsigned ones Spark lacks — byte-exact, and avoid per-element
+list overhead in both parquet and Arrow.
+
+At execution time a parquet layer is *not* read via this class: the planner
+turns it into a DataFrame scan + re-tiling join (see ``plans/executor.py``),
+so Catalyst performs the pruning and the shuffle.  The ``read_window`` here
+is the driver-side/direct path used by tests, mosaics and small reads.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..grid import Area, CRS, MapProjection, Window
+from .. import constants
+from .base import Layer, pad_to_window
+
+META_FILENAME = "_raster_meta.json"
+
+
+def write_meta(
+    path: str,
+    area: Area,
+    dtype: DataType,
+    nodata: float | None,
+    tile_size: int,
+    bands: int = 1,
+) -> None:
+    projection = area.projection
+    assert projection is not None
+    meta = {
+        "format": "yirgacheffe-spark-raster",
+        "version": 1,
+        "left": area.left,
+        "top": area.top,
+        "right": area.right,
+        "bottom": area.bottom,
+        "projection": projection.crs.code,
+        "xstep": projection.xstep,
+        "ystep": projection.ystep,
+        "dtype": dtype.name,
+        "nodata": nodata,
+        "tile_size": tile_size,
+        "bands": bands,
+    }
+    with open(os.path.join(path, META_FILENAME), "w", encoding="utf-8") as fp:
+        json.dump(meta, fp, indent=1)
+
+
+def read_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILENAME), encoding="utf-8") as fp:
+        return json.load(fp)
+
+
+class ParquetRasterLayer(Layer):
+    """A raster layer backed by a parquet tile table on disk.
+
+    Holds only the path and metadata (picklable; no open handles), so the
+    same object works on the driver for planning and inside kernels for
+    direct reads.
+    """
+
+    def __init__(self, path: str, band: int = 1, name: str | None = None,
+                 ignore_nodata: bool = False):
+        meta = read_meta(path)
+        projection = MapProjection(CRS(meta["projection"]), meta["xstep"], meta["ystep"])
+        area = Area(meta["left"], meta["top"], meta["right"], meta["bottom"], projection)
+        super().__init__(area, name if name is not None else path)
+        self.path = path
+        self.band = band
+        self.tile_size = int(meta["tile_size"])
+        self._dtype = DataType[meta["dtype"]]
+        self._nodata = meta.get("nodata")
+        self._ignore_nodata = ignore_nodata
+
+    @property
+    def datatype(self) -> DataType:
+        return self._dtype
+
+    @property
+    def nodata(self):
+        return self._nodata
+
+    @property
+    def cse_hash(self) -> int | None:
+        return hash((self.path, self._underlying_area, self.projection, self._dtype,
+                     self._ignore_nodata, self.band))
+
+    @property
+    def stored_tiles(self) -> tuple[int, int]:
+        w = self.window
+        return (
+            math.ceil(w.ysize / self.tile_size),
+            math.ceil(w.xsize / self.tile_size),
+        )
+
+    def apply_nodata(self, data: np.ndarray) -> np.ndarray:
+        if not self._ignore_nodata and self._nodata is not None:
+            return np.where(data == self._nodata, float("nan"), data)
+        return data
+
+    def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
+        """Direct pyarrow read of the requested region (tests / mosaics)."""
+        import pyarrow.parquet as pq  # pylint: disable=C0415
+        import pyarrow.dataset as ds  # pylint: disable=C0415
+
+        if xsize <= 0 or ysize <= 0:
+            raise ValueError("Request dimensions must be positive and non-zero")
+        requested = Window(window.xoff + xoff, window.yoff + yoff, xsize, ysize)
+        stored = Window(0, 0, self.window.xsize, self.window.ysize)
+        overlap = Window.intersection_or_none([requested, stored])
+        np_dtype = self._dtype.to_numpy()
+        if overlap is None:
+            return np.zeros((ysize, xsize), dtype=np_dtype)
+
+        s = self.tile_size
+        ty_lo, ty_hi = overlap.yoff // s, (overlap.ymax - 1) // s
+        tx_lo, tx_hi = overlap.xoff // s, (overlap.xmax - 1) // s
+        dataset = ds.dataset(
+            [os.path.join(self.path, f) for f in sorted(os.listdir(self.path))
+             if f.endswith(".parquet")],
+            format="parquet",
+        )
+        table = dataset.to_table(
+            filter=(
+                (ds.field("band") == self.band)
+                & (ds.field("tile_y") >= ty_lo) & (ds.field("tile_y") <= ty_hi)
+                & (ds.field("tile_x") >= tx_lo) & (ds.field("tile_x") <= tx_hi)
+            )
+        )
+        out = np.zeros((overlap.ysize, overlap.xsize), dtype=np_dtype)
+        tys = table.column("tile_y").to_numpy()
+        txs = table.column("tile_x").to_numpy()
+        hs = table.column("ysize").to_numpy()
+        ws = table.column("xsize").to_numpy()
+        payloads = table.column("payload").to_pylist()
+        for ty, tx, h, w, payload in zip(tys, txs, hs, ws, payloads):
+            tile = np.frombuffer(payload, dtype=np_dtype).reshape(h, w)
+            y0, x0 = int(ty) * s, int(tx) * s
+            src_y0 = max(overlap.yoff - y0, 0)
+            src_x0 = max(overlap.xoff - x0, 0)
+            src_y1 = min(overlap.ymax - y0, h)
+            src_x1 = min(overlap.xmax - x0, w)
+            if src_y0 >= src_y1 or src_x0 >= src_x1:
+                continue
+            dst_y0 = y0 + src_y0 - overlap.yoff
+            dst_x0 = x0 + src_x0 - overlap.xoff
+            out[dst_y0 : dst_y0 + (src_y1 - src_y0), dst_x0 : dst_x0 + (src_x1 - src_x0)] = tile[
+                src_y0:src_y1, src_x0:src_x1
+            ]
+        if overlap != requested:
+            out = pad_to_window(out, overlap, requested)
+        return self.apply_nodata(out)
+
+
+def write_array_as_raster_table(
+    path: str,
+    data: np.ndarray,
+    area: Area,
+    nodata: float | None = None,
+    tile_size: int | None = None,
+) -> ParquetRasterLayer:
+    """Tile an in-memory array into the parquet raster format (test helper)."""
+    import pyarrow as pa  # pylint: disable=C0415
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    s = tile_size or constants.STORAGE_TILE_SIZE
+    data = np.ascontiguousarray(data)
+    os.makedirs(path, exist_ok=True)
+    rows: dict[str, list] = {"band": [], "tile_y": [], "tile_x": [], "ysize": [], "xsize": [], "payload": []}
+    height, width = data.shape
+    for ty in range(math.ceil(height / s)):
+        for tx in range(math.ceil(width / s)):
+            chunk = data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s]
+            rows["band"].append(1)
+            rows["tile_y"].append(ty)
+            rows["tile_x"].append(tx)
+            rows["ysize"].append(chunk.shape[0])
+            rows["xsize"].append(chunk.shape[1])
+            rows["payload"].append(np.ascontiguousarray(chunk).tobytes())
+    table = pa.table(
+        {
+            "band": pa.array(rows["band"], pa.int32()),
+            "tile_y": pa.array(rows["tile_y"], pa.int32()),
+            "tile_x": pa.array(rows["tile_x"], pa.int32()),
+            "ysize": pa.array(rows["ysize"], pa.int32()),
+            "xsize": pa.array(rows["xsize"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    write_meta(path, area, DataType.of_array(data), nodata, s)
+    return ParquetRasterLayer(path)

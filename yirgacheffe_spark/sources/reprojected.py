@@ -1,0 +1,139 @@
+"""Lazy reprojection/resampling of a layer onto a new projection+pitch.
+
+The reference warps per read window with GDAL (``_layers/reprojected.py``);
+without GDAL this layer resamples analytically: for each requested target
+pixel center, compute its source-CRS coordinate with the engine's closed-form
+transforms, convert to source pixel indices, and gather.
+
+Supported methods: ``nearest`` (index gather) and ``sum``/``average``/
+``min``/``max``/``mode`` (block-stats over the source pixels mapping to each
+target pixel — only for integer downscale factors on the same CRS, the
+common "coarsen a raster" case).  Bilinear-family kernels are intentionally
+absent, as in the reference (chunked evaluation breaks their support;
+``reprojected.py:38-46``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..grid import MapProjection, Window
+from ..reprojection import transform_point
+from .base import Layer
+
+RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode")
+
+
+class ReprojectedLayer(Layer):
+    def __init__(self, source, projection: MapProjection, method: str = "nearest",
+                 name: str | None = None):
+        if method not in RESAMPLING_METHODS:
+            raise ValueError(f"Unsupported resampling method: {method}")
+        if not isinstance(source, Layer):
+            raise NotImplementedError(
+                "as_projection currently reprojects source layers, not expressions"
+            )
+        if source.projection is None:
+            raise ValueError("Source layer must be projected")
+        area = source.area.reproject(projection)
+        super().__init__(area, name if name is not None else f"reproject:{source.name}")
+        self._source = source
+        self._method = method
+
+    @property
+    def datatype(self) -> DataType:
+        return self._source.datatype
+
+    @property
+    def cse_hash(self) -> int | None:
+        src = self._source.cse_hash
+        if src is None:
+            return None
+        return hash((src, self._underlying_area, self.projection, self._method))
+
+    def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
+        if xsize <= 0 or ysize <= 0:
+            raise ValueError("Request dimensions must be positive and non-zero")
+        target_proj = self.projection
+        source_proj = self._source.projection
+        assert target_proj is not None and source_proj is not None
+
+        px0 = window.xoff + xoff
+        py0 = window.yoff + yoff
+        # Target pixel centers in target CRS coords.
+        tx = self._underlying_area.left + (px0 + np.arange(xsize) + 0.5) * target_proj.xstep
+        ty = self._underlying_area.top + (py0 + np.arange(ysize) + 0.5) * target_proj.ystep
+
+        same_crs = source_proj.crs == target_proj.crs
+        if self._method == "nearest" or not same_crs:
+            if self._method != "nearest":
+                raise NotImplementedError(
+                    f"{self._method} resampling across CRSs is not supported; use nearest"
+                )
+            if same_crs:
+                sx, sy = tx, ty
+            else:
+                # Separable transforms (lat/lng <-> mercator) let us transform
+                # the two axes independently.
+                sx = np.array([transform_point(target_proj.crs, source_proj.crs, x, 0.0)[0] for x in tx])
+                sy = np.array([transform_point(target_proj.crs, source_proj.crs, 0.0, y)[1] for y in ty])
+            src_area = self._source.area
+            cols = np.floor((sx - src_area.left) / source_proj.xstep).astype(np.int64)
+            rows = np.floor((sy - src_area.top) / source_proj.ystep).astype(np.int64)
+            src_w, src_h = self._source.window.xsize, self._source.window.ysize
+            data = np.asarray(self._source.read_window(0, 0, src_w, src_h, self._source.window))
+            valid_c = (cols >= 0) & (cols < src_w)
+            valid_r = (rows >= 0) & (rows < src_h)
+            out = np.zeros((ysize, xsize), dtype=data.dtype)
+            rr = np.clip(rows, 0, src_h - 1)
+            cc = np.clip(cols, 0, src_w - 1)
+            gathered = data[np.ix_(rr, cc)]
+            mask = valid_r[:, np.newaxis] & valid_c[np.newaxis, :]
+            out[mask] = gathered[mask]
+            return out
+
+        # Same-CRS block statistics for integer coarsening factors.
+        fx = abs(target_proj.xstep / source_proj.xstep)
+        fy = abs(target_proj.ystep / source_proj.ystep)
+        if not (float(fx).is_integer() and float(fy).is_integer()):
+            raise NotImplementedError(
+                f"{self._method} resampling requires integer scale factors, got {fx}x{fy}"
+            )
+        fx, fy = int(fx), int(fy)
+        src_area = self._source.area
+        col0 = int(np.floor((tx[0] - 0.5 * target_proj.xstep - src_area.left) / source_proj.xstep))
+        row0 = int(np.floor((ty[0] - 0.5 * target_proj.ystep - src_area.top) / source_proj.ystep))
+        block = np.asarray(
+            self._source.read_window(
+                0, 0, xsize * fx, ysize * fy, Window(col0, row0, xsize * fx, ysize * fy)
+            )
+        )
+        shaped = block.reshape(ysize, fy, xsize, fx)
+        if self._method == "sum":
+            return shaped.sum(axis=(1, 3))
+        if self._method == "average":
+            return shaped.mean(axis=(1, 3))
+        if self._method == "min":
+            return shaped.min(axis=(1, 3))
+        if self._method == "max":
+            return shaped.max(axis=(1, 3))
+        # mode: most frequent value per block (ties -> smallest value).
+        flat = shaped.transpose(0, 2, 1, 3).reshape(ysize, xsize, fy * fx)
+        out = np.empty((ysize, xsize), dtype=block.dtype)
+        vals = np.sort(flat, axis=2)
+        # Run-length trick: the longest run of equal values is the mode.
+        change = np.concatenate(
+            [np.ones((ysize, xsize, 1), dtype=bool), vals[:, :, 1:] != vals[:, :, :-1]], axis=2
+        )
+        run_ids = np.cumsum(change, axis=2)
+        best_count = np.zeros((ysize, xsize), dtype=np.int64)
+        out[:] = vals[:, :, 0]
+        for k in range(vals.shape[2]):
+            counts = np.sum(run_ids == run_ids[:, :, k : k + 1], axis=2)
+            better = counts > best_count
+            out = np.where(better, vals[:, :, k], out)
+            best_count = np.maximum(best_count, counts)
+        return out

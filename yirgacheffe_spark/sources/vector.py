@@ -1,0 +1,239 @@
+"""Vector (polygon) layers, rasterized on demand per tile.
+
+The reference opens OGR datasources and burns features with
+``gdal.RasterizeLayer`` using ``ALL_TOUCHED=TRUE`` (``_layers/vectors.py``).
+Here a vector layer is a plain table of polygons — ``(poly_id, geom_wkt,
+attributes...)`` — and rasterization is a vectorized numpy kernel:
+
+* *center containment* by even-odd ray casting over all pixel centers at
+  once (one einsum-ish pass per ring edge, no per-pixel Python), plus
+* *edge touch* marking for ALL_TOUCHED semantics, by supercover-stepping
+  each ring edge at sub-pixel resolution (vectorised over edge samples).
+
+The layer's extent is the union envelope of its (filtered) features snapped
+outward to the reference grid, mirroring ``vectors.py:195-238``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..dtypes import DataType, scalar_datatype
+from ..grid import Area, MapProjection, Window
+from .base import Layer
+
+_NUM = r"[-+0-9.eE]+"
+_RING_RE = re.compile(r"\(([^()]+)\)")
+
+
+def parse_wkt_polygon(wkt: str) -> list[np.ndarray]:
+    """Parse POLYGON/MULTIPOLYGON WKT into a list of rings (N x 2 arrays).
+
+    Ring orientation is ignored; even-odd filling makes holes work without
+    tracking winding.
+    """
+    rings = []
+    for ring_text in _RING_RE.findall(wkt):
+        coords = []
+        for pair in ring_text.split(","):
+            parts = pair.split()
+            if len(parts) < 2:
+                raise ValueError(f"Bad WKT coordinate: {pair!r}")
+            coords.append((float(parts[0]), float(parts[1])))
+        rings.append(np.asarray(coords, dtype=np.float64))
+    if not rings:
+        raise ValueError(f"No rings found in WKT: {wkt[:80]!r}")
+    return rings
+
+
+def rasterize_rings(
+    rings: Sequence[np.ndarray],
+    burn: float,
+    out: np.ndarray,
+    left: float,
+    top: float,
+    xstep: float,
+    ystep: float,
+    all_touched: bool = True,
+) -> None:
+    """Burn one polygon into ``out`` (modified in place).
+
+    ``out[r, c]`` maps to the pixel whose top-left corner is at
+    ``(left + c*xstep, top + r*ystep)``.
+    """
+    height, width = out.shape
+    # Pixel-center coordinates, vectorised.
+    cx = left + (np.arange(width) + 0.5) * xstep
+    cy = top + (np.arange(height) + 0.5) * ystep
+    inside = np.zeros((height, width), dtype=bool)
+
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        # Even-odd rule: count crossings of a horizontal ray per pixel row.
+        # For each edge, rows whose center-y lies in the edge's y-span flip
+        # parity for columns left of the crossing point.
+        for ex0, ey0, ex1, ey1 in zip(x0, y0, x1, y1):
+            if ey0 == ey1:
+                continue
+            ylo, yhi = (ey0, ey1) if ey0 < ey1 else (ey1, ey0)
+            rows = np.nonzero((cy >= ylo) & (cy < yhi))[0]
+            if rows.size == 0:
+                continue
+            x_at = ex0 + (cy[rows] - ey0) * (ex1 - ex0) / (ey1 - ey0)
+            inside[rows] ^= cx[np.newaxis, :] < x_at[:, np.newaxis]
+
+    if all_touched:
+        # Mark every pixel an edge passes through by sampling each segment
+        # densely (quarter-pixel steps) — vectorised across samples.
+        for ring in rings:
+            seg_start = ring[:-1]
+            seg_end = ring[1:]
+            delta = seg_end - seg_start
+            px_len = np.maximum(
+                np.abs(delta[:, 0] / xstep), np.abs(delta[:, 1] / ystep)
+            )
+            for (sx, sy), (dx, dy), n_px in zip(seg_start, delta, px_len):
+                n = max(int(np.ceil(n_px * 4)), 1)
+                ts = np.linspace(0.0, 1.0, n + 1)
+                xs = sx + dx * ts
+                ys = sy + dy * ts
+                cols = np.floor((xs - left) / xstep).astype(np.int64)
+                rows = np.floor((ys - top) / ystep).astype(np.int64)
+                keep = (cols >= 0) & (cols < width) & (rows >= 0) & (rows < height)
+                inside[rows[keep], cols[keep]] = True
+
+    out[inside] = burn
+
+
+class VectorLayer(Layer):
+    """A polygon table rasterized lazily against a reference pixel grid.
+
+    Args:
+        features: sequence of dicts with ``geom_wkt`` plus attribute columns.
+        projection: the pixel grid to rasterize onto.
+        burn_value: constant to burn, or the name of an attribute column.
+        where_filter: optional predicate ``f(feature_dict) -> bool`` or a
+            SQL-ish ``"col=value"`` string (attribute pushdown analog).
+        datatype: output dtype; inferred from the burn value if omitted.
+        all_touched: burn pixels touched by edges, not just center-covered.
+    """
+
+    def __init__(
+        self,
+        features: Sequence[dict],
+        projection: MapProjection,
+        burn_value: float | int | str = 1,
+        where_filter=None,
+        datatype: DataType | None = None,
+        name: str | None = None,
+        anchor: tuple[float, float] = (0.0, 0.0),
+        all_touched: bool = True,
+    ):
+        if projection is None:
+            raise ValueError("projection must be provided")
+        feats = list(features)
+        if where_filter is not None:
+            if isinstance(where_filter, str):
+                col, _, raw = where_filter.partition("=")
+                col, raw = col.strip(), raw.strip().strip("'\"")
+
+                def _pred(f, col=col, raw=raw):
+                    v = f.get(col)
+                    try:
+                        return float(v) == float(raw)
+                    except (TypeError, ValueError):
+                        return str(v) == raw
+
+                feats = [f for f in feats if _pred(f)]
+            else:
+                feats = [f for f in feats if where_filter(f)]
+        if not feats:
+            raise ValueError("No features match filter (or empty feature set)")
+
+        self._features = []
+        env = [np.inf, -np.inf, -np.inf, np.inf]  # left, top, right, bottom
+        for f in feats:
+            rings = parse_wkt_polygon(f["geom_wkt"])
+            burn = float(f[burn_value]) if isinstance(burn_value, str) else float(burn_value)
+            self._features.append((rings, burn, dict(f)))
+            allpts = np.vstack(rings)
+            env[0] = min(env[0], allpts[:, 0].min())
+            env[1] = max(env[1], allpts[:, 1].max())
+            env[2] = max(env[2], allpts[:, 0].max())
+            env[3] = min(env[3], allpts[:, 1].min())
+
+        # Snap the envelope outward onto the target pixel grid (anchored at
+        # the grid origin), as the reference does via project_like.
+        raw = Area(env[0], env[1], env[2], env[3], None)
+        ax, ay = anchor
+        sx, sy = abs(projection.xstep), abs(projection.ystep)
+        import math  # pylint: disable=C0415
+
+        area = Area(
+            left=math.floor((raw.left - ax) / sx) * sx + ax,
+            top=math.ceil((raw.top - ay) / sy) * sy + ay,
+            right=math.ceil((raw.right - ax) / sx) * sx + ax,
+            bottom=math.floor((raw.bottom - ay) / sy) * sy + ay,
+            projection=projection,
+        )
+        super().__init__(area, name)
+        if datatype is None:
+            if isinstance(burn_value, str):
+                self._datatype = DataType.Float64
+            else:
+                self._datatype = scalar_datatype(burn_value)
+        else:
+            self._datatype = datatype
+        self._burn_key = burn_value
+        self._all_touched = all_touched
+
+    @property
+    def datatype(self) -> DataType:
+        return self._datatype
+
+    @property
+    def cse_hash(self) -> int | None:
+        return hash(
+            (
+                self.name,
+                self._underlying_area,
+                self.projection,
+                self._datatype,
+                str(self._burn_key),
+                len(self._features),
+                self._all_touched,
+            )
+        )
+
+    def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
+        if xsize <= 0 or ysize <= 0:
+            raise ValueError("Request dimensions must be positive and non-zero")
+        projection = self.projection
+        assert projection is not None
+        out = np.zeros((ysize, xsize), dtype=self._datatype.to_numpy())
+        # Geo coords of the request's top-left pixel corner.
+        px0 = window.xoff + xoff
+        py0 = window.yoff + yoff
+        left = self._underlying_area.left + px0 * projection.xstep
+        top = self._underlying_area.top + py0 * projection.ystep
+        right = left + xsize * projection.xstep
+        bottom = top + ysize * projection.ystep
+        for rings, burn, _attrs in self._features:
+            allpts = np.vstack(rings)
+            # Envelope prune per feature before any per-pixel work.
+            if (
+                allpts[:, 0].max() < left
+                or allpts[:, 0].min() > right
+                or allpts[:, 1].max() < bottom
+                or allpts[:, 1].min() > top
+            ):
+                continue
+            rasterize_rings(
+                rings, burn, out, left, top, projection.xstep, projection.ystep,
+                all_touched=self._all_touched,
+            )
+        return out
