@@ -1,0 +1,180 @@
+"""Source-layer behaviour: parquet tiles, mosaics, vectors, cells, uniform
+and synthesized area layers, reprojection."""
+
+import math
+
+import numpy as np
+import pytest
+
+import yirgacheffe_spark as yg
+from yirgacheffe_spark.plans.kernel import evaluate_window
+from yirgacheffe_spark.reprojection import WGS84_A_B, area_of_pixel_m2
+from yirgacheffe_spark.spatial import cells as ci
+
+PROJ = yg.MapProjection("epsg:4326", 0.02, -0.02)
+RNG = np.random.default_rng(seed=42)
+
+
+def test_parquet_roundtrip_dtypes(tmp_path):
+    for np_dtype in (np.uint8, np.int16, np.uint64, np.float32, np.float64):
+        data = RNG.integers(0, 100, (11, 7)).astype(np_dtype)
+        area = yg.Area(0.0, 0.0, 7 * 0.02, -11 * 0.02, PROJ)
+        layer = yg.write_array_as_raster_table(
+            str(tmp_path / f"r_{np_dtype.__name__}"), data, area, tile_size=4
+        )
+        np.testing.assert_array_equal(layer.read_array(0, 0, 7, 11), data)
+        assert layer.datatype.to_numpy() == np_dtype
+
+
+def test_parquet_nodata_to_nan(tmp_path):
+    data = np.array([[1.0, 2.0], [0.0, 3.0]])
+    area = yg.Area(0.0, 0.0, 2 * 0.02, -2 * 0.02, PROJ)
+    layer = yg.write_array_as_raster_table(str(tmp_path / "nod"), data, area, nodata=0.0)
+    got = layer.read_array(0, 0, 2, 2)
+    assert np.isnan(got[1, 0])
+    ignored = yg.ParquetRasterLayer(str(tmp_path / "nod"), ignore_nodata=True)
+    assert ignored.read_array(0, 0, 2, 2)[1, 0] == 0.0
+
+
+def test_group_layer_first_wins(spark):
+    a = yg.from_array(np.full((4, 4), 1.0), (0.0, 0.0), PROJ, "a")
+    b = yg.from_array(np.full((4, 4), 2.0), (0.04, -0.04), PROJ, "b")  # offset by 2px
+    group = yg.GroupLayer([a, b], "g")
+    got = group.to_numpy(spark=spark)
+    assert got.shape == (6, 6)
+    assert got[0, 0] == 1.0          # only a
+    assert got[3, 3] == 1.0          # overlap: first-listed wins
+    assert got[5, 5] == 2.0          # only b
+    assert got[0, 5] == 0.0          # neither: zero fill
+
+
+def test_group_layer_nan_holes_fall_through(spark):
+    top = np.full((4, 4), 5.0)
+    top[1, 1] = -1.0  # nodata hole
+    a = yg.ArrayLayer(top, yg.Area(0.0, 0.0, 0.08, -0.08, PROJ), "a", nodata=-1.0)
+    b = yg.from_array(np.full((4, 4), 9.0), (0.0, 0.0), PROJ, "b")
+    got = yg.GroupLayer([a, b]).to_numpy(spark=spark)
+    assert got[1, 1] == 9.0
+    assert got[0, 0] == 5.0
+
+
+def test_tiled_group_regular_grid(spark):
+    # 2x2 grid of 4x4 tiles with globally-unique values (mosaic placement check).
+    outer = np.arange(64, dtype=np.float64).reshape(8, 8)
+    children = []
+    for ty in range(2):
+        for tx in range(2):
+            chunk = outer[ty * 4 : (ty + 1) * 4, tx * 4 : (tx + 1) * 4]
+            children.append(
+                yg.from_array(chunk, (tx * 4 * 0.02, -(ty * 4) * 0.02), PROJ)
+            )
+    group = yg.TiledGroupLayer(children)
+    np.testing.assert_array_equal(group.to_numpy(spark=spark), outer)
+
+
+def test_vector_layer_rasterize_and_filter(spark):
+    feats = [
+        {"geom_wkt": "POLYGON ((0.02 -0.02, 0.10 -0.02, 0.10 -0.10, 0.02 -0.10, 0.02 -0.02))",
+         "id_no": 1},
+        {"geom_wkt": "POLYGON ((0.10 -0.10, 0.18 -0.10, 0.18 -0.18, 0.10 -0.18, 0.10 -0.10))",
+         "id_no": 2},
+    ]
+    vec = yg.read_shape(feats, PROJ, burn_value="id_no")
+    got = vec.to_numpy(spark=spark)
+    assert set(np.unique(got)) <= {0.0, 1.0, 2.0}
+    assert (got == 1.0).any() and (got == 2.0).any()
+
+    only2 = yg.read_shape(feats, PROJ, burn_value="id_no", where_filter="id_no=2")
+    got2 = only2.to_numpy(spark=spark)
+    assert (got2 == 2.0).any() and not (got2 == 1.0).any()
+
+    with pytest.raises(ValueError):
+        yg.read_shape(feats, PROJ, where_filter="id_no=99")
+
+
+def test_vector_layer_center_containment():
+    # A rectangle covering exactly pixels [1,3) x [1,3): centers of those
+    # pixels are inside; all_touched adds the boundary-touched ring.
+    feats = [{"geom_wkt": "POLYGON ((0.02 -0.02, 0.06 -0.02, 0.06 -0.06, 0.02 -0.06, 0.02 -0.02))"}]
+    interior = yg.VectorLayer(feats, PROJ, burn_value=1, all_touched=False)
+    got = interior.read_array(0, 0, *interior.dimensions)
+    assert got.sum() == 4  # 2x2 pixel centers strictly inside
+
+
+def test_cell_layer_matches_naive_check(spark):
+    cell = int(ci.latlng_to_cell(10.0, 20.0, 7))
+    layer = yg.h3_tile(cell, PROJ)
+    got = layer.to_numpy(spark=spark)
+    # Naive oracle: per-pixel latlng_to_cell equality.
+    w = layer.window
+    lngs = layer.area.left + (np.arange(w.xsize) + 0.5) * PROJ.xstep
+    lats = layer.area.top + (np.arange(w.ysize) + 0.5) * PROJ.ystep
+    grid_lat, grid_lng = np.meshgrid(lats, lngs, indexing="ij")
+    naive = (ci.latlng_to_cell(grid_lat.ravel(), grid_lng.ravel(), 7) == cell).reshape(got.shape)
+    np.testing.assert_array_equal(got.astype(bool), naive)
+
+
+def test_cell_disk_tessellates_without_overlap(spark):
+    c0 = int(ci.latlng_to_cell(0.5, 0.5, 6))
+    disk = ci.grid_disk(c0, 1)
+    assert len(disk) == 9
+    layers = [yg.h3_tile(int(c), PROJ) for c in disk]
+    base = layers[0].area
+    for l in layers[1:]:
+        base = base | l.area
+    stack = yg.sum([l.as_area(base) for l in layers])
+    assert yg.where(stack > 1, 1, 0).sum(spark=spark) == 0.0
+    # And the disk exactly covers its bounding box interior.
+    inner = yg.h3_tile(c0, PROJ)
+    assert yg.where(stack.as_area(inner.area) < 1, 1, 0).sum(spark=spark) == 0.0
+
+
+def test_uniform_area_layer_broadcast():
+    col = np.arange(5, dtype=np.float64) + 1
+    ua = yg.UniformAreaLayer(col, yg.Area(-180.0, 0.0, 180.0, -5 * 0.02, PROJ))
+    got = np.broadcast_to(ua.read_array(0, 0, 1, 5), (5, 8))
+    np.testing.assert_array_equal(got[:, 0], col)
+    np.testing.assert_array_equal(got[:, 7], col)
+
+
+def test_area_per_pixel_geographic():
+    proj = yg.MapProjection("epsg:4326", 1.0, -1.0)
+    app = yg.area_raster(proj)
+    equator = app.read_array(0, 89, 3, 1)  # row centred at +0.5 deg lat
+    a, b = WGS84_A_B
+    want = area_of_pixel_m2(a, b, 1.0, -1.0, 90.0 - 89.5)
+    np.testing.assert_allclose(equator, want)
+    # Equator pixels are larger than polar ones.
+    polar = app.read_array(0, 0, 1, 1)
+    assert equator[0, 0] > polar[0, 0]
+
+
+def test_area_per_pixel_projected_constant():
+    proj = yg.MapProjection("esri:54030", 1000.0, -1000.0)
+    app = yg.AreaPerPixelLayer(proj)
+    got = app.read_window(0, 0, 2, 2, yg.Window(0, 0, 2, 2))
+    np.testing.assert_array_equal(got, np.full((2, 2), 1000.0 * 1000.0))
+
+
+def test_reprojected_nearest_identity_rescale():
+    data = np.arange(64, dtype=np.float64).reshape(8, 8)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+    rl = src.as_projection(coarse, "nearest")
+    got = evaluate_window(rl)
+    assert got.shape == (4, 4)
+    # Nearest at 2x coarsening picks a source pixel from each 2x2 block.
+    for i in range(4):
+        for j in range(4):
+            block = data[2 * i : 2 * i + 2, 2 * j : 2 * j + 2]
+            assert got[i, j] in block
+
+
+def test_reprojected_sum_block_stats():
+    data = np.arange(64, dtype=np.float64).reshape(8, 8)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+    rl = yg.ReprojectedLayer(src, coarse, "sum")
+    got = rl.read_array(0, 0, 4, 4)
+    want = data.reshape(4, 2, 4, 2).sum(axis=(1, 3))
+    np.testing.assert_array_equal(got, want)

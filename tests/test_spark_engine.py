@@ -1,0 +1,140 @@
+"""Distributed-execution correctness: Spark plans vs the one-tile local
+oracle, tile-size invariance (the analog of the reference's YSTEP matrix),
+window inference through the full pipeline, and aggregate semantics."""
+
+import numpy as np
+import pytest
+
+import yirgacheffe_spark as yg
+import yirgacheffe_spark.constants as C
+from yirgacheffe_spark.plans.kernel import evaluate_window
+
+PROJ = yg.MapProjection("epsg:4326", 0.02, -0.02)
+RNG = np.random.default_rng(seed=42)
+
+
+def L(data, origin=(10.0, 50.0), name=None):
+    return yg.from_array(np.asarray(data), origin, PROJ, name)
+
+
+A = RNG.uniform(0.0, 100.0, (13, 17))
+B = RNG.uniform(0.0, 100.0, (13, 17))
+
+
+def test_spark_matches_local_oracle_simple(spark):
+    expr = L(A) * L(B) + 2
+    np.testing.assert_array_equal(expr.to_numpy(spark=spark), evaluate_window(expr))
+
+
+@pytest.mark.parametrize("tile", [1, 2, 5, 16, 64])
+def test_tile_size_invariance(spark, monkeypatch, tile):
+    """Results must not depend on the tile decomposition (the reference's
+    chunk-size invariance tests, test_operators.py:1776-1868)."""
+    monkeypatch.setattr(C, "TILE_YSIZE", tile)
+    monkeypatch.setattr(C, "TILE_XSIZE", tile)
+    expr = yg.where(L(A) > 50, L(A).log(), 0) + L(B)
+    np.testing.assert_allclose(expr.to_numpy(spark=spark), evaluate_window(expr))
+    assert expr.sum(spark=spark) == pytest.approx(float(evaluate_window(expr).astype(np.float64).sum()))
+
+
+def test_union_extent_zero_fill(spark):
+    # B shifted right+down by 3 pixels: union is 16x20, zero-filled edges.
+    b_off = yg.from_array(B, (10.0 + 3 * 0.02, 50.0 - 3 * 0.02), PROJ)
+    expr = L(A) + b_off
+    got = expr.to_numpy(spark=spark)
+    assert got.shape == (16, 20)
+    want = np.zeros((16, 20))
+    want[:13, :17] += A
+    want[3:, 3:] += B
+    np.testing.assert_allclose(got, want)
+
+
+def test_intersection_extent(spark):
+    b_off = yg.from_array(B, (10.0 + 3 * 0.02, 50.0 - 3 * 0.02), PROJ)
+    expr = L(A) * b_off
+    got = expr.to_numpy(spark=spark)
+    assert got.shape == (10, 14)
+    np.testing.assert_allclose(got, A[3:, 3:] * B[:10, :14])
+
+
+def test_constant_layers_do_not_blow_up_extent(spark):
+    expr = L(A) + yg.constant(5)
+    got = expr.to_numpy(spark=spark)
+    assert got.shape == A.shape
+    np.testing.assert_allclose(got, A + 5)
+
+
+def test_as_area_crop_and_pad(spark):
+    # Crop to an interior area
+    crop = yg.Area(10.0 + 2 * 0.02, 50.0 - 2 * 0.02, 10.0 + 8 * 0.02, 50.0 - 7 * 0.02, PROJ)
+    got = L(A).as_area(crop).to_numpy(spark=spark)
+    np.testing.assert_array_equal(got, A[2:7, 2:8])
+    # Pad to a superset area: outside reads as zeros
+    pad = yg.Area(10.0 - 2 * 0.02, 50.0 + 2 * 0.02, 10.0 + 19 * 0.02, 50.0 - 15 * 0.02, PROJ)
+    got2 = L(A).as_area(pad).to_numpy(spark=spark)
+    assert got2.shape == (17, 21)
+    np.testing.assert_array_equal(got2[2:15, 2:19], A)
+    assert got2[0, 0] == 0 and got2[-1, -1] == 0
+
+
+def test_conv2d_halo_across_tiles(spark):
+    k = np.ones((5, 5), dtype=np.float32)
+    expr = L(A).conv2d(k)
+    np.testing.assert_allclose(expr.to_numpy(spark=spark), evaluate_window(expr))
+
+
+def test_cse_shared_subtree(spark):
+    base = L(A) * L(B)
+    expr = base + base.log()
+    np.testing.assert_allclose(expr.to_numpy(spark=spark), evaluate_window(expr))
+
+
+def test_read_array_subwindow_prunes(spark):
+    expr = L(A) + 1
+    got = expr.read_array(5, 5, 4, 4, spark=spark)
+    np.testing.assert_allclose(got, A[5:9, 5:9] + 1)
+
+
+def test_misaligned_grids_nudge(spark):
+    # Same pitch, origins offset by 0.4999 px: nearest-neighbour alignment.
+    off = 0.4999 * 0.02
+    b_wob = yg.from_array(B, (10.0 + off, 50.0), PROJ)
+    expr = L(A) + b_wob
+    got = expr.to_numpy(spark=spark)
+    np.testing.assert_allclose(got, evaluate_window(expr))
+    assert got.shape == A.shape  # 0.4999 px rounds to same grid cell
+
+
+def test_sum_min_max_unique(spark):
+    data = RNG.integers(0, 5, (9, 9)).astype(np.int32)
+    layer = L(data)
+    assert layer.sum(spark=spark) == float(data.sum())
+    assert layer.min(spark=spark) == float(data.min())
+    assert layer.max(spark=spark) == float(data.max())
+    values, counts = layer.unique(return_counts=True, spark=spark)
+    want_v, want_c = np.unique(data, return_counts=True)
+    np.testing.assert_array_equal(values, want_v.astype(np.float64))
+    np.testing.assert_array_equal(counts, want_c)
+
+
+def test_unique_nan_bucket(spark):
+    data = A.copy()
+    data[0, :5] = np.nan
+    values, counts = yg.where(L(data) > 1e9, 0, L(data)).unique(return_counts=True, spark=spark)
+    assert np.isnan(values[-1])
+    assert counts[-1] == 5
+
+
+def test_save_and_sum_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out")
+    total = (L(A) * 2).save(path, and_sum=True, spark=spark)
+    assert total == pytest.approx(float((A * 2).sum()))
+    back = yg.read_raster(path)
+    np.testing.assert_allclose(back.read_array(0, 0, 17, 13), A * 2)
+    # And compute on the read-back layer through the retiling join path.
+    assert (back + 0).sum(spark=spark) == pytest.approx(total)
+
+
+def test_expression_no_projection_raises():
+    with pytest.raises((ValueError, AttributeError)):
+        (yg.constant(1) + yg.constant(2)).sum()

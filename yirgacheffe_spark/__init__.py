@@ -45,6 +45,7 @@ from .operators.functions import (
 )
 from .sources import (
     ArrayLayer,
+    ReprojectedLayer,
     AreaPerPixelLayer,
     CellLayer,
     ConstantLayer,
@@ -113,7 +114,7 @@ __all__ = [
     "logical_and", "logical_or", "logical_xor", "logical_not",
     "Layer", "ArrayLayer", "ConstantLayer", "UniformAreaLayer",
     "AreaPerPixelLayer", "ParquetRasterLayer", "GroupLayer",
-    "TiledGroupLayer", "VectorLayer", "CellLayer",
+    "TiledGroupLayer", "VectorLayer", "CellLayer", "ReprojectedLayer",
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
     "area_raster", "read_narrow_raster", "h3_tile",
     "write_array_as_raster_table",

@@ -41,7 +41,9 @@ from .session import get_spark
 
 TILE_SCHEMA = "band int, tile_y int, tile_x int, ysize int, xsize int, payload binary"
 PARTIAL_SCHEMA = "ty int, tx int, partial double"
-UNIQUE_SCHEMA = "value double, count long"
+# NaN keys travel as an explicit flag: pandas NaN becomes SQL null in the
+# Arrow handoff, which would silently merge NaN with genuine nulls.
+UNIQUE_SCHEMA = "value double, is_nan boolean, count long"
 
 
 def _as_root(tree) -> LayerOperation:
@@ -331,16 +333,24 @@ def unique(tree, return_counts: bool = False, spark: SparkSession | None = None)
     def compute(pdf_iter):
         for _ty, _tx, _h, _w, result in _tile_results(bc, pdf_iter, "unique"):
             values, counts = np.unique(np.asarray(result), return_counts=True)
-            yield pd.DataFrame({"value": values.astype(np.float64), "count": counts.astype(np.int64)})
+            values = values.astype(np.float64)
+            nan_mask = np.isnan(values)
+            yield pd.DataFrame(
+                {
+                    "value": np.where(nan_mask, 0.0, values),
+                    "is_nan": nan_mask,
+                    "count": counts.astype(np.int64),
+                }
+            )
 
     combined = (
         df.mapInPandas(compute, schema=UNIQUE_SCHEMA)
-        .groupBy("value")
+        .groupBy("value", "is_nan")
         .agg(F.sum("count").alias("count"))
         .collect()
     )
     pairs = sorted(
-        ((r["value"], r["count"]) for r in combined),
+        ((float("nan") if r["is_nan"] else r["value"], r["count"]) for r in combined),
         key=lambda kv: (math.isnan(kv[0]), kv[0]),
     )
     values = np.array([v for v, _ in pairs])
