@@ -1,0 +1,207 @@
+"""North-rule pipeline: pages generation determinism, byte-identical text
+extraction, cell index invariants, PIP/kNN joins vs brute-force oracles,
+adaptive cell splitting, lineage resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from yirgacheffe_spark.spatial import cells as ci
+from yirgacheffe_spark.spatial import joins, pages
+from yirgacheffe_spark.spatial.lineage import CheckpointedRun
+
+
+class TestCellIndex:
+    def test_roundtrip_center(self):
+        lat = np.array([0.0, 45.3, -89.9, 89.9, -33.8])
+        lng = np.array([0.0, -122.4, 179.9, -180.0, 151.2])
+        cells = ci.latlng_to_cell(lat, lng, 9)
+        clat, clng = ci.cell_to_latlng(cells)
+        again = ci.latlng_to_cell(clat, clng, 9)
+        np.testing.assert_array_equal(cells, again)
+
+    def test_partitioning_exact(self):
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(-90, 90, 1000)
+        lng = rng.uniform(-180, 180, 1000)
+        cells = ci.latlng_to_cell(lat, lng, 5)
+        s, w, n, e = ci.cell_bounds(cells)
+        assert ((lat >= s) & (lat <= n)).all()
+        # Longitude membership is half-open [west, east).
+        assert ((lng >= w) & (lng < e)).all()
+
+    def test_parent_nesting(self):
+        cells = ci.latlng_to_cell(np.array([12.3]), np.array([45.6]), 10)
+        for parent_res in (9, 5, 0):
+            parent = ci.cell_parent(cells, parent_res)
+            clat, clng = ci.cell_to_latlng(cells)
+            direct = ci.latlng_to_cell(clat, clng, parent_res)
+            np.testing.assert_array_equal(parent, direct)
+
+    def test_children_cover_parent(self):
+        cell = int(ci.latlng_to_cell(10.0, 20.0, 6))
+        kids = ci.cell_children(cell)
+        assert len(kids) == 4
+        np.testing.assert_array_equal(
+            np.unique(ci.cell_parent(kids, 6)), np.array([cell])
+        )
+
+    def test_grid_disk_and_ring(self):
+        cell = int(ci.latlng_to_cell(10.0, 20.0, 6))
+        disk1 = ci.grid_disk(cell, 1)
+        assert len(disk1) == 9 and cell in disk1
+        ring1 = ci.grid_ring(cell, 1)
+        assert len(ring1) == 8 and cell not in ring1
+        assert set(ring1) | {cell} == set(disk1)
+
+    def test_grid_disk_wraps_antimeridian(self):
+        cell = int(ci.latlng_to_cell(0.0, 179.95, 4))
+        disk = ci.grid_disk(cell, 1)
+        assert len(disk) == 9  # wrapped, not clipped
+
+    def test_covering_bbox(self):
+        cover = ci.cells_covering_bbox(-1.0, -1.0, 1.0, 1.0, 6)
+        s, w, n, e = ci.cell_bounds(cover)
+        assert (w <= 1.0).all() and (e >= -1.0).all()
+        # a point inside the bbox maps to a covered cell
+        assert int(ci.latlng_to_cell(0.5, 0.5, 6)) in set(cover.tolist())
+
+
+class TestPages:
+    def test_deterministic_and_partition_invariant(self, spark):
+        a = pages.generate_pages(spark, 200, partitions=1).orderBy("url").collect()
+        b = pages.generate_pages(spark, 200, partitions=7).orderBy("url").collect()
+        assert a == b
+
+    def test_extraction_byte_identical(self, spark):
+        df = pages.enriched_pages(spark, 300, res=6)
+        mismatches = df.where("extracted != text").count()
+        assert mismatches == 0
+
+    def test_schema_matches_input_hint(self, spark):
+        df = pages.generate_pages(spark, 10)
+        assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+        dtypes = dict(df.dtypes)
+        assert dtypes["warc_ts"] == "timestamp"
+        assert dtypes["html"] == "binary"
+
+    def test_geocode_stable_per_url(self):
+        urls = pd.Series(["https://a.example/1", "https://b.example/2"])
+        g1 = pages.geocode_batch(urls)
+        g2 = pages.geocode_batch(urls.iloc[::-1].reset_index(drop=True))
+        assert g1["lat"][0] == g2["lat"][1]
+
+    def test_hotspot_skew_exists(self, spark):
+        df = pages.enriched_pages(spark, 2000, res=4)
+        counts = df.groupBy("cell").count().orderBy("count", ascending=False).collect()
+        # megacity hotspots concentrate pages: top cell far above uniform
+        uniform = 2000 / len(counts)
+        assert counts[0]["count"] > 5 * uniform
+
+
+POLYGONS = [
+    {"poly_id": 1, "geom_wkt": "POLYGON ((-75.0 39.5, -73.0 39.5, -73.0 41.5, -75.0 41.5, -75.0 39.5))"},
+    {"poly_id": 2, "geom_wkt": "POLYGON ((-1.2 50.4, 0.9 50.4, 0.9 52.6, -1.2 52.6, -1.2 50.4))"},
+    # Concave polygon spanning the equator region.
+    {"poly_id": 3, "geom_wkt": "POLYGON ((0 0, 10 0, 10 10, 5 10, 5 5, 0 5, 0 0))"},
+]
+
+
+class TestPIPJoin:
+    def test_matches_brute_force(self, spark):
+        df = pages.enriched_pages(spark, 1500, res=5).cache()
+        got = (
+            joins.point_in_polygon_join(spark, df, POLYGONS, res=5)
+            .select("url", "poly_id")
+            .collect()
+        )
+        got_set = {(r["url"], r["poly_id"]) for r in got}
+
+        rows = df.select("url", "lat", "lng").collect()
+        from yirgacheffe_spark.sources.vector import parse_wkt_polygon
+
+        want = set()
+        for poly in POLYGONS:
+            rings = parse_wkt_polygon(poly["geom_wkt"])
+            lat = np.array([r["lat"] for r in rows])
+            lng = np.array([r["lng"] for r in rows])
+            inside = joins.points_in_rings(lat, lng, rings)
+            for r, hit in zip(rows, inside):
+                if hit:
+                    want.add((r["url"], poly["poly_id"]))
+        assert got_set == want
+        assert len(got_set) > 0  # non-degenerate fixture
+
+    def test_all_candidates_filtered_exactly(self, spark):
+        # A point in the concavity of polygon 3 must be excluded.
+        pdf = pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "lat": [7.5, 2.0],     # u1 in concavity notch, u2 inside
+                "lng": [2.0, 2.0],
+                "cell": ci.latlng_to_cell(np.array([7.5, 2.0]), np.array([2.0, 2.0]), 5),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = joins.point_in_polygon_join(spark, df, POLYGONS, res=5).select("url").collect()
+        assert {r["url"] for r in got} == {"u2"}
+
+
+class TestKNN:
+    def test_matches_brute_force(self, spark):
+        df = pages.enriched_pages(spark, 800, res=4).cache()
+        queries = [
+            {"query_id": 1, "lat": 40.7, "lng": -74.0},   # hotspot (dense)
+            {"query_id": 2, "lat": -50.0, "lng": 100.0},  # ocean (sparse)
+        ]
+        got = joins.knn_join(spark, df, queries, k=5, res=4)
+        got_rows = got.orderBy("query_id", "rank").collect()
+
+        rows = df.select("url", "lat", "lng").collect()
+        lat = np.array([r["lat"] for r in rows])
+        lng = np.array([r["lng"] for r in rows])
+        urls = np.array([r["url"] for r in rows])
+        for q in queries:
+            d = joins.haversine_m(lat, lng, q["lat"], q["lng"])
+            order = np.lexsort((urls, d))[:5]
+            want = list(urls[order])
+            mine = [r["url"] for r in got_rows if r["query_id"] == q["query_id"]]
+            assert mine == want, f"query {q['query_id']}"
+
+
+class TestSkew:
+    def test_adaptive_cells_bounds_partitions(self, spark):
+        df = pages.enriched_pages(spark, 3000, res=3)
+        out = joins.adaptive_cells(df, res=3, max_rows=150, max_extra_levels=4)
+        counts = [r["n"] for r in out.groupBy("part_cell").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()]
+        # Bounded unless splitting bottomed out (levels exhausted); with 4
+        # extra levels each cell shrinks 256x, plenty for this fixture.
+        assert max(counts) <= 150
+        # Splitting must not lose or duplicate rows.
+        assert sum(counts) == 3000
+
+
+class TestLineage:
+    def test_resume_skips_completed(self, spark, tmp_path):
+        path = str(tmp_path / "ckpt")
+        calls = []
+
+        def task(s, task_id):
+            calls.append(task_id)
+            return s.range(task_id * 10, task_id * 10 + 10)
+
+        run = CheckpointedRun(spark, path)
+        run.run([0, 1], task)
+        assert sorted(calls) == [0, 1]
+
+        # Second invocation adds task 2; 0 and 1 are not re-executed.
+        run2 = CheckpointedRun(spark, path)
+        out = run2.run([0, 1, 2], task)
+        assert sorted(calls) == [0, 1, 2]
+        assert out.count() == 30
+
+        lineage = run2.lineage()
+        assert set(lineage["task_id"]) == {0, 1, 2}
+        assert (lineage["rows"] == 10).all()

@@ -1,2 +1,88 @@
-"""Per-partition lineage + checkpoint/resume (implemented in a later
-milestone this round)."""
+"""Per-partition lineage + checkpoint/resume for batch jobs.
+
+Every unit of work (a cell range, a tile range, an id range) writes its
+output under ``<path>/data/task=<id>/`` and then appends one lineage row
+``(task_id, rows, t_start, t_end, wall_s, inputs)`` to ``<path>/_lineage/``.
+A re-run anti-joins the task list against the recorded lineage and processes
+only the missing tasks — the whole job is resumable and idempotent (tasks are
+deterministic functions of their id; a retried task overwrites its own
+directory before its lineage row lands).
+
+This replaces the reference's 285-line fork/shared-memory apparatus
+(``_operators/__init__.py:1211-1403``): Spark executors provide the
+parallelism; lineage rows provide the resumability the north rule asks for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = "task_id long, rows long, t_start double, t_end double, wall_s double, inputs string"
+
+
+class CheckpointedRun:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.lineage_dir = os.path.join(path, "_lineage")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    def completed_tasks(self) -> set[int]:
+        files = [
+            os.path.join(self.lineage_dir, f)
+            for f in os.listdir(self.lineage_dir)
+            if f.endswith(".json")
+        ]
+        done = set()
+        for f in files:
+            with open(f, encoding="utf-8") as fp:
+                done.add(json.load(fp)["task_id"])
+        return done
+
+    def lineage(self) -> pd.DataFrame:
+        rows = []
+        for f in sorted(os.listdir(self.lineage_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.lineage_dir, f), encoding="utf-8") as fp:
+                    rows.append(json.load(fp))
+        return pd.DataFrame(rows)
+
+    def run(
+        self,
+        task_ids: list[int],
+        task_fn: Callable[[SparkSession, int], DataFrame],
+        inputs_desc: str = "",
+    ) -> DataFrame:
+        """Execute every task not yet recorded; return the union of all task
+        outputs (completed + fresh) as one DataFrame."""
+        done = self.completed_tasks()
+        pending = [t for t in task_ids if t not in done]
+        for task_id in pending:
+            t0 = time.time()
+            out = task_fn(self.spark, task_id)
+            task_dir = os.path.join(self.data_dir, f"task={task_id}")
+            out.write.mode("overwrite").parquet(task_dir)
+            rows = self.spark.read.parquet(task_dir).count()
+            t1 = time.time()
+            record = {
+                "task_id": task_id,
+                "rows": rows,
+                "t_start": t0,
+                "t_end": t1,
+                "wall_s": t1 - t0,
+                "inputs": inputs_desc,
+            }
+            # Write-then-rename: the lineage row is the commit point.
+            tmp = os.path.join(self.lineage_dir, f".task-{task_id}.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as fp:
+                json.dump(record, fp)
+            os.replace(tmp, os.path.join(self.lineage_dir, f"task-{task_id}.json"))
+        return self.spark.read.parquet(os.path.join(self.data_dir, "task=*"))
