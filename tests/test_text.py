@@ -1,0 +1,190 @@
+"""Training-data pipeline ops on the driver-generated documents/embeddings
+tables: dedup (exact + minhash + simhash + jaccard), quality/langid/tokens/
+fingerprint, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yirgacheffe_spark.text import ann, dedup, multimodal, quality
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestQuality:
+    def test_token_count_matches_python(self, documents):
+        rows = documents.select("doc_id", "text",
+                                quality.token_count(F.col("text")).alias("n")).collect()
+        for r in rows[:200]:
+            assert r["n"] == len(r["text"].split()), r["text"][:50]
+
+    def test_quality_score_bounds(self, documents):
+        scores = documents.select(quality.quality_score(F.col("text")).alias("q")).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in scores)
+
+    def test_fingerprint_is_whitespace_invariant(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["hello  world", "hello world", "HELLO WORLD\t"]})
+        )
+        fps = [r[0] for r in df.select(quality.fingerprint(F.col("text"))).collect()]
+        assert fps[0] == fps[1] == fps[2]
+
+    def test_language_id_on_clear_samples(self, spark):
+        # documents.lang in the driver tables is random (uncorrelated with the
+        # text), so ground truth comes from purpose-built samples.
+        samples = [
+            ("en", "the cat sat on the mat and it was happy with that for sure"),
+            ("de", "der hund und die katze sind nicht mit der maus auf das sofa"),
+            ("fr", "le chat est dans la maison et les oiseaux sont pour une fois"),
+            ("es", "el perro y la casa es para los amigos en una ciudad que brilla"),
+            ("ru", "и в не на что это с как по из"),
+            ("zh", "的一是不了人我在有他"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"lang": [s[0] for s in samples], "text": [s[1] for s in samples]})
+        )
+        got = df.withColumn("guess", quality.language_id(F.col("text"))).collect()
+        for r in got:
+            assert r["guess"] == r["lang"], (r["lang"], r["guess"])
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["aa bb", "aa bb", "cc dd", "aa  bb"]}
+        )
+        out = dedup.exact_dedup(spark.createDataFrame(pdf)).collect()
+        kept = sorted(r["doc_id"] for r in out)
+        assert kept == [1, 3, 4]  # exact match only; whitespace variant kept
+
+    def test_minhash_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again in the field"
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about spark partitions and shuffle behaviour"
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+        df = spark.createDataFrame(pdf)
+        pairs = dedup.minhash_dedup_pairs(df, num_perm=64, bands=16, threshold=0.5).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    def test_minhash_recall_against_brute_force(self, documents, spark):
+        docs = documents.limit(120)
+        pairs = dedup.minhash_dedup_pairs(docs, num_perm=128, bands=32, threshold=0.8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        rows = docs.select("doc_id", "text").collect()
+        want = set()
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                sa, sb = dedup._shingles(a["text"], 3), dedup._shingles(b["text"], 3)
+                union = sa | sb
+                j = len(sa & sb) / len(union) if union else 1.0
+                if j >= 0.8:
+                    want.add(tuple(sorted((a["doc_id"], b["doc_id"]))))
+        # banding at 32 bands/128 perms has ~1.0 recall at j>=0.8
+        assert want <= got or not want
+
+    def test_simhash_near_dups(self, spark):
+        base = " ".join(f"tok{i}" for i in range(40))
+        near = base.replace("tok7", "tokX")
+        far = " ".join(f"zz{i}" for i in range(40))
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+        hashes = dedup.simhash_column(spark.createDataFrame(pdf))
+        pairs = dedup.simhash_near_dups(hashes, max_hamming=6, chunks=8).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in ids
+        assert (1, 3) not in ids and (2, 3) not in ids
+
+    def test_jaccard_identical_is_one(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]})
+        df = spark.createDataFrame(pdf)
+        pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+        out = dedup.jaccard_pairs(df, pairs).collect()
+        assert out[0]["jaccard"] == 1.0
+
+
+class TestANN:
+    def test_brute_force_topk_matches_numpy(self, embeddings, spark):
+        q_rows = embeddings.limit(2).collect()
+        queries = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [r["vec_id"] for r in q_rows],
+                 "embedding": [list(r["embedding"]) for r in q_rows]}
+            )
+        )
+        got = ann.brute_force_topk(embeddings, queries, k=5).collect()
+        corpus = embeddings.collect()
+        mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in corpus])
+        ids = np.array([r["vec_id"] for r in corpus])
+        for qr in q_rows:
+            qv = np.array(qr["embedding"], dtype=np.float64)
+            sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+            order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+            want = list(ids[order])
+            mine = [r["vec_id"] for r in sorted(
+                (r for r in got if r["query_id"] == qr["vec_id"]),
+                key=lambda r: r["rank"],
+            )]
+            assert mine == want
+            # top hit is the query itself
+            assert mine[0] == qr["vec_id"]
+
+    def test_lsh_topk_recall(self, embeddings, spark):
+        q_rows = embeddings.limit(3).collect()
+        queries = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [r["vec_id"] for r in q_rows],
+                 "embedding": [list(r["embedding"]) for r in q_rows]}
+            )
+        )
+        exact = ann.brute_force_topk(embeddings, queries, k=10).collect()
+        approx = ann.lsh_topk(spark, embeddings, queries, k=10, bits=4, tables=16).collect()
+        for qid in {r["query_id"] for r in exact}:
+            want = {r["vec_id"] for r in exact if r["query_id"] == qid}
+            mine = {r["vec_id"] for r in approx if r["query_id"] == qid}
+            recall = len(want & mine) / len(want)
+            assert recall >= 0.6, f"query {qid}: recall {recall}"
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = multimodal.synthesize_media(spark, 50)
+        feats = multimodal.extract_features(media, decode="fake", dim=16).collect()
+        assert len(feats) == 50
+        for r in feats:
+            assert len(r["feature"]) == 16
+            assert abs(sum(r["feature"]) - 1.0) < 1e-5
+
+    def test_resize_payload_size(self, spark):
+        media = multimodal.synthesize_media(spark, 10)
+        thumbs = multimodal.resize(media, 8, 6, decode="fake").collect()
+        for r in thumbs:
+            assert len(r["thumb"]) == 8 * 6
+
+    def test_frame_sampling(self, spark):
+        media = multimodal.synthesize_media(spark, 60)
+        frames = multimodal.sample_frames(media, every_n=10)
+        rows = frames.collect()
+        vids = media.where("kind = 'video'").select("media_id", "n_frames").collect()
+        want = sum(len(range(0, max(v["n_frames"] - 1, 0) + 1, 10)) for v in vids)
+        assert len(rows) == want
+
+    def test_strict_decoder_raises(self, spark):
+        media = multimodal.synthesize_media(spark, 3)
+        with pytest.raises(Exception) as err:
+            multimodal.extract_features(media, decode="strict").collect()
+        assert "NotImplementedError" in str(err.value) or "codec" in str(err.value)
+
+    def test_determinism(self, spark):
+        a = multimodal.synthesize_media(spark, 20).orderBy("media_id").collect()
+        b = multimodal.synthesize_media(spark, 20).orderBy("media_id").collect()
+        assert a == b

@@ -1,0 +1,144 @@
+"""Correctness-harness fixtures: deterministic rasters derived from the
+driver's TPC-H-ish tables.
+
+The driver's oracle (``__spark_entry__.py``) validates the layer algebra by
+running each Spark query against equivalent DuckDB SQL on the *same* parquet
+tables.  Layers therefore have to be derivable from those tables by a rule
+both engines can express exactly:
+
+    pixel index  i   = row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                          l_partkey, l_suppkey) - 1
+    pixel (y, x)     = (i // W, i % W)            with W = 256
+    grid             = epsg:4326, 0.01 deg pitch, origin (0, 0)
+    tail pixels      = 0  (H = ceil(N / W))
+
+Four value channels: qty = l_quantity, price = floor(l_extendedprice),
+elev = l_partkey % 1000, hab = l_suppkey % 20 — all integer-valued doubles,
+so float64 aggregation is exact and order-independent (no fp-hash flakes).
+
+Raster tables are materialised once per (sf_dir) under /tmp and read back as
+``ParquetRasterLayer``s, so oracle queries exercise the real scan +
+re-tiling join path.  (Fixture *construction* is driver-side pyarrow: it is
+test plumbing, not the engine; at real scale rasters arrive as tables.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+
+from .grid import Area, MapProjection
+from .sources.parquet import ParquetRasterLayer, write_array_as_raster_table
+
+RASTER_W = 256
+STEP = 0.01
+PROJ = MapProjection("epsg:4326", STEP, -STEP)
+
+# Shared SQL prefix for every lineitem-raster oracle (DuckDB dialect).
+PX_CTE = """
+WITH px AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS i,
+         CAST(l_quantity AS DOUBLE) AS qty,
+         floor(l_extendedprice) AS price,
+         CAST(l_partkey % 1000 AS DOUBLE) AS elev,
+         CAST(l_suppkey % 20 AS DOUBLE) AS hab
+  FROM lineitem
+), dims AS (
+  SELECT CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS h,
+         CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) * 256 - COUNT(*) AS pad
+  FROM lineitem
+)
+"""
+
+_CHANNELS = ("qty", "price", "elev", "hab")
+
+
+def _cache_dir(sf_dir: str) -> str:
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/yg_spark_rasters/{digest}"
+
+
+def lineitem_rasters(sf_dir: str) -> dict[str, ParquetRasterLayer]:
+    """Build (or reuse) the four channel rasters for a scale-factor dir."""
+    base = _cache_dir(sf_dir)
+    if not all(
+        os.path.exists(os.path.join(base, ch, "_raster_meta.json")) for ch in _CHANNELS
+    ):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice"],
+        )
+        cols = {name: table.column(name).to_numpy() for name in table.column_names}
+        order = np.lexsort(
+            (cols["l_suppkey"], cols["l_partkey"], cols["l_linenumber"], cols["l_orderkey"])
+        )
+        n = len(order)
+        height = math.ceil(n / RASTER_W)
+        values = {
+            "qty": cols["l_quantity"][order].astype(np.float64),
+            "price": np.floor(cols["l_extendedprice"][order]).astype(np.float64),
+            "elev": (cols["l_partkey"][order] % 1000).astype(np.float64),
+            "hab": (cols["l_suppkey"][order] % 20).astype(np.float64),
+        }
+        area = Area(0.0, 0.0, RASTER_W * STEP, -height * STEP, PROJ)
+        os.makedirs(base, exist_ok=True)
+        for ch in _CHANNELS:
+            grid = np.zeros(height * RASTER_W, dtype=np.float64)
+            grid[:n] = values[ch]
+            write_array_as_raster_table(
+                os.path.join(base, ch), grid.reshape(height, RASTER_W), area
+            )
+    return {ch: ParquetRasterLayer(os.path.join(base, ch), name=ch) for ch in _CHANNELS}
+
+
+def raster_height(sf_dir: str) -> int:
+    layer = lineitem_rasters(sf_dir)["qty"]
+    return layer.window.ysize
+
+
+def scalar_df(spark, value: float, column: str = "value"):
+    """A one-row DataFrame carrying an aggregate result."""
+    return spark.createDataFrame([(float(value),)], f"{column} double")
+
+
+# -- derived point set for the spatial-join oracles ---------------------------
+#
+# Customers become points by exact integer arithmetic, so DuckDB can replicate
+# the coordinates bit-for-bit:
+#   lat = (c_custkey % 160) - 80 + 0.25
+#   lng = ((c_custkey * 7) % 360) - 180 + 0.25
+
+POINTS_SQL = """
+SELECT c_custkey,
+       CAST((c_custkey % 160) - 80 + 0.25 AS DOUBLE) AS lat,
+       CAST(((c_custkey * 7) % 360) - 180 + 0.25 AS DOUBLE) AS lng
+FROM customer
+"""
+
+
+def customer_points(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 160) - 80 + 0.25).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + 0.25).cast("double").alias("lng"),
+    )
+
+
+def cell_assign_sql(res: int) -> str:
+    """The engine's cell id in pure SQL (exact integer arithmetic)."""
+    rows = 1 << res
+    cols = 1 << (res + 1)
+    row = f"CAST(floor((90.0 - lat) / (180.0 / {rows})) AS BIGINT)"
+    col = f"CAST(floor((((lng + 180.0) % 360.0) + 0.0) / (360.0 / {cols})) AS BIGINT)"
+    row_c = f"least(greatest({row}, 0), {rows - 1})"
+    col_c = f"least(greatest({col}, 0), {cols - 1})"
+    return f"({res} * (1::BIGINT << 56)) + ({row_c} * (1::BIGINT << 28)) + {col_c}"

@@ -118,6 +118,7 @@ def knn_join(
     k: int = 5,
     res: int = 7,
     max_ring: int = 6,
+    id_col: str = "url",
 ) -> DataFrame:
     """For each query point, its k nearest pages by great-circle distance.
 
@@ -165,16 +166,16 @@ def knn_join(
             scored.withColumn(
                 "rank",
                 F.row_number().over(
-                    W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("url").asc())
+                    W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
                 ),
             )
             .where(F.col("rank") <= k)
-            .select("query_id", "url", "dist_m", "rank")
+            .select("query_id", F.col(id_col).alias("neighbor_id"), "dist_m", "rank")
         )
         batch = topk.collect()
         got: dict = {}
         for r in batch:
-            got.setdefault(r["query_id"], []).append((r["dist_m"], r["url"]))
+            got.setdefault(r["query_id"], []).append((r["dist_m"], r["neighbor_id"]))
 
         still = {}
         for i, (qid, q) in enumerate(list(pending.items())):
@@ -197,7 +198,7 @@ def knn_join(
         ring *= 2
 
     return spark.createDataFrame(
-        pd.DataFrame(results, columns=["query_id", "url", "dist_m", "rank"])
+        pd.DataFrame(results, columns=["query_id", id_col, "dist_m", "rank"])
     )
 
 
@@ -233,19 +234,23 @@ def adaptive_cells(pages: DataFrame, res: int, max_rows: int,
     return out
 
 
-def _child_cell_expr(cell_col: str, lat_col: str, lng_col: str, child_res: int):
-    """Closed-form Spark SQL expression for the child cell containing a point
-    (JVM-side; no UDF)."""
-    rows = F.lit(float(1 << child_res))
-    cols = F.lit(float(1 << (child_res + 1)))
+def cell_expr(lat_col: str, lng_col: str, res: int):
+    """Closed-form Spark SQL expression for the engine's cell id containing a
+    point (JVM-side column algebra; no UDF — mirrors cells.latlng_to_cell)."""
+    rows = F.lit(float(1 << res))
+    cols = F.lit(float(1 << (res + 1)))
     row = F.floor((F.lit(90.0) - F.col(lat_col)) / (F.lit(180.0) / rows)).cast("long")
     col = F.floor(
         ((F.col(lng_col) + F.lit(180.0)) % F.lit(360.0)) / (F.lit(360.0) / cols)
     ).cast("long")
-    row = F.least(F.greatest(row, F.lit(0)), F.lit((1 << child_res) - 1))
-    col = F.least(F.greatest(col, F.lit(0)), F.lit((1 << (child_res + 1)) - 1))
-    return (F.lit(child_res).cast("long") * F.lit(1 << 56).cast("long")) + \
+    row = F.least(F.greatest(row, F.lit(0)), F.lit((1 << res) - 1))
+    col = F.least(F.greatest(col, F.lit(0)), F.lit((1 << (res + 1)) - 1))
+    return (F.lit(res).cast("long") * F.lit(1 << 56).cast("long")) + \
         F.shiftleft(row, 28) + col
+
+
+def _child_cell_expr(cell_col: str, lat_col: str, lng_col: str, child_res: int):
+    return cell_expr(lat_col, lng_col, child_res)
 
 
 def salted(df: DataFrame, key_col: str, buckets: int = 16) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns.
+
+* ``brute_force_topk`` — exact cosine top-k: the query set broadcasts, the
+  corpus streams once, scoring is sequential-fold column algebra
+  (``zip_with`` + ``aggregate`` in float64, matching DuckDB's list functions
+  term-for-term so the SQL oracle is bit-comparable), and per-query top-k is
+  one window rank.  This is the baseline and the verifier.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets the corpus;
+  a query only scores candidates sharing a bucket in any table.  Recall is
+  tunable via (tables, bits); exactness is *not* claimed — the brute-force
+  pass is the oracle in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_sim(a, b):
+    """Sequential-fold cosine over two array columns (float64)."""
+    a64 = F.transform(a, lambda x: x.cast("double"))
+    b64 = F.transform(b, lambda x: x.cast("double"))
+    return _dot(a64, b64) / (F.sqrt(_dot(a64, a64)) * F.sqrt(_dot(b64, b64)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set, score every corpus row
+    (one scan, no shuffle except the final per-query rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    tables, bits, _dim = planes.shape
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        out = []
+        signs = np.einsum("tbd,nd->ntb", planes, mat) > 0  # (n, tables, bits)
+        codes = (signs.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=2)
+        for row in codes:
+            out.append(row.tolist())
+        return pd.Series(out)
+
+    return buckets
+
+
+def lsh_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucketing, bucket-equality join,
+    exact cosine on candidates only."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, tables, seed)
+    bucketer = lsh_bucket_udf(planes)
+
+    c = corpus.withColumn("_b", bucketer(F.transform(F.col(vec_col), lambda x: x.cast("double"))))
+    q = queries.withColumn("_b", bucketer(F.transform(F.col(vec_col), lambda x: x.cast("double"))))
+
+    c_flat = c.select(
+        id_col, vec_col, F.posexplode("_b").alias("table", "bucket")
+    )
+    q_flat = F.broadcast(
+        q.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.posexplode("_b").alias("table", "bucket"),
+        )
+    )
+    cands = (
+        c_flat.join(q_flat, ["table", "bucket"], "inner")
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
+
+
+def brute_force_topk_sql(k: int, query_vec_sql: str, table: str = "embeddings") -> str:
+    """DuckDB oracle for ``brute_force_topk`` against one literal query vector
+    (sequential-fold arithmetic mirroring the Spark expression)."""
+    dot = f"list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {query_vec_sql}), x -> x[1] * x[2]))"
+    # list_sum may reorder; build an explicit sequential fold instead via
+    # list_reduce (DuckDB >= 1.0) to match Spark's aggregate().
+    dot = (
+        f"list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), {query_vec_sql}),"
+        f" x -> x[1] * x[2]), (acc, x) -> acc + x)"
+    )
+    norm_c = "list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)"
+    norm_q = f"list_reduce(list_transform({query_vec_sql}, x -> x * x), (acc, x) -> acc + x)"
+    sim = f"round(({dot}) / (sqrt({norm_c}) * sqrt({norm_q})), 6)"
+    # Rank on the ROUNDED similarity (ties broken by id) so both engines
+    # order identically even when raw doubles differ in the last ulp.
+    return f"""
+        SELECT vec_id, sim, rank FROM (
+            SELECT vec_id, {sim} AS sim,
+                   row_number() OVER (ORDER BY {sim} DESC, vec_id ASC) AS rank
+            FROM {table}
+        ) WHERE rank <= {k}
+    """

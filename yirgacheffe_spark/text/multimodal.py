@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata structs; the
+Spark-side machinery — schemas, batch iteration, partition-preserving
+``mapInPandas`` transforms, deterministic batching — is real and tested.  The
+codec step itself is stubbed behind ``DECODERS`` because no image/audio
+libraries exist in this container: ``decode=fake`` produces a deterministic
+pseudo-decode from the bytes (so pipelines are testable end-to-end), and
+``decode=strict`` raises ``NotImplementedError`` exactly where a real
+libjpeg/ffmpeg call would slot in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, feat_dim int"
+
+THUMB_SCHEMA = "media_id long, width int, height int, thumb binary"
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: bytes -> (h, w) uint8.
+
+    Replace with a libjpeg/Pillow call when the container ships one."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    reps = int(np.ceil(need / max(len(raw), 1)))
+    return np.tile(raw, reps)[:need].reshape(height, width)
+
+
+def _strict_decode(*_args):
+    raise NotImplementedError(
+        "No image/audio codec is available in this environment; "
+        "wire a real decoder here (e.g. PIL.Image.open / soundfile.read)."
+    )
+
+
+DECODERS = {"fake": _fake_decode_image, "strict": _strict_decode}
+
+
+def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> DataFrame:
+    """Decode each media payload and emit a fixed-dim feature vector
+    (histogram of the decoded plane) — one Arrow batch at a time."""
+    decoder = DECODERS[decode]
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                plane = decoder(payload, int(w), int(h))
+                hist, _ = np.histogram(plane, bins=dim, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "feat_dim": dim,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize(df: DataFrame, out_w: int, out_h: int, decode: str = "fake") -> DataFrame:
+    """Nearest-neighbour thumbnail per image (decode -> index-gather -> bytes)."""
+    decoder = DECODERS[decode]
+
+    def run(batches):
+        for pdf in batches:
+            thumbs = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                plane = decoder(payload, int(w), int(h))
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                thumbs.append(plane[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.mapInPandas(run, THUMB_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video rows: emit one row per kept frame index.
+    Pure column algebra (sequence + explode) — the heavy decode happens
+    downstream only for kept frames."""
+    frames = df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+    return frames
+
+
+def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks."""
+    from ..spatial.pages import _mix  # deterministic splitmix
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            kinds = np.where(_mix(ids, seed) % np.uint64(3) == 0, "video",
+                             np.where(_mix(ids, seed) % np.uint64(3) == 1, "audio", "image"))
+            rows = {
+                "media_id": ids,
+                "kind": kinds,
+                "payload": [(_mix(np.array([i]), seed + 7).tobytes() * 8) for i in ids],
+                "width": (16 + (_mix(ids, seed + 1) % np.uint64(16)).astype(np.int32)),
+                "height": (16 + (_mix(ids, seed + 2) % np.uint64(16)).astype(np.int32)),
+                "sample_rate": np.where(kinds == "audio", 16000, 0).astype(np.int32),
+                "n_frames": np.where(kinds == "video",
+                                     (_mix(ids, seed + 3) % np.uint64(100)).astype(np.int32), 0),
+            }
+            yield pd.DataFrame(rows)
+
+    parts = max(spark.sparkContext.defaultParallelism, 1)
+    return spark.range(0, n_rows, numPartitions=parts).mapInPandas(gen, MEDIA_SCHEMA)

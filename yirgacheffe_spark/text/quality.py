@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` where
+possible (whole-stage codegen; zero Python in the hot path) and has an exact
+ANSI-SQL oracle; only language-ID — inherently a model — drops to an
+Arrow-vectorised pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_STOPWORDS = {
+    "en": {"the", "of", "and", "to", "in", "is", "was", "for", "that", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "nicht"},
+    "fr": {"le", "la", "les", "de", "et", "est", "dans", "pour", "que", "une"},
+    "es": {"el", "la", "los", "de", "y", "es", "en", "para", "que", "una"},
+    "pt": {"o", "a", "os", "de", "e", "é", "em", "para", "que", "uma"},
+    "ru": {"и", "в", "не", "на", "что", "это", "с", "как", "по", "из"},
+    "zh": set("的一是不了人我在有他"),
+    "ja": set("のにはをたがでてとし"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (JVM-side split; SQL oracle: the same regex)."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    stripped = F.regexp_replace(col, r"[.,!?;:]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_token_length(col: Column) -> Column:
+    compact = F.regexp_replace(F.trim(col), r"\s+", "")
+    return F.length(compact) / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """A deterministic [0,1] quality heuristic: length saturation x
+    punctuation sanity x plausible word length.  Every term is plain column
+    algebra, so the whole score stays inside whole-stage codegen."""
+    length_term = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
+    mtl = mean_token_length(col)
+    word_term = F.when((mtl >= 2.5) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(length_term * punct_term * word_term, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalised lowercase text
+    (md5 is identical in Spark and DuckDB, so the oracle is exact)."""
+    # Collapse runs first, then trim: trim() strips only 0x20, so tabs and
+    # newlines must become spaces before trimming (same order in the oracle).
+    normalized = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def language_id_batch(texts: pd.Series) -> pd.Series:
+    """Stopword-profile language guesser (vectorised per batch)."""
+    langs = list(_STOPWORDS)
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        words = set((t or "").lower().split())
+        chars = set(t or "")
+        best, best_score = "en", -1
+        for lang in langs:
+            profile = _STOPWORDS[lang]
+            if lang in ("zh", "ja"):
+                score = len(chars & profile)
+            else:
+                score = len(words & profile)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = best
+    return pd.Series(out)
+
+
+def language_id(col: Column) -> Column:
+    """Column wrapper for ``language_id_batch`` (UDF built lazily: creating a
+    pandas_udf requires an active session)."""
+    udf = pandas_udf(language_id_batch, "string")
+    return udf(col)
+
+
+def token_count_sql(col: str = "text") -> str:
+    """DuckDB oracle expression for token_count."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    tokens = token_count_sql(col)
+    punct = (
+        f"(length({col}) - length(regexp_replace({col}, '[.,!?;:]', '', 'g')))"
+        f" / greatest(length({col}), 1)"
+    )
+    mtl = (
+        f"length(regexp_replace(trim({col}), '\\s+', '', 'g'))"
+        f" / greatest({tokens}, 1)"
+    )
+    return (
+        f"round(least(({tokens}) / 100.0, 1.0)"
+        f" * (1.0 - least(({punct}) * 4.0, 1.0))"
+        f" * (CASE WHEN ({mtl}) >= 2.5 AND ({mtl}) <= 12.0 THEN 1.0 ELSE 0.5 END), 6)"
+    )
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return f"md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
