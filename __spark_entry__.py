@@ -215,7 +215,7 @@ def _docs(spark, sf_dir):
 
 def q_doc_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
-        "doc_id", quality.token_count(F.col("text")).alias("n_tokens")
+        "doc_id", quality.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
 
 
@@ -259,7 +259,9 @@ def q_ann_topk(spark, sf_dir):
     first = emb.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.brute_force_topk(emb, first, k=10).select("vec_id", "rank")
+    return ann.brute_force_topk(emb, first, k=10).select(
+        "vec_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -323,8 +325,12 @@ def q_pages_extract_invariant(spark, sf_dir):
     from yirgacheffe_spark.spatial import pages as P
 
     df = P.enriched_pages(spark, 20000, res=RES)
+    stats = df.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("extracted") != F.col("text"), 1).otherwise(0)).alias("n_mismatch"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(int(df.count()), int(df.where("extracted != text").count()))],
+        [(int(stats["n_pages"]), int(stats["n_mismatch"]))],
         "n_pages long, n_mismatch long",
     )
 
@@ -335,10 +341,11 @@ def q_adaptive_cells(spark, sf_dir):
     df = P.enriched_pages(spark, 20000, res=3)
     out = joins.adaptive_cells(df, res=3, max_rows=500, max_extra_levels=4)
     counts = out.groupBy("part_cell").agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.count("*").alias("n_cells"), F.max("n").alias("mx"), F.sum("n").alias("tot")
+    ).collect()[0]
     return spark.createDataFrame(
-        [(int(counts.count()),
-          int(counts.agg(F.max("n")).collect()[0][0]),
-          int(counts.agg(F.sum("n")).collect()[0][0]))],
+        [(int(stats["n_cells"]), int(stats["mx"]), int(stats["tot"]))],
         "n_cells long, max_rows long, total long",
     )
 
@@ -348,6 +355,62 @@ def q_multimodal_features(spark, sf_dir):
     feats = multimodal.extract_features(media, decode="fake", dim=16)
     return feats.select(
         "media_id", "feat_dim", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+
+
+def q_layer_pow_sum(spark, sf_dir):
+    r = harness.lineitem_rasters(sf_dir)
+    expr = (r["qty"] ** 2) + (2 ** (r["qty"] % 8))
+    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
+
+
+def q_layer_uniform_sum(spark, sf_dir):
+    """UniformAreaLayer: a 1-px-wide per-row column broadcast across the full
+    raster width inside the kernel (value of row y is y+1)."""
+    height = harness.raster_height(sf_dir)
+    col = np.arange(height, dtype=np.float64) + 1
+    ua = yg.UniformAreaLayer(
+        col, yg.Area(-180.0, 0.0, 180.0, -height * harness.STEP, harness.PROJ), "rowval"
+    )
+    r = harness.lineitem_rasters(sf_dir)
+    return scalar_df(spark, (r["qty"] * ua).sum(spark=spark), "sum_value")
+
+
+def q_layer_cell_mask_sum(spark, sf_dir):
+    """CellLayer (H3-analog) rasterized as a mask over the qty raster."""
+    from yirgacheffe_spark.spatial import cells as ci
+
+    cell = int(ci.latlng_to_cell(-1.0, 1.0, 7))
+    mask = yg.h3_tile(cell, harness.PROJ)
+    r = harness.lineitem_rasters(sf_dir)
+    return scalar_df(spark, (r["qty"] * mask).sum(spark=spark), "sum_value")
+
+
+def q_events_topk_per_user(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ranked = ev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+        ).cast("long"),
+    )
+    return ranked.where(F.col("rk") <= 2).select("user_id", "event_id", "rk")
+
+
+def q_orders_customer_join(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.floor("o_totalprice")).alias("rev_floor"))
     )
 
 
@@ -375,6 +438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_mosaic_sum": q_layer_mosaic_sum,
         "layer_reproject_sum": q_layer_reproject_sum,
         "layer_round_log_sum": q_layer_round_log_sum,
+        "layer_pow_sum": q_layer_pow_sum,
+        "layer_uniform_sum": q_layer_uniform_sum,
+        "layer_cell_mask_sum": q_layer_cell_mask_sum,
+        "events_topk_per_user": q_events_topk_per_user,
+        "orders_customer_join": q_orders_customer_join,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -428,20 +496,20 @@ def oracle_sql() -> dict[str, str]:
                 * (least((i % 256) + 1, 255) - greatest((i % 256) - 1, 0) + 1)
               ) AS sum_value FROM px""",
         "layer_bitwise_sum": PX_CTE
-        + f"SELECT SUM(((CAST(qty AS BIGINT) & 3) | 1) * 2) + {pad} * 2 AS sum_value FROM px",
+        + f"SELECT CAST(SUM(((CAST(qty AS BIGINT) & 3) | 1) * 2) + {pad} * 2 AS DOUBLE) AS sum_value FROM px",
         "layer_floordiv_mod_sum": PX_CTE
         + "SELECT SUM(floor(price / 7) + (qty % 3)) AS sum_value FROM px",
         "layer_logical_sum": PX_CTE
-        + """SELECT SUM(CASE WHEN qty > 40 OR (elev > 500 AND hab < 10)
-                             THEN 1 ELSE 0 END) AS sum_value FROM px""",
+        + """SELECT CAST(SUM(CASE WHEN qty > 40 OR (elev > 500 AND hab < 10)
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS sum_value FROM px""",
         "layer_abs_neg_sum": PX_CTE
         + f"SELECT SUM(abs(qty - 25)) + {pad} * 25.0 AS sum_value FROM px",
         "layer_minimum_maximum_sum": PX_CTE
         + f"""SELECT SUM(greatest(qty, 25) + least(elev, 500))
                 + {pad} * 25.0 AS sum_value FROM px""",
         "layer_nan_to_num_sum": PX_CTE
-        + f"""SELECT SUM(CASE WHEN qty > 0 THEN 2 ELSE 5 END)
-                + {pad} * 5.0 AS sum_value FROM px""",
+        + f"""SELECT CAST(SUM(CASE WHEN qty > 0 THEN 2 ELSE 5 END)
+                + {pad} * 5.0 AS DOUBLE) AS sum_value FROM px""",
         "layer_mosaic_sum": PX_CTE
         + f"""SELECT SUM(qty)
                 + SUM(CASE WHEN (i // 256) + 64 >= {h} OR (i % 256) + 32 >= 256
@@ -449,6 +517,29 @@ def oracle_sql() -> dict[str, str]:
         "layer_reproject_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
         "layer_round_log_sum": PX_CTE
         + "SELECT SUM(round(ln(qty + 1) * 1000)) AS sum_value FROM px",
+        "layer_pow_sum": PX_CTE
+        + f"SELECT SUM(pow(qty, 2) + pow(2, qty % 8)) + {pad} * 1.0 AS sum_value FROM px",
+        "layer_uniform_sum": PX_CTE
+        + "SELECT SUM(qty * ((i // 256) + 1)) AS sum_value FROM px",
+        "layer_cell_mask_sum": PX_CTE
+        + """SELECT SUM(CASE WHEN ((i % 256) + 0.5) * 0.01 < 1.40625
+                              AND -(((i // 256) + 0.5) * 0.01) > -1.40625
+                             THEN qty ELSE 0 END) AS sum_value FROM px""",
+        "events_topk_per_user": """
+            SELECT user_id, event_id, rk FROM (
+                SELECT user_id, event_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                ) AS rk FROM events
+            ) WHERE rk <= 2
+        """,
+        "orders_customer_join": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   SUM(floor(o_totalprice)) AS rev_floor
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "doc_token_count": (
             "SELECT doc_id, "
             + quality.token_count_sql("text")
@@ -485,16 +576,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spatial_pip": f"""
             WITH pts AS ({POINTS_SQL})
-            SELECT c_custkey, 1 AS poly_id FROM pts
+            SELECT c_custkey, CAST(1 AS BIGINT) AS poly_id FROM pts
             WHERE lat >= 10 AND lat < 50 AND lng >= 0 AND lng < 40
             UNION ALL
-            SELECT c_custkey, 2 AS poly_id FROM pts
+            SELECT c_custkey, CAST(2 AS BIGINT) AS poly_id FROM pts
             WHERE lat >= -40 AND lat < 0 AND lng >= -120 AND lng < -60
         """,
         "spatial_knn": f"""
             WITH pts AS ({POINTS_SQL}),
-            q AS (SELECT 1 AS query_id, 40.25 AS qlat, -74.25 AS qlng
-                  UNION ALL SELECT 2, -10.75, 20.25),
+            q AS (SELECT CAST(1 AS BIGINT) AS query_id, 40.25 AS qlat, -74.25 AS qlng
+                  UNION ALL SELECT CAST(2 AS BIGINT), -10.75, 20.25),
             scored AS (
                 SELECT q.query_id, pts.c_custkey,
                        2 * 6371008.8 * asin(sqrt(

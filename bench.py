@@ -5,11 +5,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "throughput_rows_per_s": ...}
 
-The suite covers the engine's three pillars: the tiled layer algebra
-(scan + re-tiling join + fused kernels + aggregation), the cell-indexed
-spatial joins over the synthetic pages table, and the training-data text
-operators.  Run scripts/scaling_bench.py for the N-vs-4N-cores scaling
-measurement.
+The suite covers the engine's three pillars at scale-representative sizes:
+
+* tiled layer algebra — AoH mask pipeline, conv2d halo, unique, save — over
+  ``harness.bench_rasters`` (the sf's lineitem channels tiled out to ~29M
+  pixels per channel so queries are compute/IO-bound, like real rasters,
+  rather than stage-latency-bound);
+* cell-indexed spatial pipeline — pages generation+enrichment (timed: it is
+  real engine work), point-in-polygon, kNN;
+* training-data text ops — quality/tokens/fingerprint, MinHash-LSH near-dup
+  over the pages corpus, brute-force ANN.
+
+One untimed warmup pass absorbs JVM codegen and Python-worker pool spin-up
+(per-process costs a long-lived cluster amortises).  Run
+scripts/scaling_bench.py for the N-vs-4N-cores scaling measurement.
 """
 
 from __future__ import annotations
@@ -23,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("YG_BENCH_PAGES", "200000"))
+N_PAGES = int(os.environ.get("YG_BENCH_PAGES", "400000"))
+RASTER_REPEAT = int(os.environ.get("YG_BENCH_RASTER_REPEAT", "48"))
+WARMUP = int(os.environ.get("YG_BENCH_WARMUP", "1"))
 
 
 def build_spark():
@@ -34,9 +45,11 @@ def build_spark():
         .appName("yirgacheffe-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
 
@@ -53,20 +66,16 @@ def main() -> int:
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    rasters = harness.lineitem_rasters(SF_DIR)
+    rasters = harness.bench_rasters(SF_DIR, repeat=RASTER_REPEAT)
     pages_df = pages.enriched_pages(spark, N_PAGES, res=6).persist()
-    pages_df.count()  # materialise outside the timed region
-
-    work_units = {"rows": 0}
+    n_pages = pages_df.count()  # materialised once; enrichment is timed separately
 
     def timed(fn):
         t0 = time.time()
-        out = fn()
-        return time.time() - t0, out
+        fn()
+        return time.time() - t0
 
-    queries = {}
-
-    # 1. AoH flagship: isin x range mask x quantity, full tile pipeline.
+    # -- layer algebra ------------------------------------------------------
     def q_aoh():
         expr = (
             rasters["hab"].isin([1.0, 5.0, 7.0, 11.0])
@@ -75,20 +84,23 @@ def main() -> int:
         )
         return expr.sum(spark=spark)
 
-    # 2. conv2d with halo exchange across tiles.
     def q_conv():
-        return rasters["qty"].conv2d(np.ones((3, 3), dtype=np.float32)).sum(spark=spark)
+        return rasters["qty"].conv2d(np.ones((5, 5), dtype=np.float32)).sum(spark=spark)
 
-    # 3. mosaic + unique (shuffle-combined distinct values).
     def q_unique():
         return len((rasters["hab"] % 7).unique(spark=spark))
 
-    # 4. save: full result-tile write path.
     def q_save():
-        out = "/tmp/yg_bench_save"
-        return (rasters["qty"] * 2 + rasters["elev"]).save(out, spark=spark)
+        return (rasters["qty"] * 2 + rasters["elev"]).save("/tmp/yg_bench_save", spark=spark)
 
-    # 5. point-in-polygon join over the pages table (hotspot polygons).
+    # -- spatial pipeline -----------------------------------------------------
+    def q_enrich():
+        # Fresh generation + enrichment + consume: the streaming/batch ingest
+        # path end-to-end (no cache).
+        return pages.enriched_pages(spark, N_PAGES, res=6).where(
+            "extracted = text"
+        ).count()
+
     pip_polys = [
         {"poly_id": 1, "geom_wkt": "POLYGON ((-76 38.5, -72 38.5, -72 42.5, -76 42.5, -76 38.5))"},
         {"poly_id": 2, "geom_wkt": "POLYGON ((-2 49.5, 2 49.5, 2 53.5, -2 53.5, -2 49.5))"},
@@ -98,7 +110,6 @@ def main() -> int:
     def q_pip():
         return joins.point_in_polygon_join(spark, pages_df, pip_polys, res=6).count()
 
-    # 6. kNN by ring expansion (dense + sparse query mix).
     def q_knn():
         qs = [
             {"query_id": 1, "lat": 40.7, "lng": -74.0},
@@ -107,7 +118,7 @@ def main() -> int:
         ]
         return joins.knn_join(spark, pages_df, qs, k=10, res=6).count()
 
-    # 7. text quality + token stats over pages (JVM column algebra only).
+    # -- text / training-data ops ---------------------------------------------
     def q_text():
         return (
             pages_df.select(
@@ -119,12 +130,11 @@ def main() -> int:
             .collect()[0][0]
         )
 
-    # 8. minhash near-dup pairs over documents.
     def q_minhash():
-        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        return dedup.minhash_dedup_pairs(docs, num_perm=64, bands=16, threshold=0.8).count()
+        corpus = pages_df.limit(50000).selectExpr("url AS doc_id", "text")
+        sigs = dedup.minhash_signatures(corpus, "text", "doc_id", num_perm=64, shingle_n=3)
+        return dedup.minhash_lsh_candidates(sigs, "doc_id", bands=16).count()
 
-    # 9. brute-force ANN top-k for 8 queries over embeddings.
     def q_ann():
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         qs = emb.orderBy("vec_id").limit(8).select(
@@ -132,7 +142,6 @@ def main() -> int:
         )
         return ann.brute_force_topk(emb, qs, k=10).count()
 
-    # 10. relational baseline: pricing summary.
     def q_pricing():
         li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
         return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -144,25 +153,31 @@ def main() -> int:
         "conv2d_sum": q_conv,
         "unique_vals": q_unique,
         "save_tiles": q_save,
+        "pages_enrich": q_enrich,
         "pages_pip_join": q_pip,
         "pages_knn": q_knn,
         "pages_text_quality": q_text,
-        "doc_minhash_dedup": q_minhash,
+        "minhash_lsh": q_minhash,
         "ann_topk": q_ann,
         "pricing_summary": q_pricing,
     }
 
+    for _ in range(WARMUP):
+        for fn in suite.values():
+            fn()
+
+    queries = {}
     total = 0.0
     for name, fn in suite.items():
-        sec, _ = timed(fn)
+        sec = timed(fn)
         queries[name] = round(sec, 3)
         total += sec
 
-    # Work accounting for the throughput headline: raster tiles + page rows +
-    # join candidate rows processed.
+    # Work accounting: raster tiles processed + page rows enriched/joined.
     qty = rasters["qty"]
-    n_tiles = (qty.window.ysize // 512 + 1) * (qty.window.xsize // 512 + 1) * 4  # 4 channels
-    rows = N_PAGES + spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    tiles_per_channel = -(-qty.window.ysize // 512) * -(-qty.window.xsize // 512)
+    n_tiles = tiles_per_channel * 4
+    rows = n_pages * 2 + 50000
     throughput = (n_tiles + rows) / total if total else 0.0
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -175,6 +190,8 @@ def main() -> int:
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
+                "n_pages": n_pages,
+                "raster_pixels_per_channel": qty.window.ysize * qty.window.xsize,
                 "throughput_rows_per_s": round(throughput, 1),
             }
         )

@@ -57,8 +57,16 @@ from .sources import (
     VectorLayer,
 )
 from .sources.parquet import write_array_as_raster_table
+from .sources.vector import load_geojson
+from .plans.executor import save_multiband
+
+# Familiar aliases for users coming from the reference API.
 
 __version__ = "0.1.0"
+
+# Reference-API class aliases (yirgacheffe names -> this engine's classes).
+RasterLayer = ParquetRasterLayer
+H3CellLayer = CellLayer
 
 
 # -- reference-parity entry points (yirgacheffe/_core.py) --------------------
@@ -117,5 +125,5 @@ __all__ = [
     "TiledGroupLayer", "VectorLayer", "CellLayer", "ReprojectedLayer",
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
     "area_raster", "read_narrow_raster", "h3_tile",
-    "write_array_as_raster_table",
+    "write_array_as_raster_table", "save_multiband", "load_geojson",
 ]

@@ -142,3 +142,43 @@ def cell_assign_sql(res: int) -> str:
     row_c = f"least(greatest({row}, 0), {rows - 1})"
     col_c = f"least(greatest({col}, 0), {cols - 1})"
     return f"({res} * (1::BIGINT << 56)) + ({row_c} * (1::BIGINT << 28)) + {col_c}"
+
+
+BENCH_W = 2048
+
+
+def bench_rasters(sf_dir: str, repeat: int = 48) -> dict[str, "ParquetRasterLayer"]:
+    """Scale-representative rasters for benchmarking: the lineitem channel
+    values tiled ``repeat`` times into a ``BENCH_W``-wide grid (aligned to the
+    512 storage tile), so raster queries are compute/IO-bound rather than
+    stage-latency-bound at small scale factors.  Cached per (sf_dir, repeat).
+    """
+    import pyarrow.parquet as pq
+
+    base = os.path.join(_cache_dir(sf_dir), f"bench_r{repeat}")
+    names = ("qty", "price", "elev", "hab")
+    if not all(
+        os.path.exists(os.path.join(base, ch, "_raster_meta.json")) for ch in names
+    ):
+        table = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"],
+        )
+        channels = {
+            "qty": table.column("l_quantity").to_numpy().astype(np.float64),
+            "price": np.floor(table.column("l_extendedprice").to_numpy()).astype(np.float64),
+            "elev": (table.column("l_partkey").to_numpy() % 1000).astype(np.float64),
+            "hab": (table.column("l_suppkey").to_numpy() % 20).astype(np.float64),
+        }
+        n = len(channels["qty"]) * repeat
+        height = math.ceil(n / BENCH_W)
+        os.makedirs(base, exist_ok=True)
+        area = Area(0.0, 0.0, BENCH_W * STEP, -height * STEP, PROJ)
+        for ch, vals in channels.items():
+            grid = np.zeros(height * BENCH_W, dtype=np.float64)
+            tiled = np.tile(vals, repeat)
+            grid[: len(tiled)] = tiled
+            write_array_as_raster_table(
+                os.path.join(base, ch), grid.reshape(height, BENCH_W), area
+            )
+    return {ch: ParquetRasterLayer(os.path.join(base, ch), name=f"bench_{ch}") for ch in names}

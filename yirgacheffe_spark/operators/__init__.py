@@ -434,6 +434,25 @@ class LayerMathMixin:
     def to_dataframe(self, spark=None):
         return LayerOperation(self).to_dataframe(spark=spark)
 
+    def show(self, ax=None, max_pixels: int | None = 1000, spark=None, **kwargs):
+        """Render with matplotlib (downsampled), if matplotlib is installed."""
+        try:
+            import matplotlib.pyplot as plt  # pylint: disable=C0415
+        except ImportError as exc:  # pragma: no cover - env without matplotlib
+            raise NotImplementedError("show() requires matplotlib") from exc
+        root = LayerOperation(self) if not isinstance(self, LayerOperation) else self
+        window = root.window
+        data = root.read_array(0, 0, window.xsize, window.ysize, spark=spark)
+        if max_pixels:
+            step = max(max(window.xsize, window.ysize) // max_pixels, 1)
+            data = data[::step, ::step]
+        if ax is None:
+            ax = plt.gca()
+        area = root.area
+        return ax.imshow(
+            data, extent=[area.left, area.right, area.bottom, area.top], **kwargs
+        )
+
 
 class LayerOperation(LayerMathMixin):
     """A node of the expression tree: (lhs, op, rhs?, other?, window_op, kwargs)."""

@@ -9,11 +9,21 @@ Physical shape of every computation:
    tile range, pushed down to parquet row-group stats); everything else
    (in-memory arrays, constants, generated layers) ships inside the kernel
    closure via a broadcast.
-2. **Execute (cluster)** — one ``mapInPandas`` kernel per stage evaluates the
+2. **Execute (cluster)** — one ``mapInArrow`` kernel per stage evaluates the
    *whole* numpy expression tree per tile (operator fusion, per-tile CSE),
    emitting either result tiles (save / read_array) or per-tile aggregate
    partials (sum/min/max/unique), which Spark combines — the classic
    partial/final two-stage aggregation.
+
+Implementation notes for throughput:
+
+* Kernels use ``mapInArrow`` (not ``mapInPandas``): tile payloads are
+  multi-megabyte binaries inside list<struct> columns, and Arrow buffers are
+  sliced zero-copy into numpy, where pandas conversion would materialise
+  Python dicts/bytes per piece.
+* Driver-side plan construction keeps py4j chatter low: tile arithmetic is
+  emitted as single ``selectExpr`` strings and parquet readers are cached
+  per path, so repeated terminal actions cost milliseconds of planning.
 
 Scale notes: tiles are the unit of parallelism and shuffle keys are tile
 coordinates, so plans scale by adding executors; the only shuffle per parquet
@@ -25,15 +35,14 @@ aggregations move eight bytes per tile.
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import constants
-from ..dtypes import DataType
 from ..grid import Window
 from ..operators import LayerOperation
 from . import kernel as K
@@ -41,13 +50,31 @@ from .session import get_spark
 
 TILE_SCHEMA = "band int, tile_y int, tile_x int, ysize int, xsize int, payload binary"
 PARTIAL_SCHEMA = "ty int, tx int, partial double"
-# NaN keys travel as an explicit flag: pandas NaN becomes SQL null in the
-# Arrow handoff, which would silently merge NaN with genuine nulls.
+# NaN keys travel as an explicit flag: NaN would become SQL null in the
+# groupBy otherwise, silently merging with genuine nulls.
 UNIQUE_SCHEMA = "value double, is_nan boolean, count long"
+
+_PA_TILE = pa.schema(
+    [("band", pa.int32()), ("tile_y", pa.int32()), ("tile_x", pa.int32()),
+     ("ysize", pa.int32()), ("xsize", pa.int32()), ("payload", pa.binary())]
+)
+_PA_PARTIAL = pa.schema([("ty", pa.int32()), ("tx", pa.int32()), ("partial", pa.float64())])
+_PA_UNIQUE = pa.schema(
+    [("value", pa.float64()), ("is_nan", pa.bool_()), ("count", pa.int64())]
+)
+
+_reader_cache: dict[tuple[int, str], DataFrame] = {}
 
 
 def _as_root(tree) -> LayerOperation:
     return tree if isinstance(tree, LayerOperation) else LayerOperation(tree)
+
+
+def _read_raster_table(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    if key not in _reader_cache:
+        _reader_cache[key] = spark.read.parquet(path)
+    return _reader_cache[key]
 
 
 def _plan_payload(root: LayerOperation):
@@ -79,6 +106,8 @@ def _plan_payload(root: LayerOperation):
                 "path": leaf.path,
                 "band": leaf.band,
                 "stored_tiles": leaf.stored_tiles,
+                "leaf_h": leaf.window.ysize,
+                "leaf_w": leaf.window.xsize,
             }
         )
 
@@ -98,13 +127,22 @@ def _plan_payload(root: LayerOperation):
     }
 
 
-def _retile_join(spark: SparkSession, payload: dict, slot: int,
-                 tile_box: tuple[int, int, int, int]) -> DataFrame:
-    """Scan one parquet leaf and key its stored tiles by the computation tiles
-    they feed (including the leaf's halo margin), grouped per target tile.
+PIECE_STRUCT_SQL = "struct<slot:int,py0:bigint,px0:bigint,sh:int,sw:int,p:binary>"
+_PIECE_PA_TYPE = pa.struct(
+    [("slot", pa.int32()), ("py0", pa.int64()), ("px0", pa.int64()),
+     ("sh", pa.int32()), ("sw", pa.int32()), ("p", pa.binary())]
+)
 
-    All arithmetic is Spark SQL (JVM-side); the source scan carries tile-range
-    predicates that push down to parquet row-group statistics.
+
+def _slot_rows(spark: SparkSession, payload: dict, slot: int,
+               tile_box: tuple[int, int, int, int],
+               body_only: bool = False):
+    """Scan one parquet leaf and emit one row per (computation tile, piece):
+    ``(ty, tx, piece struct<slot, py0, px0, sh, sw, p>)``.
+
+    Returns (rows, is_aligned, coverage_rect).  All arithmetic is Spark SQL
+    (JVM-side, emitted as single selectExpr strings); the scan carries
+    tile-range predicates that push down to parquet row-group statistics.
     """
     meta = payload["slot_meta"][slot]
     s = meta["S"]
@@ -113,6 +151,15 @@ def _retile_join(spark: SparkSession, payload: dict, slot: int,
     ty_size, tx_size = payload["ty_size"], payload["tx_size"]
     ty_lo, ty_hi, tx_lo, tx_hi = tile_box
     stored_y, stored_x = meta["stored_tiles"]
+
+    # Computation tiles this leaf can contribute to (its coverage rectangle).
+    leaf_h, leaf_w = meta["leaf_h"], meta["leaf_w"]
+    cov = (
+        max(ty_lo, (-ayoff - ty_size - p) // ty_size + 1),
+        min(ty_hi, (-ayoff + leaf_h + p - 1) // ty_size),
+        max(tx_lo, (-axoff - tx_size - p) // tx_size + 1),
+        min(tx_hi, (-axoff + leaf_w + p - 1) // tx_size),
+    )
 
     # Leaf pixel range the requested tile box can touch (with halo).
     y_px_lo = ty_lo * ty_size - p + ayoff
@@ -124,56 +171,147 @@ def _retile_join(spark: SparkSession, payload: dict, slot: int,
     sx_lo = max(x_px_lo // s, 0)
     sx_hi = min((x_px_hi - 1) // s, stored_x - 1)
 
-    src = (
-        spark.read.parquet(meta["path"])
-        .where(
-            (F.col("band") == meta["band"])
-            & F.col("tile_y").between(int(sy_lo), int(sy_hi))
-            & F.col("tile_x").between(int(sx_lo), int(sx_hi))
-        )
+    src = _read_raster_table(spark, meta["path"]).where(
+        f"band = {meta['band']} AND tile_y BETWEEN {int(sy_lo)} AND {int(sy_hi)} "
+        f"AND tile_x BETWEEN {int(sx_lo)} AND {int(sx_hi)}"
     )
-    # Window-space start of each stored tile.
-    a_y = F.col("tile_y").cast("long") * s - ayoff
-    a_x = F.col("tile_x").cast("long") * s - axoff
-    # Computation tiles whose halo-grown window intersects this stored tile.
-    first_ty = F.greatest(
-        F.lit(ty_lo), (F.floor((a_y - ty_size - p) / ty_size) + 1).cast("int")
-    )
-    last_ty = F.least(F.lit(ty_hi), F.floor((a_y + F.col("ysize") + p - 1) / ty_size).cast("int"))
-    first_tx = F.greatest(
-        F.lit(tx_lo), (F.floor((a_x - tx_size - p) / tx_size) + 1).cast("int")
-    )
-    last_tx = F.least(F.lit(tx_hi), F.floor((a_x + F.col("xsize") + p - 1) / tx_size).cast("int"))
 
-    exploded = (
-        src.withColumn("first_ty", first_ty)
-        .withColumn("last_ty", last_ty)
-        .withColumn("first_tx", first_tx)
-        .withColumn("last_tx", last_tx)
-        .where((F.col("first_ty") <= F.col("last_ty")) & (F.col("first_tx") <= F.col("last_tx")))
-        .select(
-            F.explode(F.sequence("first_ty", "last_ty")).alias("ty"),
-            F.col("first_tx"),
-            F.col("last_tx"),
-            F.col("tile_y").alias("sy"),
-            F.col("tile_x").alias("sx"),
-            F.col("ysize").alias("sh"),
-            F.col("xsize").alias("sw"),
-            F.col("payload").alias("p"),
+    # Aligned geometry: stored grid coincides with the computation grid
+    # (equal tile size, whole-tile origin offset) — each stored tile's body
+    # feeds exactly one computation tile, no explode, no duplication.  With
+    # no halo that is the whole story; with a stencil halo the caller pairs
+    # these body rows with broadcast halo strips (body_only=True).
+    aligned_geom = s == ty_size == tx_size and ayoff % s == 0 and axoff % s == 0
+    aligned = aligned_geom and p == 0
+    if aligned or (body_only and aligned_geom):
+        rows = src.selectExpr(
+            f"CAST((CAST(tile_y AS BIGINT) * {s} - {ayoff}) / {ty_size} AS INT) AS ty",
+            f"CAST((CAST(tile_x AS BIGINT) * {s} - {axoff}) / {tx_size} AS INT) AS tx",
+            f"struct(CAST({slot} AS INT) AS slot, CAST(tile_y AS BIGINT) * {s} AS py0, "
+            f"CAST(tile_x AS BIGINT) * {s} AS px0, ysize AS sh, xsize AS sw, "
+            f"payload AS p) AS piece",
+        ).where(f"ty BETWEEN {ty_lo} AND {ty_hi} AND tx BETWEEN {tx_lo} AND {tx_hi}")
+        return rows, True, cov, src
+
+    # General: window-space start of each stored tile decides which
+    # computation tiles (with halo) it intersects; explode those ranges and
+    # slice the payload to the row strip each target actually needs
+    # (row-major payload: a row range is one contiguous byte slice, cut
+    # JVM-side before the shuffle, so halo duplication ships strips,
+    # not whole tiles).
+    itemsize = np.dtype(meta["np_dtype"]).itemsize
+    a_y = f"(CAST(tile_y AS BIGINT) * {s} - {ayoff})"
+    a_x = f"(CAST(tile_x AS BIGINT) * {s} - {axoff})"
+    r0 = f"GREATEST(ty * {ty_size} - {p} - ({a_y}), 0)"
+    r1 = f"LEAST((ty + 1) * {ty_size} + {p} - ({a_y}), CAST(ysize AS BIGINT))"
+    rows = (
+        src.selectExpr(
+            "tile_y", "tile_x", "ysize", "xsize", "payload",
+            f"GREATEST({ty_lo}, CAST(FLOOR(({a_y} - {ty_size} - {p}) / {ty_size}) + 1 AS INT)) AS first_ty",
+            f"LEAST({ty_hi}, CAST(FLOOR(({a_y} + ysize + {p} - 1) / {ty_size}) AS INT)) AS last_ty",
+            f"GREATEST({tx_lo}, CAST(FLOOR(({a_x} - {tx_size} - {p}) / {tx_size}) + 1 AS INT)) AS first_tx",
+            f"LEAST({tx_hi}, CAST(FLOOR(({a_x} + xsize + {p} - 1) / {tx_size}) AS INT)) AS last_tx",
         )
-        .select(
+        .where("first_ty <= last_ty AND first_tx <= last_tx")
+        .selectExpr(
+            "explode(sequence(first_ty, last_ty)) AS ty",
+            "first_tx", "last_tx",
+            "tile_y", "tile_x", "ysize", "xsize",
+            # Slice rows before the tx explode so column-duplicated copies
+            # carry strips rather than whole payloads.
+            f"CAST(tile_y AS BIGINT) * {s} + {r0} AS py0",
+            f"CAST({r1} - ({r0}) AS INT) AS sh",
+            f"substring(payload, CAST({r0} * xsize * {itemsize} + 1 AS INT), "
+            f"CAST(({r1} - ({r0})) * xsize * {itemsize} AS INT)) AS pslice",
+        )
+        .selectExpr(
             "ty",
-            F.explode(F.sequence("first_tx", "last_tx")).alias("tx"),
-            "sy",
-            "sx",
-            "sh",
-            "sw",
-            "p",
+            "explode(sequence(first_tx, last_tx)) AS tx",
+            f"struct(CAST({slot} AS INT) AS slot, py0, "
+            f"CAST(tile_x AS BIGINT) * {s} AS px0, sh, xsize AS sw, pslice AS p) AS piece",
         )
     )
-    return exploded.groupBy("ty", "tx").agg(
-        F.collect_list(F.struct("sy", "sx", "sh", "sw", "p")).alias(f"pieces_{slot}")
-    )
+    return rows, False, cov, src
+
+
+
+
+def _halo_strips(spark: SparkSession, payload: dict, slot: int,
+                 tile_box: tuple[int, int, int, int], src: DataFrame) -> DataFrame:
+    """Halo exchange for an aligned leaf with a stencil padding: a Python
+    pass over the scan emits only the edge strips each neighbouring tile
+    needs (a few KB per tile), which are grouped and *broadcast* back onto
+    the unshuffled body scan — the payload itself never moves.
+    """
+    meta = payload["slot_meta"][slot]
+    s_sz = meta["S"]
+    p = meta["pad"]
+    ayoff, axoff = meta["ayoff"], meta["axoff"]
+    ty_size, tx_size = payload["ty_size"], payload["tx_size"]
+    ty_lo, ty_hi, tx_lo, tx_hi = tile_box
+    np_dtype = meta["np_dtype"]
+
+    def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_ty, out_tx, out_struct = [], [], []
+        for batch in batches:
+            sy_c = batch.column(batch.schema.get_field_index("tile_y")).to_numpy()
+            sx_c = batch.column(batch.schema.get_field_index("tile_x")).to_numpy()
+            sh_c = batch.column(batch.schema.get_field_index("ysize")).to_numpy()
+            sw_c = batch.column(batch.schema.get_field_index("xsize")).to_numpy()
+            pay = batch.column(batch.schema.get_field_index("payload"))
+            for i in range(batch.num_rows):
+                sy, sx = int(sy_c[i]), int(sx_c[i])
+                sh, sw = int(sh_c[i]), int(sw_c[i])
+                own_ty = (sy * s_sz - ayoff) // ty_size
+                own_tx = (sx * s_sz - axoff) // tx_size
+                data = None
+                py_base = sy * s_sz
+                px_base = sx * s_sz
+                wy0 = py_base - ayoff  # window coords of this tile's pixels
+                wx0 = px_base - axoff
+                for dty in (-1, 0, 1):
+                    for dtx in (-1, 0, 1):
+                        if dty == 0 and dtx == 0:
+                            continue
+                        t_ty, t_tx = own_ty + dty, own_tx + dtx
+                        if not (ty_lo <= t_ty <= ty_hi and tx_lo <= t_tx <= tx_hi):
+                            continue
+                        # Target's halo-grown window, in window coords.
+                        gy0, gy1 = t_ty * ty_size - p, t_ty * ty_size + ty_size + p
+                        gx0, gx1 = t_tx * tx_size - p, t_tx * tx_size + tx_size + p
+                        r0, r1 = max(gy0 - wy0, 0), min(gy1 - wy0, sh)
+                        c0, c1 = max(gx0 - wx0, 0), min(gx1 - wx0, sw)
+                        if r0 >= r1 or c0 >= c1:
+                            continue
+                        if data is None:
+                            data = np.frombuffer(
+                                memoryview(pay[i].as_buffer()), dtype=np_dtype
+                            ).reshape(sh, sw)
+                        strip = np.ascontiguousarray(data[r0:r1, c0:c1])
+                        out_ty.append(t_ty)
+                        out_tx.append(t_tx)
+                        out_struct.append(
+                            {
+                                "slot": slot,
+                                "py0": py_base + r0,
+                                "px0": px_base + c0,
+                                "sh": r1 - r0,
+                                "sw": c1 - c0,
+                                "p": strip.tobytes(),
+                            }
+                        )
+        if out_ty:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ty, pa.int32()),
+                    pa.array(out_tx, pa.int32()),
+                    pa.array(out_struct, type=_PIECE_PA_TYPE),
+                ],
+                names=["ty", "tx", "piece"],
+            )
+
+    strips = src.mapInArrow(extract, schema=f"ty int, tx int, piece {PIECE_STRUCT_SQL}")
+    return strips.groupBy("ty", "tx").agg(F.collect_list("piece").alias("halo"))
 
 
 def _base_grid(spark: SparkSession, payload: dict,
@@ -181,14 +319,31 @@ def _base_grid(spark: SparkSession, payload: dict,
     ty_lo, ty_hi, tx_lo, tx_hi = tile_box
     n_y, n_x = ty_hi - ty_lo + 1, tx_hi - tx_lo + 1
     n = n_y * n_x
-    parallelism = min(n, spark.sparkContext.defaultParallelism * 2)
-    return spark.range(0, n, numPartitions=max(parallelism, 1)).select(
-        (F.lit(ty_lo) + (F.col("id") / n_x).cast("int")).alias("ty"),
-        (F.lit(tx_lo) + (F.col("id") % n_x).cast("int")).alias("tx"),
+    parallelism = max(min(n, spark.sparkContext.defaultParallelism * 2), 1)
+    return spark.range(0, n, numPartitions=parallelism).selectExpr(
+        f"CAST({ty_lo} + id DIV {n_x} AS INT) AS ty",
+        f"CAST({tx_lo} + id % {n_x} AS INT) AS tx",
     )
 
 
 def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
+    """Assemble the tile DataFrame: one row per (tile, piece), unioned across
+    slots, co-located per tile by a repartition on tile coords and made
+    adjacent by a partition-local sort; the kernel groups consecutive rows.
+
+    Design notes (measured, not guessed):
+    * No joins: an outer join of the tile grid against big piece rows tempts
+      Catalyst into broadcasting the piece side (outer joins can only build
+      the non-preserved side), and pairwise leaf joins shuffle every leaf
+      per join.
+    * No collect_list: ObjectHashAggregate over multi-megabyte binaries is an
+      order of magnitude slower than shuffle+sort of the same rows.
+    * Tiles no leaf covers are appended driver-side from the coverage
+      complement (rectangular extents make it a closed-form predicate), with
+      a NULL piece.
+    * A single aligned dense leaf skips the shuffle entirely: its scan is
+      already one row per tile.
+    """
     spark = get_spark(spark)
     root = _as_root(tree)
     payload = _plan_payload(root)
@@ -204,9 +359,64 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
             min((sub_window.xmax - 1) // tx_size, payload["tiles_x"] - 1),
         )
 
-    df = _base_grid(spark, payload, tile_box)
-    for slot in range(len(payload["slot_meta"])):
-        df = df.join(_retile_join(spark, payload, slot, tile_box), ["ty", "tx"], "left")
+    n_slots = len(payload["slot_meta"])
+    if n_slots == 0:
+        df = _base_grid(spark, payload, tile_box).selectExpr(
+            "ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece"
+        )
+    else:
+        from functools import reduce
+
+        if n_slots == 1:
+            rows, aligned, cov, src = _slot_rows(spark, payload, 0, tile_box, body_only=True)
+            pad = payload["slot_meta"][0]["pad"]
+            if aligned:
+                # Body rows are already one per tile — zero shuffles.  A
+                # stencil halo rides in as broadcast strips (halo exchange).
+                df = rows
+                if pad > 0:
+                    halo = _halo_strips(spark, payload, 0, tile_box, src)
+                    df = df.join(F.broadcast(halo), ["ty", "tx"], "left")
+                else:
+                    df = df.selectExpr(
+                        "ty", "tx", "piece",
+                        f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
+                    )
+                missing = _base_grid(spark, payload, tile_box).where(
+                    f"NOT (ty BETWEEN {cov[0]} AND {cov[1]} AND tx BETWEEN {cov[2]} AND {cov[3]})"
+                )
+                df = df.unionByName(
+                    missing.selectExpr(
+                        "ty", "tx",
+                        f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece",
+                        f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
+                    )
+                )
+                bc = spark.sparkContext.broadcast(payload)
+                return spark, root, payload, bc, df
+
+        slot_rows = []
+        covs = []
+        for slot in range(n_slots):
+            rows, aligned, cov, _src = _slot_rows(spark, payload, slot, tile_box)
+            slot_rows.append(rows)
+            covs.append(cov)
+
+        df = reduce(lambda a, b: a.unionByName(b), slot_rows)
+        covered = " OR ".join(
+            f"(ty BETWEEN {c[0]} AND {c[1]} AND tx BETWEEN {c[2]} AND {c[3]})"
+            for c in covs
+        )
+        missing = _base_grid(spark, payload, tile_box).where(f"NOT ({covered})")
+        df = df.unionByName(
+            missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
+        )
+        # Repartition only — co-location is enough.  (A partition-local
+        # sort of multi-megabyte rows thrashes Tungsten's record sorter:
+        # measured 35 s vs 3 s for the bare shuffle; the kernel groups
+        # rows hash-side instead.)
+        df = df.repartition(F.col("ty"), F.col("tx"))
+
     bc = spark.sparkContext.broadcast(payload)
     return spark, root, payload, bc, df
 
@@ -214,61 +424,121 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
 def _assemble_slot(meta: dict, pieces, y0: int, x0: int, h: int, w: int):
     """Paste a tile's joined source pieces into a halo-padded window-space
     array, zero-filled, with NODATA substituted to NaN afterwards (matching
-    the reference's pad-then-substitute order, ``rasters.py:343-369``)."""
+    the reference's pad-then-substitute order, ``rasters.py:343-369``).
+
+    ``pieces``: iterable of (py0, px0, sh, sw, buffer-like) tuples, where
+    (py0, px0) is the piece's absolute leaf-pixel origin.
+    """
     p = meta["pad"]
-    s = meta["S"]
     dt = meta["np_dtype"]
     oy, ox = y0 - p, x0 - p
     out = np.zeros((h + 2 * p, w + 2 * p), dtype=dt)
-    if pieces is not None:
-        for piece in pieces:
-            ay = piece["sy"] * s - meta["ayoff"]
-            ax = piece["sx"] * s - meta["axoff"]
-            sh, sw = piece["sh"], piece["sw"]
-            iy0, iy1 = max(ay, oy), min(ay + sh, oy + out.shape[0])
-            ix0, ix1 = max(ax, ox), min(ax + sw, ox + out.shape[1])
-            if iy0 >= iy1 or ix0 >= ix1:
-                continue
-            data = np.frombuffer(piece["p"], dtype=dt).reshape(sh, sw)
-            out[iy0 - oy : iy1 - oy, ix0 - ox : ix1 - ox] = data[
-                iy0 - ay : iy1 - ay, ix0 - ax : ix1 - ax
-            ]
+    for py0, px0, sh, sw, buf in pieces:
+        ay = py0 - meta["ayoff"]
+        ax = px0 - meta["axoff"]
+        iy0, iy1 = max(ay, oy), min(ay + sh, oy + out.shape[0])
+        ix0, ix1 = max(ax, ox), min(ax + sw, ox + out.shape[1])
+        if iy0 >= iy1 or ix0 >= ix1:
+            continue
+        data = np.frombuffer(buf, dtype=dt).reshape(sh, sw)
+        out[iy0 - oy : iy1 - oy, ix0 - ox : ix1 - ox] = data[
+            iy0 - ay : iy1 - ay, ix0 - ax : ix1 - ax
+        ]
     if not meta["ignore_nodata"] and meta["nodata"] is not None:
         out = np.where(out == meta["nodata"], float("nan"), out)
     return out, (oy, ox)
 
 
-def _tile_results(bc, pdf_iter, mode: str):
-    """Generator core of every kernel: yields (ty, tx, h, w, result) per tile."""
+def _tile_results(bc, batch_iter: Iterator[pa.RecordBatch]):
+    """Generator core of every kernel: yields (ty, tx, h, w, result) per tile.
+
+    Rows arrive one piece per row, co-located per tile (the plan
+    repartitions on tile coords when a tile can have multiple pieces, with
+    no partition-local sort — big rows sort terribly); the kernel groups
+    rows into tiles with a per-partition dict.  Arrow-native: piece payloads
+    are sliced zero-copy from the Arrow buffers, which stay alive via the
+    retained batch references until the partition is evaluated.
+    """
     payload = bc.value
     ty_size, tx_size = payload["ty_size"], payload["tx_size"]
     window = payload["window"]
     slot_meta = payload["slot_meta"]
     n_slots = len(slot_meta)
     tree = payload["tree"]
-    for pdf in pdf_iter:
-        for row in pdf.itertuples(index=False):
-            ty, tx = int(row.ty), int(row.tx)
-            y0, x0 = ty * ty_size, tx * tx_size
-            h = min(ty_size, window.ysize - y0)
-            w = min(tx_size, window.xsize - x0)
-            ctx = K.EvalContext(
-                area=payload["area"],
-                projection=payload["projection"],
-                shared_hashes=payload["shared_hashes"],
+
+    def evaluate(ty: int, tx: int, pieces_by_slot):
+        y0, x0 = ty * ty_size, tx * tx_size
+        h = min(ty_size, window.ysize - y0)
+        w = min(tx_size, window.xsize - x0)
+        ctx = K.EvalContext(
+            area=payload["area"],
+            projection=payload["projection"],
+            shared_hashes=payload["shared_hashes"],
+        )
+        for slot in range(n_slots):
+            assembled, origin = _assemble_slot(
+                slot_meta[slot], pieces_by_slot[slot] if pieces_by_slot else [], y0, x0, h, w
             )
-            for slot in range(n_slots):
-                pieces = getattr(row, f"pieces_{slot}")
-                if isinstance(pieces, float) and pd.isna(pieces):
-                    pieces = None
-                assembled, origin = _assemble_slot(slot_meta[slot], pieces, y0, x0, h, w)
-                ctx.slots[slot] = assembled
-                ctx.slot_origins[slot] = origin
-            result = K.eval_tree(tree, ctx, x0, y0, w, h)
-            result = np.asarray(result)
-            if result.shape != (h, w):
-                result = np.broadcast_to(result, (h, w))
-            yield ty, tx, h, w, result
+            ctx.slots[slot] = assembled
+            ctx.slot_origins[slot] = origin
+        result = K.eval_tree(tree, ctx, x0, y0, w, h)
+        result = np.asarray(result)
+        if result.shape != (h, w):
+            result = np.broadcast_to(result, (h, w))
+        return ty, tx, h, w, result
+
+    groups: dict[tuple, list[list]] = {}
+    retained = []  # keeps Arrow buffers alive until evaluation
+    for batch in batch_iter:
+        retained.append(batch)
+        ty_col = batch.column(batch.schema.get_field_index("ty")).to_numpy()
+        tx_col = batch.column(batch.schema.get_field_index("tx")).to_numpy()
+        has_halo = batch.schema.get_field_index("halo") != -1
+        if n_slots:
+            col = batch.column(batch.schema.get_field_index("piece"))
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            slot_a = col.field("slot").to_numpy(zero_copy_only=False)
+            py0_a = col.field("py0").to_numpy(zero_copy_only=False)
+            px0_a = col.field("px0").to_numpy(zero_copy_only=False)
+            sh_a = col.field("sh").to_numpy(zero_copy_only=False)
+            sw_a = col.field("sw").to_numpy(zero_copy_only=False)
+            p_arr = col.field("p")
+            if has_halo:
+                hcol = batch.column(batch.schema.get_field_index("halo"))
+                h_nulls = hcol.is_null().to_numpy(zero_copy_only=False)
+                h_offsets = hcol.offsets.to_numpy(zero_copy_only=False)
+                h_values = hcol.flatten()
+                h_slot = h_values.field("slot").to_numpy(zero_copy_only=False)
+                h_py0 = h_values.field("py0").to_numpy(zero_copy_only=False)
+                h_px0 = h_values.field("px0").to_numpy(zero_copy_only=False)
+                h_sh = h_values.field("sh").to_numpy(zero_copy_only=False)
+                h_sw = h_values.field("sw").to_numpy(zero_copy_only=False)
+                h_p = h_values.field("p")
+        for i in range(batch.num_rows):
+            key = (int(ty_col[i]), int(tx_col[i]))
+            slots_acc = groups.get(key)
+            if slots_acc is None:
+                slots_acc = [[] for _ in range(n_slots)]
+                groups[key] = slots_acc
+            if n_slots and not nulls[i]:
+                slots_acc[int(slot_a[i])].append(
+                    (
+                        int(py0_a[i]), int(px0_a[i]),
+                        int(sh_a[i]), int(sw_a[i]),
+                        memoryview(p_arr[i].as_buffer()),
+                    )
+                )
+            if n_slots and has_halo and not h_nulls[i]:
+                for j in range(int(h_offsets[i]), int(h_offsets[i + 1])):
+                    slots_acc[int(h_slot[j])].append(
+                        (
+                            int(h_py0[j]), int(h_px0[j]),
+                            int(h_sh[j]), int(h_sw[j]),
+                            memoryview(h_p[j].as_buffer()),
+                        )
+                    )
+    for (ty, tx), slots_acc in groups.items():
+        yield evaluate(ty, tx, slots_acc)
 
 
 def tiles_dataframe(tree, spark: SparkSession | None = None,
@@ -277,20 +547,27 @@ def tiles_dataframe(tree, spark: SparkSession | None = None,
     spark, root, payload, bc, df = _build(tree, spark, sub_window)
     out_dtype = payload["out_dtype"]
 
-    def compute(pdf_iter):
-        for ty, tx, h, w, result in _tile_results(bc, pdf_iter, "tiles"):
-            yield pd.DataFrame(
-                {
-                    "band": [1],
-                    "tile_y": [ty],
-                    "tile_x": [tx],
-                    "ysize": [h],
-                    "xsize": [w],
-                    "payload": [np.ascontiguousarray(result.astype(out_dtype)).tobytes()],
-                }
+    def compute(batches):
+        for batch in batches:
+            rows = list(_tile_results(bc, [batch]))
+            if not rows:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([1] * len(rows), pa.int32()),
+                    pa.array([r[0] for r in rows], pa.int32()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.int32()),
+                    pa.array([r[3] for r in rows], pa.int32()),
+                    pa.array(
+                        [np.ascontiguousarray(r[4].astype(out_dtype)).tobytes() for r in rows],
+                        pa.binary(),
+                    ),
+                ],
+                schema=_PA_TILE,
             )
 
-    return df.mapInPandas(compute, schema=TILE_SCHEMA)
+    return df.mapInArrow(compute, schema=TILE_SCHEMA)
 
 
 def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
@@ -300,23 +577,31 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
     assert stat in ("sum", "min", "max")
     spark, root, payload, bc, df = _build(tree, spark)
 
-    def compute(pdf_iter):
-        for ty, tx, _h, _w, result in _tile_results(bc, pdf_iter, stat):
-            if stat == "sum":
-                partial = float(np.sum(result.astype(np.float64)))
-            elif stat == "min":
-                partial = float(np.min(result))
-            else:
-                partial = float(np.max(result))
-            yield pd.DataFrame({"ty": [ty], "tx": [tx], "partial": [partial]})
+    def compute(batches):
+        for batch in batches:
+            tys, txs, parts = [], [], []
+            for ty, tx, _h, _w, result in _tile_results(bc, [batch]):
+                if stat == "sum":
+                    partial = float(np.sum(result.astype(np.float64)))
+                elif stat == "min":
+                    partial = float(np.min(result))
+                else:
+                    partial = float(np.max(result))
+                tys.append(ty)
+                txs.append(tx)
+                parts.append(partial)
+            if tys:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
+                     pa.array(parts, pa.float64())],
+                    schema=_PA_PARTIAL,
+                )
 
-    partials = df.mapInPandas(compute, schema=PARTIAL_SCHEMA)
+    partials = df.mapInArrow(compute, schema=PARTIAL_SCHEMA)
     if stat == "min":
-        row = partials.agg(F.min("partial").alias("v")).collect()[0]
-        return float(row["v"])
+        return float(partials.agg(F.min("partial").alias("v")).collect()[0]["v"])
     if stat == "max":
-        row = partials.agg(F.max("partial").alias("v")).collect()[0]
-        return float(row["v"])
+        return float(partials.agg(F.max("partial").alias("v")).collect()[0]["v"])
     # Deterministic float addition order: tile-major, like the strip loop.
     rows = partials.collect()
     total = 0.0
@@ -327,24 +612,31 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
 
 def unique(tree, return_counts: bool = False, spark: SparkSession | None = None):
     """Distinct pixel values (optionally with counts): per-tile ``np.unique``
-    partials, final combine by key in Spark (NaNs grouped together)."""
+    partials, final combine by key in Spark (NaNs grouped via explicit flag)."""
     spark, root, payload, bc, df = _build(tree, spark)
 
-    def compute(pdf_iter):
-        for _ty, _tx, _h, _w, result in _tile_results(bc, pdf_iter, "unique"):
-            values, counts = np.unique(np.asarray(result), return_counts=True)
-            values = values.astype(np.float64)
-            nan_mask = np.isnan(values)
-            yield pd.DataFrame(
-                {
-                    "value": np.where(nan_mask, 0.0, values),
-                    "is_nan": nan_mask,
-                    "count": counts.astype(np.int64),
-                }
-            )
+    def compute(batches):
+        for batch in batches:
+            vals_out, nan_out, cnt_out = [], [], []
+            for _ty, _tx, _h, _w, result in _tile_results(bc, [batch]):
+                values, counts = np.unique(np.asarray(result), return_counts=True)
+                values = values.astype(np.float64)
+                nan_mask = np.isnan(values)
+                vals_out.append(np.where(nan_mask, 0.0, values))
+                nan_out.append(nan_mask)
+                cnt_out.append(counts.astype(np.int64))
+            if vals_out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(vals_out), pa.float64()),
+                        pa.array(np.concatenate(nan_out), pa.bool_()),
+                        pa.array(np.concatenate(cnt_out), pa.int64()),
+                    ],
+                    schema=_PA_UNIQUE,
+                )
 
     combined = (
-        df.mapInPandas(compute, schema=UNIQUE_SCHEMA)
+        df.mapInArrow(compute, schema=UNIQUE_SCHEMA)
         .groupBy("value", "is_nan")
         .agg(F.sum("count").alias("count"))
         .collect()
@@ -385,6 +677,46 @@ def read_array(tree, x: int, y: int, width: int, height: int,
             continue
         out[iy0 - y : iy1 - y, ix0 - x : ix1 - x] = tile[iy0 - ty0 : iy1 - ty0, ix0 - tx0 : ix1 - tx0]
     return out
+
+
+def save_multiband(trees: list, path: str, spark: SparkSession | None = None) -> None:
+    """Write several expressions as bands 1..N of one raster table (the
+    analog of multiband GeoTIFF output, reference ``_core.py:314-414``).
+    All bands must share projection, extent and dtype; each band's tile plan
+    is an independent Spark job unioned into one atomic write."""
+    import os  # pylint: disable=C0415
+
+    from functools import reduce  # pylint: disable=C0415
+
+    from ..sources import parquet as pq_raster  # pylint: disable=C0415
+
+    spark = get_spark(spark)
+    roots = [_as_root(t) for t in trees]
+    windows = {r.window for r in roots}
+    if len(windows) != 1:
+        raise ValueError("All bands must share the same extent/window")
+    if len({r.datatype for r in roots}) != 1:
+        raise ValueError("All bands must share one datatype (use as_type to align)")
+    banded = [
+        tiles_dataframe(r, spark).withColumn("band", F.lit(i + 1))
+        for i, r in enumerate(roots)
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), banded)
+    (
+        union.repartition(F.col("band"), F.col("tile_y"))
+        .sortWithinPartitions("band", "tile_y", "tile_x")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    os.makedirs(path, exist_ok=True)
+    pq_raster.write_meta(
+        path,
+        roots[0].operation_area(roots[0].projection),
+        roots[0].datatype,
+        None,
+        constants.TILE_YSIZE,
+        bands=len(roots),
+    )
 
 
 def save(tree, path: str, and_sum: bool = False, spark: SparkSession | None = None):

@@ -207,6 +207,8 @@ def write_array_as_raster_table(
             "payload": pa.array(rows["payload"], pa.binary()),
         }
     )
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    # Small row groups: tile rows are megabytes, and row-group boundaries are
+    # what lets Spark split one file across tasks and skip pruned tile ranges.
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"), row_group_size=16)
     write_meta(path, area, DataType.of_array(data), nodata, s)
     return ParquetRasterLayer(path)

@@ -109,6 +109,35 @@ def rasterize_rings(
     out[inside] = burn
 
 
+def load_geojson(path: str) -> list[dict]:
+    """Read a GeoJSON FeatureCollection into the feature-dict form VectorLayer
+    consumes (properties flattened, geometry re-encoded as WKT)."""
+    import json
+
+    with open(path, encoding="utf-8") as fp:
+        doc = json.load(fp)
+    feats = []
+    for feature in doc.get("features", []):
+        geom = feature.get("geometry") or {}
+        gtype = geom.get("type")
+        if gtype == "Polygon":
+            polys = [geom["coordinates"]]
+        elif gtype == "MultiPolygon":
+            polys = geom["coordinates"]
+        else:
+            continue  # empty/point geometries are tolerated, like OGR
+        rings_txt = []
+        for poly in polys:
+            for ring in poly:
+                rings_txt.append(
+                    "(" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+                )
+        row = dict(feature.get("properties") or {})
+        row["geom_wkt"] = "POLYGON (" + ", ".join(rings_txt) + ")"
+        feats.append(row)
+    return feats
+
+
 class VectorLayer(Layer):
     """A polygon table rasterized lazily against a reference pixel grid.
 
@@ -190,6 +219,15 @@ class VectorLayer(Layer):
             self._datatype = datatype
         self._burn_key = burn_value
         self._all_touched = all_touched
+
+    @classmethod
+    def layer_from_file(cls, path: str, projection: MapProjection, burn_value=1,
+                        where_filter=None, datatype: DataType | None = None,
+                        name: str | None = None) -> "VectorLayer":
+        """Open a GeoJSON file as a vector layer (the OGR-file analog)."""
+        return cls(load_geojson(path), projection, burn_value=burn_value,
+                   where_filter=where_filter, datatype=datatype,
+                   name=name if name is not None else path)
 
     @property
     def datatype(self) -> DataType:
