@@ -34,6 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("YG_BENCH_PAGES", "400000"))
 RASTER_REPEAT = int(os.environ.get("YG_BENCH_RASTER_REPEAT", "48"))
+MINHASH_DOCS = int(os.environ.get("YG_BENCH_MINHASH_DOCS", "50000"))
 WARMUP = int(os.environ.get("YG_BENCH_WARMUP", "1"))
 
 
@@ -66,9 +67,13 @@ def main() -> int:
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    rasters = harness.bench_rasters(SF_DIR, repeat=RASTER_REPEAT)
-    pages_df = pages.enriched_pages(spark, N_PAGES, res=6).persist()
-    n_pages = pages_df.count()  # materialised once; enrichment is timed separately
+    rasters = harness.bench_rasters_multiband(SF_DIR, repeat=RASTER_REPEAT)
+    # NOTE: deliberately NOT .persist()'d — DataFrame-cache reads of wide
+    # binary-bearing rows in local mode showed erratic 10-20x slowdowns
+    # (measured 1.4s/14s/27s for identical reads); regeneration is
+    # deterministic, parallel, and stable.
+    pages_df = pages.enriched_pages(spark, N_PAGES, res=6)
+    n_pages = pages_df.count()
 
     def timed(fn):
         t0 = time.time()
@@ -96,8 +101,9 @@ def main() -> int:
     # -- spatial pipeline -----------------------------------------------------
     def q_enrich():
         # Fresh generation + enrichment + consume: the streaming/batch ingest
-        # path end-to-end (no cache).
-        return pages.enriched_pages(spark, N_PAGES, res=6).where(
+        # path end-to-end.  Different seed/res than the cached pages_df so
+        # Spark's plan-identity cache cannot satisfy it.
+        return pages.enriched_pages(spark, N_PAGES, res=7, seed=7).where(
             "extracted = text"
         ).count()
 
@@ -130,8 +136,13 @@ def main() -> int:
             .collect()[0][0]
         )
 
+    minhash_corpus = pages.enriched_pages(spark, MINHASH_DOCS, res=6, seed=11).selectExpr(
+        "url AS doc_id", "text"
+    )
+
     def q_minhash():
-        corpus = pages_df.limit(50000).selectExpr("url AS doc_id", "text")
+        # NB: never limit() a corpus — GlobalLimit collapses to one partition.
+        corpus = minhash_corpus
         sigs = dedup.minhash_signatures(corpus, "text", "doc_id", num_perm=64, shingle_n=3)
         return dedup.minhash_lsh_candidates(sigs, "doc_id", bands=16).count()
 
@@ -177,7 +188,7 @@ def main() -> int:
     qty = rasters["qty"]
     tiles_per_channel = -(-qty.window.ysize // 512) * -(-qty.window.xsize // 512)
     n_tiles = tiles_per_channel * 4
-    rows = n_pages * 2 + 50000
+    rows = n_pages * 2 + MINHASH_DOCS
     throughput = (n_tiles + rows) / total if total else 0.0
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

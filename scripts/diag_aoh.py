@@ -1,0 +1,42 @@
+"""Diagnose aoh_mask_sum scaling: run in isolation at a given core count."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master(f"local[{CPUS}]")
+    .appName("diag-aoh")
+    .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", "8388608")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "48g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from yirgacheffe_spark import harness
+
+rasters = harness.bench_rasters_multiband(SF_DIR, repeat=192)
+
+def q_aoh():
+    expr = (
+        rasters["hab"].isin([1.0, 5.0, 7.0, 11.0])
+        * ((rasters["elev"] >= 100) & (rasters["elev"] <= 800))
+        * rasters["qty"]
+    )
+    return expr.sum(spark=spark)
+
+for i in range(3):
+    t0 = time.time()
+    v = q_aoh()
+    print(f"cpus={CPUS} run{i}: {time.time()-t0:.2f}s  value={v}")

@@ -19,8 +19,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# The scaling measurement needs compute-dominated queries: small runs are
+# stage-latency-bound and show no speedup no matter the engine.  Size the
+# workload up so local[8] spends minutes computing.
+SCALE_ENV = {
+    "YG_BENCH_PAGES": os.environ.get("YG_BENCH_PAGES", "1600000"),
+    "YG_BENCH_RASTER_REPEAT": os.environ.get("YG_BENCH_RASTER_REPEAT", "192"),
+    "YG_BENCH_MINHASH_DOCS": os.environ.get("YG_BENCH_MINHASH_DOCS", "100000"),
+}
+
+
 def run_once(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR, **SCALE_ENV)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, check=True, timeout=3600,

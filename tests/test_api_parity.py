@@ -62,3 +62,48 @@ def test_geojson_vector_layer(tmp_path):
 def test_reference_aliases():
     assert yg.RasterLayer is yg.ParquetRasterLayer
     assert yg.H3CellLayer is yg.CellLayer
+
+
+def test_sparse_save_roundtrip(spark, tmp_path):
+    import yirgacheffe_spark.constants as C
+
+    data = np.zeros((12, 12))
+    data[0, 0] = 7.0  # only the first 4x4 tile is non-zero
+    a = yg.from_array(data, (0.0, 0.0), PROJ)
+    path = str(tmp_path / "sparse")
+    a.save(path, sparse=True, spark=spark)
+    import pyarrow.parquet as pq
+
+    stored = pq.read_table(path)
+    assert stored.num_rows == 1  # 8 zero tiles dropped
+    back = yg.read_raster(path)
+    np.testing.assert_array_equal(back.read_array(0, 0, 12, 12), data)
+    # Expressions where f(0) != 0 must still cover the holes (the missing
+    # tiles are resurrected by the key anti-join complement).
+    got = (back + 5).to_numpy(spark=spark)
+    np.testing.assert_array_equal(got, data + 5)
+    assert (back + 5).sum(spark=spark) == data.sum() + 5 * 144
+
+
+def test_interleaved_multiband_single_scan(spark, tmp_path):
+    from yirgacheffe_spark.sources.parquet import write_multiband_interleaved
+    from yirgacheffe_spark.plans.kernel import evaluate_window
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 50, (13, 9)).astype(np.float64)
+    b = rng.integers(0, 50, (13, 9)).astype(np.float64)
+    c = rng.integers(0, 50, (13, 9)).astype(np.float64)
+    area = yg.Area(0.0, 0.0, 9 * 0.02, -13 * 0.02, PROJ)
+    layers = write_multiband_interleaved(
+        str(tmp_path / "mb"), {1: a, 2: b, 3: c}, area, tile_size=4
+    )
+    expr = layers[1].isin(list(range(0, 25))) * (layers[2] >= 10) * layers[3]
+    got = expr.to_numpy(spark=spark)
+    np.testing.assert_array_equal(got, evaluate_window(expr))
+    want = np.isin(a, list(range(0, 25))) * (b >= 10) * c
+    np.testing.assert_array_equal(got, want)
+    assert expr.sum(spark=spark) == float(want.sum())
+    # Plan shape: the single-scan multiband path must not shuffle payloads.
+    plan = expr.to_dataframe(spark=spark)._jdf.queryExecution().executedPlan().toString()
+    payload_side = plan.split("Union")[0]  # the piece-rows branch
+    assert "Exchange hashpartitioning" not in payload_side

@@ -421,8 +421,8 @@ class LayerMathMixin:
     def to_numpy(self, spark=None) -> np.ndarray:
         return LayerOperation(self).to_numpy(spark=spark)
 
-    def save(self, path, and_sum: bool = False, spark=None):
-        return LayerOperation(self).save(path, and_sum=and_sum, spark=spark)
+    def save(self, path, and_sum: bool = False, sparse: bool = False, spark=None):
+        return LayerOperation(self).save(path, and_sum=and_sum, sparse=sparse, spark=spark)
 
     def parallel_save(self, path, and_sum: bool = False, spark=None, parallelism=None):
         # Spark executors ARE the parallelism; kept for API parity.
@@ -653,10 +653,10 @@ class LayerOperation(LayerMathMixin):
         w = self.window
         return self.read_array(0, 0, w.xsize, w.ysize, spark=spark)
 
-    def save(self, path, and_sum: bool = False, spark=None):
+    def save(self, path, and_sum: bool = False, sparse: bool = False, spark=None):
         from ..plans import executor  # pylint: disable=C0415
 
-        return executor.save(self, path, and_sum=and_sum, spark=spark)
+        return executor.save(self, path, and_sum=and_sum, sparse=sparse, spark=spark)
 
     def parallel_save(self, path, and_sum: bool = False, spark=None, parallelism=None):
         return self.save(path, and_sum=and_sum, spark=spark)

@@ -48,7 +48,7 @@ from ..operators import LayerOperation
 from . import kernel as K
 from .session import get_spark
 
-TILE_SCHEMA = "band int, tile_y int, tile_x int, ysize int, xsize int, payload binary"
+TILE_SCHEMA = "band int, tile_y int, tile_x int, ysize int, xsize int, nonzero boolean, payload binary"
 PARTIAL_SCHEMA = "ty int, tx int, partial double"
 # NaN keys travel as an explicit flag: NaN would become SQL null in the
 # groupBy otherwise, silently merging with genuine nulls.
@@ -56,7 +56,8 @@ UNIQUE_SCHEMA = "value double, is_nan boolean, count long"
 
 _PA_TILE = pa.schema(
     [("band", pa.int32()), ("tile_y", pa.int32()), ("tile_x", pa.int32()),
-     ("ysize", pa.int32()), ("xsize", pa.int32()), ("payload", pa.binary())]
+     ("ysize", pa.int32()), ("xsize", pa.int32()), ("nonzero", pa.bool_()),
+     ("payload", pa.binary())]
 )
 _PA_PARTIAL = pa.schema([("ty", pa.int32()), ("tx", pa.int32()), ("partial", pa.float64())])
 _PA_UNIQUE = pa.schema(
@@ -108,6 +109,7 @@ def _plan_payload(root: LayerOperation):
                 "stored_tiles": leaf.stored_tiles,
                 "leaf_h": leaf.window.ysize,
                 "leaf_w": leaf.window.xsize,
+                "interleaved": getattr(leaf, "interleaved", False),
             }
         )
 
@@ -314,6 +316,71 @@ def _halo_strips(spark: SparkSession, payload: dict, slot: int,
     return strips.groupBy("ty", "tx").agg(F.collect_list("piece").alias("halo"))
 
 
+
+
+def _interleaved_single_scan(spark: SparkSession, payload: dict,
+                             tile_box: tuple[int, int, int, int]) -> DataFrame | None:
+    """Zero-shuffle plan for multi-channel expressions over ONE interleaved
+    multiband raster table: the table is written sorted (tile_y, tile_x,
+    band) with row groups holding whole tiles, so every band of a tile is
+    guaranteed to land in the same scan task — the kernel's per-partition
+    grouping assembles them with no exchange at all.
+    """
+    metas = payload["slot_meta"]
+    ty_size, tx_size = payload["ty_size"], payload["tx_size"]
+    if len(metas) < 2:
+        return None
+    first = metas[0]
+    for m in metas:
+        aligned = (
+            m["pad"] == 0
+            and m["S"] == ty_size == tx_size
+            and m["ayoff"] % m["S"] == 0
+            and m["axoff"] % m["S"] == 0
+        )
+        if not (m["interleaved"] and aligned and m["path"] == first["path"]
+                and m["ayoff"] == first["ayoff"] and m["axoff"] == first["axoff"]):
+            return None
+    bands = [m["band"] for m in metas]
+    if len(set(bands)) != len(bands):
+        return None
+
+    s = first["S"]
+    ayoff, axoff = first["ayoff"], first["axoff"]
+    ty_lo, ty_hi, tx_lo, tx_hi = tile_box
+    stored_y, stored_x = first["stored_tiles"]
+    sy_lo = max((ty_lo * ty_size + ayoff) // s, 0)
+    sy_hi = min(((ty_hi + 1) * ty_size - 1 + ayoff) // s, stored_y - 1)
+    sx_lo = max((tx_lo * tx_size + axoff) // s, 0)
+    sx_hi = min(((tx_hi + 1) * tx_size - 1 + axoff) // s, stored_x - 1)
+
+    slot_case = "CASE band " + " ".join(
+        f"WHEN {band} THEN {slot}" for slot, band in enumerate(bands)
+    ) + " END"
+    band_list = ", ".join(str(b) for b in bands)
+    rows = (
+        _read_raster_table(spark, first["path"])
+        .where(
+            f"band IN ({band_list}) AND tile_y BETWEEN {int(sy_lo)} AND {int(sy_hi)} "
+            f"AND tile_x BETWEEN {int(sx_lo)} AND {int(sx_hi)}"
+        )
+        .selectExpr(
+            f"CAST((CAST(tile_y AS BIGINT) * {s} - {ayoff}) / {ty_size} AS INT) AS ty",
+            f"CAST((CAST(tile_x AS BIGINT) * {s} - {axoff}) / {tx_size} AS INT) AS tx",
+            f"struct(CAST({slot_case} AS INT) AS slot, "
+            f"CAST(tile_y AS BIGINT) * {s} AS py0, "
+            f"CAST(tile_x AS BIGINT) * {s} AS px0, ysize AS sh, xsize AS sw, "
+            f"payload AS p) AS piece",
+        )
+        .where(f"ty BETWEEN {ty_lo} AND {ty_hi} AND tx BETWEEN {tx_lo} AND {tx_hi}")
+    )
+    present = rows.select("ty", "tx").distinct()
+    missing = _base_grid(spark, payload, tile_box).join(present, ["ty", "tx"], "left_anti")
+    return rows.unionByName(
+        missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
+    )
+
+
 def _base_grid(spark: SparkSession, payload: dict,
                tile_box: tuple[int, int, int, int]) -> DataFrame:
     ty_lo, ty_hi, tx_lo, tx_hi = tile_box
@@ -367,6 +434,11 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
     else:
         from functools import reduce
 
+        single_scan = _interleaved_single_scan(spark, payload, tile_box)
+        if single_scan is not None:
+            bc = spark.sparkContext.broadcast(payload)
+            return spark, root, payload, bc, single_scan
+
         if n_slots == 1:
             rows, aligned, cov, src = _slot_rows(spark, payload, 0, tile_box, body_only=True)
             pad = payload["slot_meta"][0]["pad"]
@@ -382,8 +454,12 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                         "ty", "tx", "piece",
                         f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
                     )
-                missing = _base_grid(spark, payload, tile_box).where(
-                    f"NOT (ty BETWEEN {cov[0]} AND {cov[1]} AND tx BETWEEN {cov[2]} AND {cov[3]})"
+                # Tiles with no stored row (outside the leaf, or sparse
+                # holes) still exist: anti-join the key-only scan (payload
+                # column pruned) against the grid — cheap at any scale.
+                present = rows.select("ty", "tx")
+                missing = _base_grid(spark, payload, tile_box).join(
+                    present, ["ty", "tx"], "left_anti"
                 )
                 df = df.unionByName(
                     missing.selectExpr(
@@ -403,11 +479,12 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
             covs.append(cov)
 
         df = reduce(lambda a, b: a.unionByName(b), slot_rows)
-        covered = " OR ".join(
-            f"(ty BETWEEN {c[0]} AND {c[1]} AND tx BETWEEN {c[2]} AND {c[3]})"
-            for c in covs
+        # Tiles no leaf stores a row for (outside extents, or sparse holes)
+        # still exist: anti-join key-only scans (payload pruned) vs the grid.
+        present = df.select("ty", "tx").distinct()
+        missing = _base_grid(spark, payload, tile_box).join(
+            present, ["ty", "tx"], "left_anti"
         )
-        missing = _base_grid(spark, payload, tile_box).where(f"NOT ({covered})")
         df = df.unionByName(
             missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
         )
@@ -548,17 +625,17 @@ def tiles_dataframe(tree, spark: SparkSession | None = None,
     out_dtype = payload["out_dtype"]
 
     def compute(batches):
-        for batch in batches:
-            rows = list(_tile_results(bc, [batch]))
-            if not rows:
-                continue
-            yield pa.RecordBatch.from_arrays(
+        # Whole-partition pass (tiles may straddle Arrow batch boundaries —
+        # see aggregate.compute); results stream out in bounded chunks.
+        def emit(rows):
+            return pa.RecordBatch.from_arrays(
                 [
                     pa.array([1] * len(rows), pa.int32()),
                     pa.array([r[0] for r in rows], pa.int32()),
                     pa.array([r[1] for r in rows], pa.int32()),
                     pa.array([r[2] for r in rows], pa.int32()),
                     pa.array([r[3] for r in rows], pa.int32()),
+                    pa.array([bool(np.any(r[4])) for r in rows], pa.bool_()),
                     pa.array(
                         [np.ascontiguousarray(r[4].astype(out_dtype)).tobytes() for r in rows],
                         pa.binary(),
@@ -566,6 +643,15 @@ def tiles_dataframe(tree, spark: SparkSession | None = None,
                 ],
                 schema=_PA_TILE,
             )
+
+        rows = []
+        for row in _tile_results(bc, batches):
+            rows.append(row)
+            if len(rows) >= 32:
+                yield emit(rows)
+                rows = []
+        if rows:
+            yield emit(rows)
 
     return df.mapInArrow(compute, schema=TILE_SCHEMA)
 
@@ -578,24 +664,28 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
     spark, root, payload, bc, df = _build(tree, spark)
 
     def compute(batches):
-        for batch in batches:
-            tys, txs, parts = [], [], []
-            for ty, tx, _h, _w, result in _tile_results(bc, [batch]):
-                if stat == "sum":
-                    partial = float(np.sum(result.astype(np.float64)))
-                elif stat == "min":
-                    partial = float(np.min(result))
-                else:
-                    partial = float(np.max(result))
-                tys.append(ty)
-                txs.append(tx)
-                parts.append(partial)
-            if tys:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
-                     pa.array(parts, pa.float64())],
-                    schema=_PA_PARTIAL,
-                )
+        # One _tile_results pass over the WHOLE partition: a tile's pieces
+        # may straddle Arrow batch boundaries, so per-batch grouping would
+        # evaluate partial tiles (silently wrong).  Partition memory is
+        # bounded by maxPartitionBytes / shuffle sizing, the same contract
+        # applyInPandas assumes.
+        tys, txs, parts = [], [], []
+        for ty, tx, _h, _w, result in _tile_results(bc, batches):
+            if stat == "sum":
+                partial = float(np.sum(result.astype(np.float64)))
+            elif stat == "min":
+                partial = float(np.min(result))
+            else:
+                partial = float(np.max(result))
+            tys.append(ty)
+            txs.append(tx)
+            parts.append(partial)
+        if tys:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
+                 pa.array(parts, pa.float64())],
+                schema=_PA_PARTIAL,
+            )
 
     partials = df.mapInArrow(compute, schema=PARTIAL_SCHEMA)
     if stat == "min":
@@ -616,24 +706,25 @@ def unique(tree, return_counts: bool = False, spark: SparkSession | None = None)
     spark, root, payload, bc, df = _build(tree, spark)
 
     def compute(batches):
-        for batch in batches:
-            vals_out, nan_out, cnt_out = [], [], []
-            for _ty, _tx, _h, _w, result in _tile_results(bc, [batch]):
-                values, counts = np.unique(np.asarray(result), return_counts=True)
-                values = values.astype(np.float64)
-                nan_mask = np.isnan(values)
-                vals_out.append(np.where(nan_mask, 0.0, values))
-                nan_out.append(nan_mask)
-                cnt_out.append(counts.astype(np.int64))
-            if vals_out:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(vals_out), pa.float64()),
-                        pa.array(np.concatenate(nan_out), pa.bool_()),
-                        pa.array(np.concatenate(cnt_out), pa.int64()),
-                    ],
-                    schema=_PA_UNIQUE,
-                )
+        # Whole-partition pass: tiles may straddle Arrow batch boundaries
+        # (see aggregate.compute).  Partials here are tiny (distinct values).
+        vals_out, nan_out, cnt_out = [], [], []
+        for _ty, _tx, _h, _w, result in _tile_results(bc, batches):
+            values, counts = np.unique(np.asarray(result), return_counts=True)
+            values = values.astype(np.float64)
+            nan_mask = np.isnan(values)
+            vals_out.append(np.where(nan_mask, 0.0, values))
+            nan_out.append(nan_mask)
+            cnt_out.append(counts.astype(np.int64))
+        if vals_out:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(vals_out), pa.float64()),
+                    pa.array(np.concatenate(nan_out), pa.bool_()),
+                    pa.array(np.concatenate(cnt_out), pa.int64()),
+                ],
+                schema=_PA_UNIQUE,
+            )
 
     combined = (
         df.mapInArrow(compute, schema=UNIQUE_SCHEMA)
@@ -706,6 +797,7 @@ def save_multiband(trees: list, path: str, spark: SparkSession | None = None) ->
         union.repartition(F.col("band"), F.col("tile_y"))
         .sortWithinPartitions("band", "tile_y", "tile_x")
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(path)
     )
     os.makedirs(path, exist_ok=True)
@@ -719,9 +811,13 @@ def save_multiband(trees: list, path: str, spark: SparkSession | None = None) ->
     )
 
 
-def save(tree, path: str, and_sum: bool = False, spark: SparkSession | None = None):
+def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
+         spark: SparkSession | None = None):
     """Write the computation as a parquet raster table (atomic via Spark's
-    job-commit protocol), optionally also returning the pixel sum."""
+    job-commit protocol), optionally also returning the pixel sum.
+
+    ``sparse=True`` drops all-zero tiles (the GeoTIFF SPARSE_OK analog);
+    readers treat missing tiles as zeros."""
     import os  # pylint: disable=C0415
 
     from ..sources import parquet as pq_raster  # pylint: disable=C0415
@@ -731,12 +827,15 @@ def save(tree, path: str, and_sum: bool = False, spark: SparkSession | None = No
     if constants.TILE_YSIZE != constants.TILE_XSIZE:
         raise ValueError("save requires square computation tiles")
     result = tiles_dataframe(root, spark)
-    if and_sum:
-        result = result.persist()
+    if sparse:
+        result = result.where("nonzero")
+    # No repartition/sort before write: tiles_dataframe emits rows already
+    # clustered by (tile_y, tile_x) (scan splits follow the sorted source),
+    # so parquet row-group min/max stats give readers tile pruning without
+    # paying a full payload shuffle (measured 10x the whole job's cost).
     (
-        result.repartition(F.col("tile_y"))
-        .sortWithinPartitions("tile_y", "tile_x")
-        .write.mode("overwrite")
+        result.write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(path)
     )
     os.makedirs(path, exist_ok=True)
@@ -749,10 +848,33 @@ def save(tree, path: str, and_sum: bool = False, spark: SparkSession | None = No
     )
     total = None
     if and_sum:
-        rows = result.select("tile_y", "tile_x", "payload").collect()
+        # Distributed partial sums over the freshly written table (re-reading
+        # the compressed output beats persist(): caching wide binary rows in
+        # local mode measured erratically 10-20x slower).  Partials are summed
+        # in (ty, tx) order so the result is deterministic bit-for-bit.
         dt = root.datatype.to_numpy()
+
+        def _partials(batches):
+            for batch in batches:
+                tys = batch.column("tile_y").to_numpy()
+                txs = batch.column("tile_x").to_numpy()
+                sums = [
+                    float(np.sum(np.frombuffer(buf.as_py(), dtype=dt).astype(np.float64)))
+                    for buf in batch.column("payload")
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
+                     pa.array(sums, pa.float64())],
+                    schema=_PA_PARTIAL,
+                )
+
+        parts = (
+            spark.read.parquet(path)
+            .select("tile_y", "tile_x", "payload")
+            .mapInArrow(_partials, PARTIAL_SCHEMA)
+            .collect()
+        )
         total = 0.0
-        for r in sorted(rows, key=lambda r: (r["tile_y"], r["tile_x"])):
-            total += float(np.sum(np.frombuffer(r["payload"], dtype=dt).astype(np.float64)))
-        result.unpersist()
+        for r in sorted(parts, key=lambda r: (r["ty"], r["tx"])):
+            total += r["partial"]
     return total

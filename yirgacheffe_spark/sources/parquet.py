@@ -44,6 +44,7 @@ def write_meta(
     nodata: float | None,
     tile_size: int,
     bands: int = 1,
+    interleaved: bool = False,
 ) -> None:
     projection = area.projection
     assert projection is not None
@@ -61,6 +62,7 @@ def write_meta(
         "nodata": nodata,
         "tile_size": tile_size,
         "bands": bands,
+        "interleaved": interleaved,
     }
     with open(os.path.join(path, META_FILENAME), "w", encoding="utf-8") as fp:
         json.dump(meta, fp, indent=1)
@@ -88,6 +90,8 @@ class ParquetRasterLayer(Layer):
         self.path = path
         self.band = band
         self.tile_size = int(meta["tile_size"])
+        self.bands = int(meta.get("bands", 1))
+        self.interleaved = bool(meta.get("interleaved", False))
         self._dtype = DataType[meta["dtype"]]
         self._nodata = meta.get("nodata")
         self._ignore_nodata = ignore_nodata
@@ -209,6 +213,66 @@ def write_array_as_raster_table(
     )
     # Small row groups: tile rows are megabytes, and row-group boundaries are
     # what lets Spark split one file across tasks and skip pruned tile ranges.
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"), row_group_size=16)
+    # zstd over snappy: integer-valued raster payloads compress ~2x smaller,
+    # and at scale scan bytes (disk/network) are the bottleneck, not decode.
+    pq.write_table(
+        table, os.path.join(path, "part-00000.parquet"), row_group_size=16,
+        compression="zstd", compression_level=3,
+    )
     write_meta(path, area, DataType.of_array(data), nodata, s)
     return ParquetRasterLayer(path)
+
+
+def write_multiband_interleaved(
+    path: str,
+    channels: dict[int, np.ndarray],
+    area: Area,
+    nodata: float | None = None,
+    tile_size: int | None = None,
+) -> dict[int, "ParquetRasterLayer"]:
+    """Write several bands as ONE tile table sorted (tile_y, tile_x, band)
+    with row groups aligned to whole tiles, so every band of a tile lands in
+    the same scan task — multi-channel expressions then need no shuffle at
+    all (see the single-scan path in ``plans/executor.py``).
+    """
+    import pyarrow as pa  # pylint: disable=C0415
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    s = tile_size or constants.STORAGE_TILE_SIZE
+    band_ids = sorted(channels)
+    first = np.ascontiguousarray(channels[band_ids[0]])
+    height, width = first.shape
+    dtypes = {DataType.of_array(np.asarray(c)) for c in channels.values()}
+    if len(dtypes) != 1:
+        raise ValueError("All bands must share one dtype")
+    os.makedirs(path, exist_ok=True)
+    rows: dict[str, list] = {k: [] for k in ("band", "tile_y", "tile_x", "ysize", "xsize", "payload")}
+    for ty in range(math.ceil(height / s)):
+        for tx in range(math.ceil(width / s)):
+            for b in band_ids:
+                chunk = np.asarray(channels[b])[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s]
+                rows["band"].append(b)
+                rows["tile_y"].append(ty)
+                rows["tile_x"].append(tx)
+                rows["ysize"].append(chunk.shape[0])
+                rows["xsize"].append(chunk.shape[1])
+                rows["payload"].append(np.ascontiguousarray(chunk).tobytes())
+    table = pa.table(
+        {
+            "band": pa.array(rows["band"], pa.int32()),
+            "tile_y": pa.array(rows["tile_y"], pa.int32()),
+            "tile_x": pa.array(rows["tile_x"], pa.int32()),
+            "ysize": pa.array(rows["ysize"], pa.int32()),
+            "xsize": pa.array(rows["xsize"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        }
+    )
+    # Row groups hold whole tiles (a multiple of the band count), so a Spark
+    # file split can never separate one tile's bands.
+    pq.write_table(
+        table, os.path.join(path, "part-00000.parquet"),
+        row_group_size=len(band_ids) * 4,
+        compression="zstd", compression_level=3,
+    )
+    write_meta(path, area, dtypes.pop(), nodata, s, bands=len(band_ids), interleaved=True)
+    return {b: ParquetRasterLayer(path, band=b) for b in band_ids}
