@@ -184,6 +184,39 @@ def bench_rasters(sf_dir: str, repeat: int = 48) -> dict[str, "ParquetRasterLaye
     return {ch: ParquetRasterLayer(os.path.join(base, ch), name=f"bench_{ch}") for ch in names}
 
 
+def prewarm_files(paths: list[str]) -> None:
+    """Read files (or directories of files) once so they sit in page cache;
+    benchmark setup only."""
+    for p in paths:
+        files = [p]
+        if os.path.isdir(p):
+            files = [os.path.join(p, f) for f in os.listdir(p)]
+        for f in files:
+            if os.path.isfile(f):
+                with open(f, "rb") as fp:
+                    while fp.read(1 << 24):
+                        pass
+
+
+def bench_pages(spark, sf_dir: str, n_rows: int, res: int = 6, seed: int = 42) -> str:
+    """Materialise the synthetic enriched-pages corpus as a zstd parquet
+    table (once, untimed) and return its path.  Bench queries then read a
+    STORED table — scan + one Python eval per task — matching how a real
+    crawl corpus is consumed; generator-fed queries chain multiple Python
+    workers per task (measured 3x slower and erratic)."""
+    from .spatial import pages as pages_mod
+
+    path = os.path.join(_cache_dir(sf_dir), f"pages_n{n_rows}_r{res}_s{seed}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            pages_mod.enriched_pages(spark, n_rows, res=res, seed=seed)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+    return path
+
+
 def bench_rasters_multiband(sf_dir: str, repeat: int = 48) -> dict[str, ParquetRasterLayer]:
     """The bench channels as ONE interleaved multiband table: multi-channel
     expressions read it in a single scan with zero shuffles.

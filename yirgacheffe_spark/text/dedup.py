@@ -61,59 +61,183 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(z: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer (vectorised, uint64 wraparound intended)."""
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _fold_buckets(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix -> (n, bands) LSH bucket ids, FNV-fold
+    + splitmix finalize per band (vectorised)."""
+    n, num_perm = sig_matrix.shape
+    r = num_perm // bands
+    folded = sig_matrix.astype(np.uint64).reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for k in range(r):
+            acc = acc * _FNV + folded[:, :, k]
+    return _mix64(acc, 3).astype(np.int64)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_perm: int = 64, shingle_n: int = 3, seed: int = 42) -> DataFrame:
-    """(id, sig: array<long>) — universal-hash MinHash over word shingles,
-    one vectorised pass per batch."""
+                       num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
+                       bands: int | None = None) -> DataFrame:
+    """(id, sig: array<long>[, buckets: array<long>]) — universal-hash
+    MinHash over word shingles; pass ``bands`` to also emit the LSH band
+    buckets from the same pass (one Python stage total — chained Python
+    runners in one Spark stage measured 3-10x slower and erratic).
+
+    Fully batch-vectorised: ONE C-speed hash pass over the batch's flattened
+    words, rolling polynomial combine for the n-gram shingle fingerprints,
+    then per-doc minima via ``np.minimum.reduceat`` — no per-document Python
+    (the previous per-row form measured ~2 ms/doc; this is ~100x less).
+    MinHash is min-over-multiset, so shingle de-duplication is unnecessary.
+    """
+    from itertools import chain  # pylint: disable=C0415
+
     a_params, b_params = _minhash_params(num_perm, seed)
+    if bands is not None and num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
 
-    @pandas_udf("array<long>")
-    def signature(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = sorted(_shingles(t or "", shingle_n))
-            if not sh:
-                out.append([0] * num_perm)
-                continue
-            h = _hash64(sh) % np.uint64(_MERSENNE)
-            # (a*h + b) mod p for all perms x shingles, min over shingles.
-            with np.errstate(over="ignore"):
-                m = (a_params[:, None] * h[None, :] + b_params[:, None]) % np.uint64(_MERSENNE)
-            out.append(m.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+    def _sig_matrix(texts: pd.Series) -> np.ndarray:
+        n_docs = len(texts)
+        out = np.zeros((n_docs, num_perm), dtype=np.int64)
+        if n_docs == 0:
+            return out
+        words = texts.fillna("").str.lower().str.split()
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        wh = _hash64(list(chain.from_iterable(words)))
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of_word = np.repeat(np.arange(n_docs), lens)
+        with np.errstate(over="ignore"):
+            n_pos = total - (shingle_n - 1)
+            if n_pos > 0:
+                acc = np.zeros(n_pos, dtype=np.uint64)
+                for k in range(shingle_n):
+                    acc = acc * _FNV + wh[k : k + n_pos]
+                # a shingle is valid iff it does not straddle two documents
+                valid = doc_of_word[:n_pos] == doc_of_word[shingle_n - 1 :]
+                sh = _mix64(acc[valid], 7) % np.uint64(_MERSENNE)
+                doc_of_sh = doc_of_word[:n_pos][valid]
+            else:
+                sh = np.empty(0, np.uint64)
+                doc_of_sh = np.empty(0, np.int64)
+            # docs shorter than the shingle size get one whole-doc shingle
+            # (mirrors the reference semantics of _shingles)
+            short = np.nonzero((lens > 0) & (lens < shingle_n))[0]
+            if len(short):
+                extra = np.zeros(len(short), dtype=np.uint64)
+                for i, d in enumerate(short):
+                    accd = np.uint64(0)
+                    for k in range(starts[d], starts[d + 1]):
+                        accd = accd * _FNV + wh[k]
+                    extra[i] = accd
+                sh = np.concatenate([sh, _mix64(extra, 7) % np.uint64(_MERSENNE)])
+                doc_of_sh = np.concatenate([doc_of_sh, short])
+                order = np.argsort(doc_of_sh, kind="stable")
+                sh, doc_of_sh = sh[order], doc_of_sh[order]
+            if len(sh):
+                docs_present, first_idx = np.unique(doc_of_sh, return_index=True)
+                # perm blocks bound the (perm x shingle) temporary to ~50 MB
+                for p0 in range(0, num_perm, 16):
+                    p1 = min(p0 + 16, num_perm)
+                    m = (
+                        a_params[p0:p1, None] * sh[None, :] + b_params[p0:p1, None]
+                    ) % np.uint64(_MERSENNE)
+                    out[docs_present, p0:p1] = np.minimum.reduceat(
+                        m, first_idx, axis=1
+                    ).T.astype(np.int64)
+        return out
 
-    return df.select(F.col(id_col), signature(F.col(text_col)).alias("sig"))
+    if bands is None:
+        @pandas_udf("array<long>")
+        def signature(texts: pd.Series) -> pd.Series:
+            return pd.Series(list(_sig_matrix(texts)))
+
+        return df.select(F.col(id_col), signature(F.col(text_col)).alias("sig"))
+
+    n_bands = bands
+
+    @pandas_udf("sig array<long>, buckets array<long>")
+    def sig_and_buckets(texts: pd.Series) -> pd.DataFrame:
+        m = _sig_matrix(texts)
+        return pd.DataFrame(
+            {"sig": list(m), "buckets": list(_fold_buckets(m, n_bands))}
+        )
+
+    return df.select(
+        F.col(id_col), sig_and_buckets(F.col(text_col)).alias("sb")
+    ).select(id_col, "sb.sig", "sb.buckets")
 
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                           bands: int = 8) -> DataFrame:
+                           bands: int = 8, max_bucket: int = 4096) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any LSH band bucket.
 
-    One explode + one self-join keyed on (band, bucket hash); output is the
-    deduplicated (id_a < id_b) pair set.
+    Scale design (each choice measured):
+
+    * NOT a self-join — a self-join re-evaluates the whole upstream (twice the
+      signature pass) and leaves the pairing to join planning.  Instead:
+      count buckets, keep only buckets with >1 member, join those keys back
+      (broadcast-able: the multi-member bucket set is tiny relative to the
+      corpus), and expand (a, b) pairs per bucket map-side.
+    * collect_list runs only AFTER the singleton filter — building 3M
+      single-element lists first measured ~10x the whole job.
+    * buckets of more than ``max_bucket`` members are dropped (quadratic pair
+      blowup; at that size the members are exact dups better handled by
+      exact_dedup first — standard LSH practice).
     """
-    num_perm = None  # derived per-row from the array
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("sig"),
-                        b * (F.size("sig") / bands).cast("int") + 1,
-                        (F.size("sig") / bands).cast("int"),
-                    ).cast("string")
-                ),
-            )
-        ).alias("band", "bucket"),
+    if "buckets" in sigs.columns:
+        banded = sigs.select(
+            F.col(id_col), F.posexplode("buckets").alias("band", "bucket")
+        )
+    else:  # derive buckets from the signature (compat path, JVM-side hash)
+        banded = sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        )
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("c"))
+        .where((F.col("c") > 1) & (F.col("c") <= max_bucket))
+        .select("band", "bucket")
     )
-    left = banded.withColumnRenamed(id_col, "id_a")
-    right = banded.withColumnRenamed(id_col, "id_b")
     return (
-        left.join(right, ["band", "bucket"], "inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.join(hot, ["band", "bucket"])
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -140,8 +264,8 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 8, shingle_n: int = 3,
                         threshold: float = 0.7) -> DataFrame:
-    """End-to-end near-dup pair detection: sign -> band-join -> verify."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    """End-to-end near-dup pair detection: sign -> band-bucket -> verify."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, bands=bands)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
     verified = jaccard_pairs(df, cands, text_col, id_col, shingle_n)
     return verified.where(F.col("jaccard") >= threshold)
