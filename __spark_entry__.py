@@ -264,6 +264,14 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_emb_cosine_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # 0.42: the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01), so a production-style 0.9 would make the oracle an
+    # empty-set check.
+    return ann.cosine_near_dup_pairs(emb, threshold=0.42)
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     first = emb.orderBy("vec_id").limit(1).select(
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "spatial_cell_assign": q_spatial_cell_assign,
@@ -560,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann.brute_force_topk_sql(
             10, "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)"
         ).replace("SELECT vec_id, sim, rank", "SELECT vec_id, rank"),
+        "emb_cosine_near_dup": ann.cosine_near_dup_pairs_sql(0.42),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n, SUM(floor(value)) AS sum_floor_value

@@ -26,7 +26,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from yirgacheffe_spark import harness
 
-rasters = harness.bench_rasters_multiband(SF_DIR, repeat=192)
+rasters = harness.bench_rasters_multiband(SF_DIR, repeat=int(os.environ.get("YG_REPEAT", "192")))
 
 def q_aoh():
     expr = (

@@ -1,0 +1,79 @@
+"""Hardware ceiling microbenchmark (no Spark): numpy / hashing kernels over
+in-memory arrays with N worker processes, kernel time only (data generation
+and pool startup excluded; max-over-workers reported for the same TOTAL work
+at each level).
+
+This bounds what ANY engine can show on this VM: element-wise raster algebra
+is memory-bandwidth-bound and a single box's bandwidth does not grow with
+cores, whereas a real cluster's aggregate bandwidth grows with nodes.  The
+engine's scaling efficiency should be judged against this ceiling.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+TOTAL_TILES = 2048  # 512x512 int16 x3 channels: ~540 Mpx total
+TOTAL_DOCS = 12_800_000
+
+
+def _aoh_worker(args):
+    seed, n_tiles = args
+    rng = np.random.default_rng(seed)
+    hab = rng.integers(0, 20, (n_tiles, 512, 512)).astype(np.int16)
+    elev = rng.integers(0, 1000, (n_tiles, 512, 512)).astype(np.int16)
+    qty = rng.integers(1, 51, (n_tiles, 512, 512)).astype(np.int16)
+    # warm pass (page faults, cache), then timed pass
+    for i in range(n_tiles):
+        np.isin(hab[i], (1, 5, 7, 11)) * ((elev[i] >= 100) & (elev[i] <= 800)) * qty[i]
+    t0 = time.time()
+    total = 0.0
+    for i in range(n_tiles):
+        m = np.isin(hab[i], (1, 5, 7, 11)) * ((elev[i] >= 100) & (elev[i] <= 800)) * qty[i]
+        total += float(np.sum(m.astype(np.float64)))
+    return time.time() - t0
+
+
+def _hash_worker(args):
+    seed, n_docs = args
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+
+    words = pd.Series(rng.integers(0, 50000, n_docs).astype(str))
+    pd.util.hash_pandas_object(words, index=False)  # warm
+    t0 = time.time()
+    h = pd.util.hash_pandas_object(words, index=False).to_numpy()
+    (h * np.uint64(0x9E3779B97F4A7C15)).sum()
+    return time.time() - t0
+
+
+def run(kernel, workers: int, per_worker: int) -> float:
+    with mp.Pool(workers) as pool:
+        times = pool.map(kernel, [(s, per_worker) for s in range(workers)])
+    return max(times)
+
+
+def main() -> int:
+    out = {}
+    for name, kernel, total in (
+        ("aoh_numpy", _aoh_worker, TOTAL_TILES),
+        ("hash_pandas", _hash_worker, TOTAL_DOCS),
+    ):
+        w8 = run(kernel, 8, total // 8)
+        w32 = run(kernel, 32, total // 32)
+        out[name] = {
+            "wall_8w": round(w8, 2),
+            "wall_32w": round(w32, 2),
+            "speedup_8_to_32": round(w8 / w32, 2),
+            "ceiling_efficiency": round(w8 / (4 * w32), 3),
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,25 @@ def test_sparse_save_roundtrip(spark, tmp_path):
     assert (back + 5).sum(spark=spark) == data.sum() + 5 * 144
 
 
+def test_sparse_plus_dense_two_leaf(spark, tmp_path):
+    # Mixed coverage strategies in one plan: the sparse leaf's holes need the
+    # key anti-join, the dense leaf uses closed-form coverage; both must
+    # zero-fill identically.
+    z = np.zeros((12, 12))
+    z[0, 0], z[9, 9] = 3.0, 4.0
+    d = np.arange(144, dtype=np.float64).reshape(12, 12)
+    sp_layer = yg.from_array(z, (0.0, 0.0), PROJ)
+    sp_path = str(tmp_path / "sp")
+    sp_layer.save(sp_path, sparse=True, spark=spark)
+    dn = yg.from_array(d, (0.0, 0.0), PROJ)
+    dn_path = str(tmp_path / "dn")
+    dn.save(dn_path, spark=spark)
+    expr = yg.read_raster(sp_path) + yg.read_raster(dn_path) * 2
+    got = expr.to_numpy(spark=spark)
+    np.testing.assert_array_equal(got, z + d * 2)
+    assert expr.sum(spark=spark) == (z + d * 2).sum()
+
+
 def test_interleaved_multiband_single_scan(spark, tmp_path):
     from yirgacheffe_spark.sources.parquet import write_multiband_interleaved
     from yirgacheffe_spark.plans.kernel import evaluate_window

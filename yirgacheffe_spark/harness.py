@@ -58,7 +58,12 @@ _CHANNELS = ("qty", "price", "elev", "hab")
 
 def _cache_dir(sf_dir: str) -> str:
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/yg_spark_rasters/{digest}"
+    # tmpfs when available: this sandbox's lone disk does ~130 MB/s and its
+    # page cache is reclaimed aggressively (DAMON pageout), which buries
+    # engine time under storage noise.  A cluster's input bandwidth scales
+    # with nodes; fixtures in RAM keep the benchmark about the engine.
+    root = "/dev/shm/yg_spark_rasters" if os.path.isdir("/dev/shm") else "/tmp/yg_spark_rasters"
+    return f"{root}/{digest}"
 
 
 def lineitem_rasters(sf_dir: str) -> dict[str, ParquetRasterLayer]:
@@ -212,6 +217,10 @@ def bench_pages(spark, sf_dir: str, n_rows: int, res: int = 6, seed: int = 42) -
             pages_mod.enriched_pages(spark, n_rows, res=res, seed=seed)
             .write.mode("overwrite")
             .option("compression", "zstd")
+            # 8 MB row groups: a table written by an 8-core job must still
+            # split into enough scan tasks for a 32-core reader (one giant
+            # row group per file caps parallelism at the writer's width).
+            .option("parquet.block.size", 8 * 1024 * 1024)
             .parquet(path)
         )
     return path

@@ -110,6 +110,7 @@ def _plan_payload(root: LayerOperation):
                 "leaf_h": leaf.window.ysize,
                 "leaf_w": leaf.window.xsize,
                 "interleaved": getattr(leaf, "interleaved", False),
+                "dense": getattr(leaf, "dense", True),
             }
         )
 
@@ -374,11 +375,54 @@ def _interleaved_single_scan(spark: SparkSession, payload: dict,
         )
         .where(f"ty BETWEEN {ty_lo} AND {ty_hi} AND tx BETWEEN {tx_lo} AND {tx_hi}")
     )
-    present = rows.select("ty", "tx").distinct()
-    missing = _base_grid(spark, payload, tile_box).join(present, ["ty", "tx"], "left_anti")
+    if all(m["dense"] for m in metas):
+        # Dense table: the stored grid's coverage is a closed-form rectangle,
+        # so out-of-extent tiles come from a predicate on the generated grid
+        # — no key scan, no anti-join.
+        off_y, off_x = ayoff // s, axoff // s
+        c_ty_lo, c_ty_hi = -off_y, stored_y - 1 - off_y
+        c_tx_lo, c_tx_hi = -off_x, stored_x - 1 - off_x
+        if c_ty_lo <= ty_lo and ty_hi <= c_ty_hi and c_tx_lo <= tx_lo and tx_hi <= c_tx_hi:
+            return rows
+        missing = _base_grid(spark, payload, tile_box).where(
+            f"NOT (ty BETWEEN {c_ty_lo} AND {c_ty_hi} "
+            f"AND tx BETWEEN {c_tx_lo} AND {c_tx_hi})"
+        )
+    else:
+        # Sparse table (zero tiles dropped at write): only a key scan knows
+        # which tiles exist; anti-join the pruned key columns.
+        present = rows.select("ty", "tx").distinct()
+        missing = _base_grid(spark, payload, tile_box).join(
+            present, ["ty", "tx"], "left_anti"
+        )
     return rows.unionByName(
         missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
     )
+
+
+def _missing_grid(spark: SparkSession, payload: dict,
+                  tile_box: tuple[int, int, int, int],
+                  covs: list[tuple[int, int, int, int]],
+                  sparse_rows: DataFrame | None) -> DataFrame | None:
+    """Grid of (ty, tx) tiles no stored row covers, or None when coverage is
+    complete.  Dense tables: closed-form rectangle complement (zero extra
+    scans).  Sparse tables (``sparse_rows`` given): key-only anti-join."""
+    ty_lo, ty_hi, tx_lo, tx_hi = tile_box
+    if sparse_rows is not None:
+        present = sparse_rows.select("ty", "tx").distinct()
+        return _base_grid(spark, payload, tile_box).join(
+            present, ["ty", "tx"], "left_anti"
+        )
+    if any(
+        c[0] <= ty_lo and ty_hi <= c[1] and c[2] <= tx_lo and tx_hi <= c[3]
+        for c in covs
+    ):
+        return None
+    covered = " OR ".join(
+        f"(ty BETWEEN {c[0]} AND {c[1]} AND tx BETWEEN {c[2]} AND {c[3]})"
+        for c in covs
+    )
+    return _base_grid(spark, payload, tile_box).where(f"NOT ({covered})")
 
 
 def _base_grid(spark: SparkSession, payload: dict,
@@ -436,6 +480,10 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
 
         single_scan = _interleaved_single_scan(spark, payload, tile_box)
         if single_scan is not None:
+            # Correctness guard: this plan relies on every band of a stored
+            # tile landing in one scan task (whole-row-group splits over the
+            # interleaved sort).  The kernel verifies slot completeness.
+            payload["expect_all_slots"] = True
             bc = spark.sparkContext.broadcast(payload)
             return spark, root, payload, bc, single_scan
 
@@ -454,20 +502,20 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                         "ty", "tx", "piece",
                         f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
                     )
-                # Tiles with no stored row (outside the leaf, or sparse
-                # holes) still exist: anti-join the key-only scan (payload
-                # column pruned) against the grid — cheap at any scale.
-                present = rows.select("ty", "tx")
-                missing = _base_grid(spark, payload, tile_box).join(
-                    present, ["ty", "tx"], "left_anti"
-                )
-                df = df.unionByName(
-                    missing.selectExpr(
-                        "ty", "tx",
-                        f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece",
-                        f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
+                # Tiles with no stored row still exist as zeros.  Dense
+                # tables (the default) have closed-form rectangular coverage
+                # -> predicate on the generated grid, no extra scan; sparse
+                # tables need the key-only anti-join.
+                missing = _missing_grid(spark, payload, tile_box, [cov],
+                                        rows if not payload["slot_meta"][0]["dense"] else None)
+                if missing is not None:
+                    df = df.unionByName(
+                        missing.selectExpr(
+                            "ty", "tx",
+                            f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece",
+                            f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
+                        )
                     )
-                )
                 bc = spark.sparkContext.broadcast(payload)
                 return spark, root, payload, bc, df
 
@@ -479,15 +527,14 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
             covs.append(cov)
 
         df = reduce(lambda a, b: a.unionByName(b), slot_rows)
-        # Tiles no leaf stores a row for (outside extents, or sparse holes)
-        # still exist: anti-join key-only scans (payload pruned) vs the grid.
-        present = df.select("ty", "tx").distinct()
-        missing = _base_grid(spark, payload, tile_box).join(
-            present, ["ty", "tx"], "left_anti"
-        )
-        df = df.unionByName(
-            missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
-        )
+        # Tiles no leaf stores a row for still exist as zeros (see above).
+        all_dense = all(m["dense"] for m in payload["slot_meta"])
+        missing = _missing_grid(spark, payload, tile_box, covs,
+                                None if all_dense else df)
+        if missing is not None:
+            df = df.unionByName(
+                missing.selectExpr("ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece")
+            )
         # Repartition only — co-location is enough.  (A partition-local
         # sort of multi-megabyte rows thrashes Tungsten's record sorter:
         # measured 35 s vs 3 s for the bare shuffle; the kernel groups
@@ -544,6 +591,14 @@ def _tile_results(bc, batch_iter: Iterator[pa.RecordBatch]):
     tree = payload["tree"]
 
     def evaluate(ty: int, tx: int, pieces_by_slot):
+        if payload.get("expect_all_slots") and pieces_by_slot:
+            filled = [bool(p) for p in pieces_by_slot]
+            if any(filled) and not all(filled):
+                raise RuntimeError(
+                    f"interleaved single-scan tile ({ty},{tx}) received only "
+                    f"{sum(filled)}/{len(filled)} band slots — stored tile "
+                    "split across scan tasks (row-group/tile alignment broken)"
+                )
         y0, x0 = ty * ty_size, tx * tx_size
         h = min(ty_size, window.ysize - y0)
         w = min(tx_size, window.xsize - x0)
@@ -836,6 +891,9 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
     (
         result.write.mode("overwrite")
         .option("compression", "zstd")
+        # bounded row groups so readers can split files finer than the
+        # writer's task count
+        .option("parquet.block.size", 8 * 1024 * 1024)
         .parquet(path)
     )
     os.makedirs(path, exist_ok=True)
@@ -845,6 +903,7 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
         root.datatype,
         None,
         constants.TILE_YSIZE,
+        dense=not sparse,
     )
     total = None
     if and_sum:

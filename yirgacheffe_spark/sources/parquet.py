@@ -45,6 +45,7 @@ def write_meta(
     tile_size: int,
     bands: int = 1,
     interleaved: bool = False,
+    dense: bool = True,
 ) -> None:
     projection = area.projection
     assert projection is not None
@@ -63,6 +64,10 @@ def write_meta(
         "tile_size": tile_size,
         "bands": bands,
         "interleaved": interleaved,
+        # dense=False (sparse save): all-zero tiles were dropped at write,
+        # so readers must treat ABSENT tiles as zeros via a key anti-join;
+        # dense tables get closed-form coverage instead (no extra scan).
+        "dense": dense,
     }
     with open(os.path.join(path, META_FILENAME), "w", encoding="utf-8") as fp:
         json.dump(meta, fp, indent=1)
@@ -92,6 +97,7 @@ class ParquetRasterLayer(Layer):
         self.tile_size = int(meta["tile_size"])
         self.bands = int(meta.get("bands", 1))
         self.interleaved = bool(meta.get("interleaved", False))
+        self.dense = bool(meta.get("dense", True))
         self._dtype = DataType[meta["dtype"]]
         self._nodata = meta.get("nodata")
         self._ignore_nodata = ignore_nodata

@@ -61,6 +61,47 @@ def brute_force_topk(
     return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-space near-duplicate pairs: all (id_a < id_b) with
+    round(cosine, 6) >= threshold.  Brute-force baseline (broadcast nested
+    loop — one scan of the big side); the scale path buckets with
+    random-hyperplane LSH first (``lsh_topk``'s hashing) and verifies only
+    bucket-mates.  Thresholding on the ROUNDED similarity keeps the pair set
+    reproducible across engines/fold orders."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_sql(threshold: float, table: str = "embeddings") -> str:
+    """DuckDB oracle for ``cosine_near_dup_pairs`` (mirrors the sequential
+    fold of the Spark expression; see ``brute_force_topk_sql``)."""
+    def fold(expr_a, expr_b=None):
+        if expr_b is None:
+            return (f"list_reduce(list_transform({expr_a}, x -> x * x), "
+                    f"(acc, x) -> acc + x)")
+        return (f"list_reduce(list_transform(list_zip({expr_a}, {expr_b}), "
+                f"x -> x[1] * x[2]), (acc, x) -> acc + x)")
+
+    va, vb = "CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"
+    sim = f"round(({fold(va, vb)}) / (sqrt({fold(va)}) * sqrt({fold(vb)})), 6)"
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS sim
+        FROM {table} a, {table} b
+        WHERE a.vec_id < b.vec_id AND {sim} >= {threshold}
+    """
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((tables, bits, dim))
