@@ -46,8 +46,9 @@ def _hash_worker(args):
     words = pd.Series(rng.integers(0, 50000, n_docs).astype(str))
     pd.util.hash_pandas_object(words, index=False)  # warm
     t0 = time.time()
-    h = pd.util.hash_pandas_object(words, index=False).to_numpy()
-    (h * np.uint64(0x9E3779B97F4A7C15)).sum()
+    for _ in range(8):  # enough repetitions that per-process overhead vanishes
+        h = pd.util.hash_pandas_object(words, index=False).to_numpy()
+        (h * np.uint64(0x9E3779B97F4A7C15)).sum()
     return time.time() - t0
 
 
