@@ -264,6 +264,21 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_doc_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard on deterministic candidate pairs (adjacent
+    doc ids) — the LSH verifier in isolation, with an exact SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    ids = docs.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+    pairs_in = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    ).select("id_a", "id_b")
+    out = dedup.jaccard_pairs(docs, pairs_in)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 def q_emb_cosine_near_dup(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # 0.42: the synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -461,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "spatial_cell_assign": q_spatial_cell_assign,
@@ -570,6 +586,29 @@ def oracle_sql() -> dict[str, str]:
             10, "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)"
         ).replace("SELECT vec_id, sim, rank", "SELECT vec_id, rank"),
         "emb_cosine_near_dup": ann.cosine_near_dup_pairs_sql(0.42),
+        "doc_jaccard_pairs": """
+            WITH d AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                            ELSE [] END AS s
+                FROM d
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+                FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            )
+            SELECT id_a, id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0
+                              THEN 1.0
+                              ELSE len(list_intersect(sa, sb)) * 1.0
+                                   / len(list_distinct(list_concat(sa, sb)))
+                         END, 6) AS jaccard
+            FROM p
+        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n, SUM(floor(value)) AS sum_floor_value

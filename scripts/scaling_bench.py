@@ -119,7 +119,7 @@ def main() -> int:
                 )
                 if ceiling else "\n"
             )
-            "Per-query seconds:\n\n"
+            + "Per-query seconds:\n\n"
             "| query | local[8] | local[32] | speedup |\n|---|---|---|---|\n"
             + "\n".join(
                 f"| {q} | {small['queries'][q]:.2f} | {big['queries'][q]:.2f} | "
