@@ -301,7 +301,7 @@ def q_events_hourly(spark, sf_dir):
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.floor(F.col("value"))).alias("sum_floor_value"),
+        F.sum(F.floor(F.col("value"))).cast("double").alias("sum_floor_value"),
     )
 
 
@@ -310,7 +310,7 @@ def q_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum(F.floor("l_extendedprice")).alias("sum_price_floor"),
+        F.sum(F.floor("l_extendedprice")).cast("double").alias("sum_price_floor"),
     )
 
 
@@ -433,7 +433,7 @@ def q_orders_customer_join(spark, sf_dir):
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(F.count("*").alias("n_orders"),
-             F.sum(F.floor("o_totalprice")).alias("rev_floor"))
+             F.sum(F.floor("o_totalprice")).cast("double").alias("rev_floor"))
     )
 
 

@@ -17,23 +17,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
+    """Type-exact normalization: ints and floats are kept distinct (the
+    driver's value hash is type-sensitive, so `527863281` != `527863281.0`).
+    Only numpy scalars are unwrapped to the matching Python type."""
     cols = sorted(df.columns)
     rows = []
     for _, row in df[cols].iterrows():
         vals = []
         for v in row:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(float(v))
-            elif hasattr(v, "timestamp"):
-                vals.append(v.isoformat())
+            if hasattr(v, "timestamp") and not isinstance(v, (int, float)):
+                vals.append(("ts", v.isoformat()))
+            elif isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+                vals.append(("bool", bool(v)))
+            elif isinstance(v, float) or type(v).__name__.startswith("float"):
+                fv = float(v)
+                vals.append(("float", "NaN" if math.isnan(fv) else fv))
+            elif isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+                vals.append(("int", int(v)))
+            elif v is None:
+                vals.append(("null", None))
             else:
-                try:
-                    vals.append(int(v))
-                except (TypeError, ValueError):
-                    vals.append(str(v))
+                vals.append(("str", str(v)))
         rows.append(tuple(vals))
     return sorted(rows, key=repr)
 
