@@ -178,3 +178,49 @@ def test_reprojected_sum_block_stats():
     got = rl.read_array(0, 0, 4, 4)
     want = data.reshape(4, 2, 4, 2).sum(axis=(1, 3))
     np.testing.assert_array_equal(got, want)
+
+
+def test_reprojected_med_rms_block_stats():
+    data = RNG.integers(0, 50, (8, 8)).astype(np.float64)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+    med = yg.ReprojectedLayer(src, coarse, "med").read_array(0, 0, 4, 4)
+    np.testing.assert_array_equal(
+        med, np.median(data.reshape(4, 2, 4, 2), axis=(1, 3)))
+    rms = yg.ReprojectedLayer(src, coarse, "rms").read_array(0, 0, 4, 4)
+    np.testing.assert_allclose(
+        rms, np.sqrt(np.mean(np.square(data.reshape(4, 2, 4, 2)), axis=(1, 3))))
+
+
+def test_reprojected_nearest_noninteger_scale_preimage():
+    # 0.02 -> 0.03 pitch is a 1.5x coarsening: exercises the preimage-window
+    # gather (tile reads must touch only rows.min():rows.max()+1 of the source).
+    data = np.arange(144, dtype=np.float64).reshape(12, 12)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)
+    rl = src.as_projection(coarse, "nearest")
+    got = evaluate_window(rl)
+    assert got.shape == (8, 8)
+    # Expected: nearest source pixel of each target center, computed directly.
+    for i in range(8):
+        for j in range(8):
+            sx = (j + 0.5) * 0.03 / 0.02
+            sy = (i + 0.5) * 0.03 / 0.02
+            assert got[i, j] == data[int(sy), int(sx)]
+
+
+def test_reprojected_nearest_partial_window_reads_match_full(tmp_path):
+    # Reading the target in pieces must equal reading it whole (the preimage
+    # optimisation cannot change values, only the bytes fetched).
+    data = RNG.integers(0, 99, (16, 16)).astype(np.float64)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.05, -0.05)
+    rl = src.as_projection(coarse, "nearest")
+    h, w = rl.window.ysize, rl.window.xsize
+    whole = rl.read_array(0, 0, w, h)
+    pieces = np.zeros_like(whole)
+    for y0 in range(0, h, 3):
+        for x0 in range(0, w, 3):
+            ys, xs = min(3, h - y0), min(3, w - x0)
+            pieces[y0:y0 + ys, x0:x0 + xs] = rl.read_array(x0, y0, xs, ys)
+    np.testing.assert_array_equal(pieces, whole)

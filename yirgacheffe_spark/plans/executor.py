@@ -917,10 +917,25 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
         return float(partials.agg(F.min("partial").alias("v")).collect()[0]["v"])
     if stat == "max":
         return float(partials.agg(F.max("partial").alias("v")).collect()[0]["v"])
-    # Deterministic float addition order: tile-major, like the strip loop.
-    rows = partials.collect()
+    # Deterministic float addition, hierarchically: fold each tile row's
+    # partials in tx order inside Spark (array_sort on (tx, partial) structs +
+    # a left fold keeps IEEE addition order fixed regardless of partitioning),
+    # then add the per-row sums in ty order on the driver.  Driver traffic is
+    # O(tile rows), not O(tiles) — at 10^8 tiles that is the difference
+    # between kilobytes and gigabytes.
+    per_ty = (
+        partials.groupBy("ty")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tx", "partial"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["partial"],
+            ).alias("partial")
+        )
+        .collect()
+    )
     total = 0.0
-    for r in sorted(rows, key=lambda r: (r["ty"], r["tx"])):
+    for r in sorted(per_ty, key=lambda r: r["ty"]):
         total += r["partial"]
     return total
 

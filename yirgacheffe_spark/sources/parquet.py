@@ -36,6 +36,26 @@ from .base import Layer, pad_to_window
 
 META_FILENAME = "_raster_meta.json"
 
+# Per-process dataset handle cache: kernels read mosaic children tile by
+# tile, and rebuilding a pyarrow dataset (a directory listing against object
+# storage) per tile read is a scale-killer.  Keyed by path + directory mtime
+# so a rewritten raster is picked up.
+_DATASET_CACHE: dict[tuple[str, float], Any] = {}
+
+
+def _dataset_for(path: str):
+    import pyarrow.dataset as ds  # pylint: disable=C0415
+
+    key = (path, os.stat(path).st_mtime)
+    found = _DATASET_CACHE.get(key)
+    if found is None:
+        # Default ignore_prefixes ('.', '_') skips _raster_meta.json.
+        found = ds.dataset(path, format="parquet")
+        while len(_DATASET_CACHE) >= 64:  # bound live handles (FIFO evict)
+            _DATASET_CACHE.pop(next(iter(_DATASET_CACHE)))
+        _DATASET_CACHE[key] = found
+    return found
+
 
 def write_meta(
     path: str,
@@ -130,7 +150,6 @@ class ParquetRasterLayer(Layer):
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         """Direct pyarrow read of the requested region (tests / mosaics)."""
-        import pyarrow.parquet as pq  # pylint: disable=C0415
         import pyarrow.dataset as ds  # pylint: disable=C0415
 
         if xsize <= 0 or ysize <= 0:
@@ -145,11 +164,7 @@ class ParquetRasterLayer(Layer):
         s = self.tile_size
         ty_lo, ty_hi = overlap.yoff // s, (overlap.ymax - 1) // s
         tx_lo, tx_hi = overlap.xoff // s, (overlap.xmax - 1) // s
-        dataset = ds.dataset(
-            [os.path.join(self.path, f) for f in sorted(os.listdir(self.path))
-             if f.endswith(".parquet")],
-            format="parquet",
-        )
+        dataset = _dataset_for(self.path)
         table = dataset.to_table(
             filter=(
                 (ds.field("band") == self.band)

@@ -5,11 +5,12 @@ without GDAL this layer resamples analytically: for each requested target
 pixel center, compute its source-CRS coordinate with the engine's closed-form
 transforms, convert to source pixel indices, and gather.
 
-Supported methods: ``nearest`` (index gather) and ``sum``/``average``/
-``min``/``max``/``mode`` (block-stats over the source pixels mapping to each
-target pixel — only for integer downscale factors on the same CRS, the
-common "coarsen a raster" case).  Bilinear-family kernels are intentionally
-absent, as in the reference (chunked evaluation breaks their support;
+Supported methods (the reference's eight, ``_layers/reprojected.py:14-46``):
+``nearest`` (index gather) and ``sum``/``average``/``min``/``max``/``mode``/
+``med``/``rms`` (block-stats over the source pixels mapping to each target
+pixel — only for integer downscale factors on the same CRS, the common
+"coarsen a raster" case).  Bilinear-family kernels are intentionally absent,
+as in the reference (chunked evaluation breaks their support;
 ``reprojected.py:38-46``).
 """
 
@@ -24,7 +25,7 @@ from ..grid import MapProjection, Window
 from ..reprojection import transform_point
 from .base import Layer
 
-RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode")
+RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", "rms")
 
 
 class ReprojectedLayer(Layer):
@@ -84,12 +85,22 @@ class ReprojectedLayer(Layer):
             cols = np.floor((sx - src_area.left) / source_proj.xstep).astype(np.int64)
             rows = np.floor((sy - src_area.top) / source_proj.ystep).astype(np.int64)
             src_w, src_h = self._source.window.xsize, self._source.window.ysize
-            data = np.asarray(self._source.read_window(0, 0, src_w, src_h, self._source.window))
             valid_c = (cols >= 0) & (cols < src_w)
             valid_r = (rows >= 0) & (rows < src_h)
+            if not (valid_r.any() and valid_c.any()):
+                return np.zeros((ysize, xsize), dtype=self._source.datatype.to_numpy())
+            # Read only the request's preimage bounding box, never the whole
+            # source: per-tile evaluation must stay O(tile), not O(raster).
+            r0 = int(rows[valid_r].min())
+            r1 = int(rows[valid_r].max()) + 1
+            c0 = int(cols[valid_c].min())
+            c1 = int(cols[valid_c].max()) + 1
+            data = np.asarray(
+                self._source.read_window(c0, r0, c1 - c0, r1 - r0, self._source.window)
+            )
             out = np.zeros((ysize, xsize), dtype=data.dtype)
-            rr = np.clip(rows, 0, src_h - 1)
-            cc = np.clip(cols, 0, src_w - 1)
+            rr = np.clip(rows, r0, r1 - 1) - r0
+            cc = np.clip(cols, c0, c1 - 1) - c0
             gathered = data[np.ix_(rr, cc)]
             mask = valid_r[:, np.newaxis] & valid_c[np.newaxis, :]
             out[mask] = gathered[mask]
@@ -120,6 +131,10 @@ class ReprojectedLayer(Layer):
             return shaped.min(axis=(1, 3))
         if self._method == "max":
             return shaped.max(axis=(1, 3))
+        if self._method == "med":
+            return np.median(shaped, axis=(1, 3))
+        if self._method == "rms":
+            return np.sqrt(np.mean(np.square(shaped.astype(np.float64)), axis=(1, 3)))
         # mode: most frequent value per block (ties -> smallest value).
         flat = shaped.transpose(0, 2, 1, 3).reshape(ysize, xsize, fy * fx)
         out = np.empty((ysize, xsize), dtype=block.dtype)
