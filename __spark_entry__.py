@@ -47,13 +47,19 @@ KNN_QUERIES = [
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship AoH-style query at sf0.001: habitat-class membership x
-    elevation band x quantity, fully through the tiled Spark engine."""
+    """Flagship AoH query at sf0.001 (the reference's README.md:53-65 recipe
+    in full): habitat-class membership x elevation band x rasterized species
+    range polygon x quantity, through the tiled Spark engine."""
     sf_dir = "/root/testdata/sf0.001"
     r = harness.lineitem_rasters(sf_dir)
+    range_poly = yg.read_shape(
+        _RANGE_FEATURES, harness.PROJ, burn_value=1, where_filter="species=1",
+        name="range",
+    )
     aoh = (
         r["hab"].isin([1.0, 5.0, 7.0, 11.0])
         * ((r["elev"] >= 100) & (r["elev"] <= 800))
+        * range_poly
         * r["qty"]
     )
     total = aoh.sum(spark=spark)
@@ -411,6 +417,40 @@ def q_layer_cell_mask_sum(spark, sf_dir):
     return scalar_df(spark, (r["qty"] * mask).sum(spark=spark), "sum_value")
 
 
+# Species-range polygons for the flagship AoH recipe.  Edges sit 0.3 px
+# inside pixel boundaries so center-containment and ALL_TOUCHED agree on an
+# exact rectangle of pixels, making the burned mask SQL-expressible:
+#   A: rows 2..9,  cols 5..39     B: rows 12..17, cols 80..119
+#   C: species 2 — must be dropped by the where_filter, never burned.
+_RANGE_FEATURES = [
+    {"species": 1, "geom_wkt":
+        "POLYGON ((0.053 -0.023, 0.397 -0.023, 0.397 -0.097, 0.053 -0.097, 0.053 -0.023))"},
+    {"species": 1, "geom_wkt":
+        "POLYGON ((0.803 -0.123, 1.197 -0.123, 1.197 -0.177, 0.803 -0.177, 0.803 -0.123))"},
+    {"species": 2, "geom_wkt":
+        "POLYGON ((2.003 -0.023, 2.197 -0.023, 2.197 -0.057, 2.003 -0.057, 2.003 -0.023))"},
+]
+
+
+def q_layer_vector_mask_sum(spark, sf_dir):
+    """The reference's flagship AoH recipe with a real rasterized polygon
+    term (README.md:53-65): habitat isin x elevation band x species range
+    polygon (on-demand ALL_TOUCHED rasterization, _layers/vectors.py:332-407)
+    x qty, summed."""
+    r = harness.lineitem_rasters(sf_dir)
+    range_poly = yg.read_shape(
+        _RANGE_FEATURES, harness.PROJ, burn_value=1, where_filter="species=1",
+        name="range",
+    )
+    expr = (
+        r["hab"].isin([1.0, 5.0, 7.0, 11.0])
+        * ((r["elev"] >= 100) & (r["elev"] <= 800))
+        * range_poly
+        * r["qty"]
+    )
+    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
+
+
 def q_events_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -464,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_pow_sum": q_layer_pow_sum,
         "layer_uniform_sum": q_layer_uniform_sum,
         "layer_cell_mask_sum": q_layer_cell_mask_sum,
+        "layer_vector_mask_sum": q_layer_vector_mask_sum,
         "events_topk_per_user": q_events_topk_per_user,
         "orders_customer_join": q_orders_customer_join,
         "doc_token_count": q_doc_token_count,
@@ -546,6 +587,11 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT SUM(pow(qty, 2) + pow(2, qty % 8)) + {pad} * 1.0 AS sum_value FROM px",
         "layer_uniform_sum": PX_CTE
         + "SELECT SUM(qty * ((i // 256) + 1)) AS sum_value FROM px",
+        "layer_vector_mask_sum": PX_CTE
+        + f"""SELECT SUM(CASE WHEN ({mask}) AND (
+                    ((i // 256) BETWEEN 2 AND 9 AND (i % 256) BETWEEN 5 AND 39)
+                 OR ((i // 256) BETWEEN 12 AND 17 AND (i % 256) BETWEEN 80 AND 119))
+                 THEN qty ELSE 0 END) AS sum_value FROM px""",
         "layer_cell_mask_sum": PX_CTE
         + """SELECT SUM(CASE WHEN ((i % 256) + 0.5) * 0.01 < 1.40625
                               AND -(((i // 256) + 0.5) * 0.01) > -1.40625
