@@ -285,6 +285,17 @@ def q_doc_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_emb_cosine_near_dup_lsh(spark, sf_dir):
+    """Production near-dup path: hyperplane-LSH candidates (count-filtered
+    buckets, map-side pair expansion — no crossJoin anywhere in the plan),
+    exact rounded-cosine verify.  The test corpus's 0.42 threshold sits at
+    65 degrees, so banding is shallow (4 bits) and wide (64 tables) to keep
+    per-pair miss probability < 1e-6; at a realistic 0.9 near-dup threshold
+    the same operator prunes aggressively with 8 bits x 16 tables."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann.cosine_near_dup_pairs_lsh(emb, threshold=0.42, bits=4, tables=64)
+
+
 def q_emb_cosine_near_dup(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # 0.42: the synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -517,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "emb_cosine_near_dup_lsh": q_emb_cosine_near_dup_lsh,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
@@ -632,6 +644,10 @@ def oracle_sql() -> dict[str, str]:
             10, "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)"
         ).replace("SELECT vec_id, sim, rank", "SELECT vec_id, rank"),
         "emb_cosine_near_dup": ann.cosine_near_dup_pairs_sql(0.42),
+        # The LSH path must reproduce the brute-force pair set exactly
+        # (precision is exact by construction; recall engineered > 1 - 1e-6
+        # per pair at this threshold), so it shares the brute-force oracle.
+        "emb_cosine_near_dup_lsh": ann.cosine_near_dup_pairs_sql(0.42),
         "doc_jaccard_pairs": """
             WITH d AS (
                 SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -188,3 +188,25 @@ class TestMultimodal:
         a = multimodal.synthesize_media(spark, 20).orderBy("media_id").collect()
         b = multimodal.synthesize_media(spark, 20).orderBy("media_id").collect()
         assert a == b
+
+
+class TestCosineNearDupLSH:
+    def test_lsh_near_dup_equals_brute_force(self, embeddings, spark):
+        brute = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in ann.cosine_near_dup_pairs(embeddings, threshold=0.42).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in ann.cosine_near_dup_pairs_lsh(
+                embeddings, threshold=0.42, bits=4, tables=64
+            ).collect()
+        }
+        assert got == brute and brute  # recall 1.0 AND precision 1.0
+
+    def test_lsh_near_dup_plan_has_no_cross_join(self, embeddings):
+        plan = ann.cosine_near_dup_pairs_lsh(
+            embeddings, threshold=0.42, bits=4, tables=8
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
