@@ -714,6 +714,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "pages_extract_invariant": "SELECT CAST(20000 AS BIGINT) AS n_pages, CAST(0 AS BIGINT) AS n_mismatch",
-        # doc_langid / doc_minhash_pairs / doc_simhash_pairs / ann_topk_lsh /
-        # adaptive_cells / multimodal_features: no SQL analog -> rows-only.
+        "doc_langid": (
+            "SELECT guess, COUNT(*) AS n FROM (SELECT "
+            + quality.language_id_sql("text")
+            + " AS guess FROM documents) GROUP BY guess"
+        ),
+        # doc_minhash_pairs / doc_simhash_pairs / ann_topk_lsh /
+        # adaptive_cells / multimodal_features: no SQL analog -> rows-only
+        # (adaptive_cells gets SQL-checked invariants via its own query).
     }

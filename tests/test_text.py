@@ -210,3 +210,32 @@ class TestCosineNearDupLSH:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_language_id_matches_python_reference(documents, spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from yirgacheffe_spark.text import quality as q
+
+    pdf = documents.select("doc_id", "text").toPandas().sort_values("doc_id")
+    want = q.language_id_batch(pdf["text"].reset_index(drop=True)).tolist()
+    got_rows = (
+        documents.select("doc_id", q.language_id(F.col("text")).alias("g"))
+        .orderBy("doc_id").collect()
+    )
+    assert [r["g"] for r in got_rows] == want
+
+
+def test_language_id_edge_cases(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from yirgacheffe_spark.text import quality as q
+
+    texts = ["", None, "der und ist von", "的一是不", "the of and to the"]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", q.language_id(F.col("text")).alias("g"))
+        .orderBy("i").collect()
+    )
+    assert [r["g"] for r in got] == ["en", "en", "de", "zh", "en"]

@@ -86,6 +86,54 @@ def _fold_buckets(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
     return _mix64(acc, 3).astype(np.int64)
 
 
+def _flat_shingle_hashes(texts: pd.Series, shingle_n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram shingle fingerprints for a whole batch at C speed.
+
+    Returns ``(hashes uint64, doc_of_shingle int64)`` as a multiset (not
+    per-doc deduped), stably ordered by doc id: ONE hash pass over the
+    batch's flattened words, a rolling FNV fold for the n-grams, and the
+    reference's short-doc rule (docs with 0 < words < n contribute one
+    whole-doc shingle; empty docs contribute none)."""
+    from itertools import chain  # pylint: disable=C0415
+
+    n_docs = len(texts)
+    words = texts.fillna("").str.lower().str.split()
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    wh = _hash64(list(chain.from_iterable(words)))
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    doc_of_word = np.repeat(np.arange(n_docs), lens)
+    with np.errstate(over="ignore"):
+        n_pos = total - (shingle_n - 1)
+        if n_pos > 0:
+            acc = np.zeros(n_pos, dtype=np.uint64)
+            for k in range(shingle_n):
+                acc = acc * _FNV + wh[k : k + n_pos]
+            # a shingle is valid iff it does not straddle two documents
+            valid = doc_of_word[:n_pos] == doc_of_word[shingle_n - 1 :]
+            sh = _mix64(acc[valid], 7) % np.uint64(_MERSENNE)
+            doc_of_sh = doc_of_word[:n_pos][valid]
+        else:
+            sh = np.empty(0, np.uint64)
+            doc_of_sh = np.empty(0, np.int64)
+        short = np.nonzero((lens > 0) & (lens < shingle_n))[0]
+        if len(short):
+            extra = np.zeros(len(short), dtype=np.uint64)
+            for i, d in enumerate(short):
+                accd = np.uint64(0)
+                for k in range(starts[d], starts[d + 1]):
+                    accd = accd * _FNV + wh[k]
+                extra[i] = accd
+            sh = np.concatenate([sh, _mix64(extra, 7) % np.uint64(_MERSENNE)])
+            doc_of_sh = np.concatenate([doc_of_sh, short])
+            order = np.argsort(doc_of_sh, kind="stable")
+            sh, doc_of_sh = sh[order], doc_of_sh[order]
+    return sh, doc_of_sh
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
                        bands: int | None = None) -> DataFrame:
@@ -100,8 +148,6 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     (the previous per-row form measured ~2 ms/doc; this is ~100x less).
     MinHash is min-over-multiset, so shingle de-duplication is unnecessary.
     """
-    from itertools import chain  # pylint: disable=C0415
-
     a_params, b_params = _minhash_params(num_perm, seed)
     if bands is not None and num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -111,43 +157,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         out = np.zeros((n_docs, num_perm), dtype=np.int64)
         if n_docs == 0:
             return out
-        words = texts.fillna("").str.lower().str.split()
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            return out
-        wh = _hash64(list(chain.from_iterable(words)))
-        starts = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(lens, out=starts[1:])
-        doc_of_word = np.repeat(np.arange(n_docs), lens)
-        with np.errstate(over="ignore"):
-            n_pos = total - (shingle_n - 1)
-            if n_pos > 0:
-                acc = np.zeros(n_pos, dtype=np.uint64)
-                for k in range(shingle_n):
-                    acc = acc * _FNV + wh[k : k + n_pos]
-                # a shingle is valid iff it does not straddle two documents
-                valid = doc_of_word[:n_pos] == doc_of_word[shingle_n - 1 :]
-                sh = _mix64(acc[valid], 7) % np.uint64(_MERSENNE)
-                doc_of_sh = doc_of_word[:n_pos][valid]
-            else:
-                sh = np.empty(0, np.uint64)
-                doc_of_sh = np.empty(0, np.int64)
-            # docs shorter than the shingle size get one whole-doc shingle
-            # (mirrors the reference semantics of _shingles)
-            short = np.nonzero((lens > 0) & (lens < shingle_n))[0]
-            if len(short):
-                extra = np.zeros(len(short), dtype=np.uint64)
-                for i, d in enumerate(short):
-                    accd = np.uint64(0)
-                    for k in range(starts[d], starts[d + 1]):
-                        accd = accd * _FNV + wh[k]
-                    extra[i] = accd
-                sh = np.concatenate([sh, _mix64(extra, 7) % np.uint64(_MERSENNE)])
-                doc_of_sh = np.concatenate([doc_of_sh, short])
-                order = np.argsort(doc_of_sh, kind="stable")
-                sh, doc_of_sh = sh[order], doc_of_sh[order]
-            if len(sh):
+        sh, doc_of_sh = _flat_shingle_hashes(texts, shingle_n)
+        if len(sh):
+            with np.errstate(over="ignore"):
                 docs_present, first_idx = np.unique(doc_of_sh, return_index=True)
                 # perm blocks bound the (perm x shingle) temporary to ~50 MB
                 for p0 in range(0, num_perm, 16):
@@ -258,13 +270,36 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     docs_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
     joined = pairs.join(docs_a, "id_a").join(docs_b, "id_b")
 
+    def _row_sets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row DEDUPED shingle fingerprints: (row_ids, hashes)."""
+        sh, row = _flat_shingle_hashes(texts, shingle_n)
+        if not len(sh):
+            return row, sh
+        order = np.lexsort((sh, row))
+        row, sh = row[order], sh[order]
+        keep = np.ones(len(sh), dtype=bool)
+        keep[1:] = (row[1:] != row[:-1]) | (sh[1:] != sh[:-1])
+        return row[keep], sh[keep]
+
     @pandas_udf("double")
     def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = _shingles(x or "", shingle_n), _shingles(y or "", shingle_n)
-            union = len(sa | sb)
-            out[i] = (len(sa & sb) / union) if union else 1.0
+        # Fully vectorised set algebra over 64-bit shingle fingerprints (the
+        # same hashing as minhash_signatures): |A∩B| = duplicates in the
+        # concatenated per-pair sets, |A∪B| = |A| + |B| - |A∩B|.  No
+        # per-pair Python; collision odds at 61 bits are ~1e-10 per corpus.
+        n = len(ta)
+        ra, ha = _row_sets(ta)
+        rb, hb = _row_sets(tb)
+        ca = np.bincount(ra, minlength=n)
+        cb = np.bincount(rb, minlength=n)
+        rows = np.concatenate([ra, rb])
+        hs = np.concatenate([ha, hb])
+        order = np.lexsort((hs, rows))
+        rows_s, hs_s = rows[order], hs[order]
+        dup = (rows_s[1:] == rows_s[:-1]) & (hs_s[1:] == hs_s[:-1])
+        inter = np.bincount(rows_s[1:][dup], minlength=n)
+        union = ca + cb - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         return pd.Series(out)
 
     return joined.select("id_a", "id_b", jaccard("text_a", "text_b").alias("jaccard"))
@@ -287,22 +322,34 @@ def simhash_column(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
-                out[i] = 0
-                continue
-            h = _hash64(words)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = int(
-                np.int64(
-                    np.bitwise_or.reduce(
-                        (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                    ).astype(np.int64)
-                )
-            )
+        # One hash pass over the batch's flattened words, one (words x 64)
+        # sign matrix, per-doc bit votes via add.reduceat — no per-doc loop.
+        from itertools import chain  # pylint: disable=C0415
+
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        words = texts.fillna("").str.lower().str.split()
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        wh = _hash64(list(chain.from_iterable(words)))
+        shifts = np.arange(64, dtype=np.uint64)
+        signs = (
+            2 * ((wh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) - 1
+        )
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        nonempty = lens > 0
+        # Empty docs add zero-length gaps between consecutive starts, so
+        # reducing at each nonempty doc's start still spans exactly its words.
+        votes = np.add.reduceat(signs, starts[:-1][nonempty], axis=0)
+        codes = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << shifts[None, :], axis=1
+        )
+        out[nonempty] = codes.astype(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))

@@ -69,7 +69,8 @@ def fingerprint(col: Column) -> Column:
 
 
 def language_id_batch(texts: pd.Series) -> pd.Series:
-    """Stopword-profile language guesser (vectorised per batch)."""
+    """Stopword-profile language guesser — reference semantics in plain
+    Python (kept as the differential-test oracle for ``language_id``)."""
     langs = list(_STOPWORDS)
     out = np.empty(len(texts), dtype=object)
     for i, t in enumerate(texts):
@@ -88,11 +89,60 @@ def language_id_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _lang_score_columns(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts as pure column algebra: membership
+    count = sum of per-term containment bits (10 terms x 8 languages, all
+    inside whole-stage codegen — no Python, no UDF)."""
+    safe = F.coalesce(col, F.lit(""))
+    words = F.split(F.lower(F.trim(safe)), r"\s+")
+    scores: dict[str, Column] = {}
+    for lang, profile in _STOPWORDS.items():
+        if lang in ("zh", "ja"):
+            terms = [F.contains(safe, F.lit(ch)).cast("int") for ch in sorted(profile)]
+        else:
+            terms = [F.array_contains(words, w).cast("int") for w in sorted(profile)]
+        total = terms[0]
+        for term in terms[1:]:
+            total = total + term
+        scores[lang] = total
+    return scores
+
+
 def language_id(col: Column) -> Column:
-    """Column wrapper for ``language_id_batch`` (UDF built lazily: creating a
-    pandas_udf requires an active session)."""
-    udf = pandas_udf(language_id_batch, "string")
-    return udf(col)
+    """Stopword-profile language guesser, fully JVM-side.  Tie-break mirrors
+    the reference loop: the FIRST language (in ``_STOPWORDS`` order) reaching
+    the maximum score wins."""
+    scores = _lang_score_columns(col)
+    best = F.greatest(*scores.values())
+    langs = list(_STOPWORDS)
+    result = F.when(scores[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        result = result.when(scores[lang] == best, F.lit(lang))
+    return result.otherwise(F.lit(langs[0]))
+
+
+def language_id_sql(col: str = "text") -> str:
+    """DuckDB oracle expression mirroring ``language_id`` term-for-term."""
+    safe = f"coalesce({col}, '')"
+    words = f"regexp_split_to_array(lower(trim({safe})), '\\s+')"
+    score_exprs = {}
+    for lang, profile in _STOPWORDS.items():
+        if lang in ("zh", "ja"):
+            terms = [
+                f"CASE WHEN contains({safe}, '{ch}') THEN 1 ELSE 0 END"
+                for ch in sorted(profile)
+            ]
+        else:
+            terms = [
+                f"CASE WHEN list_contains({words}, '{w}') THEN 1 ELSE 0 END"
+                for w in sorted(profile)
+            ]
+        score_exprs[lang] = "(" + " + ".join(terms) + ")"
+    best = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    whens = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in score_exprs.items()
+    )
+    return f"CASE {whens} ELSE 'en' END"
 
 
 def token_count_sql(col: str = "text") -> str:
