@@ -376,17 +376,34 @@ def q_pages_extract_invariant(spark, sf_dir):
 
 
 def q_adaptive_cells(spark, sf_dir):
+    """Adaptive cell splitting, verified by SQL-checkable invariants: every
+    row is kept (total), every row's adaptive key is the closed-form cell of
+    its own point at the key's resolution (n_key_mismatch = 0), and any
+    still-over-capacity cell sits at the exhausted level budget
+    (n_over_below_max_depth = 0)."""
     from yirgacheffe_spark.spatial import pages as P
 
-    df = P.enriched_pages(spark, 20000, res=3)
-    out = joins.adaptive_cells(df, res=3, max_rows=500, max_extra_levels=4)
-    counts = out.groupBy("part_cell").agg(F.count("*").alias("n"))
-    stats = counts.agg(
-        F.count("*").alias("n_cells"), F.max("n").alias("mx"), F.sum("n").alias("tot")
+    res, max_rows, extra = 3, 500, 4
+    df = P.enriched_pages(spark, 20000, res=res)
+    out = joins.adaptive_cells(df, res=res, max_rows=max_rows, max_extra_levels=extra)
+    res_of = F.shiftrightunsigned(F.col("part_cell"), 56).cast("int")
+    recomputed = F.when(res_of == res, joins.cell_expr("lat", "lng", res))
+    for r in range(res + 1, res + extra + 1):
+        recomputed = recomputed.when(res_of == r, joins.cell_expr("lat", "lng", r))
+    checked = out.withColumn("_ok", F.col("part_cell") == recomputed).withColumn(
+        "_res", res_of
+    )
+    per_cell = checked.groupBy("part_cell", "_res").agg(F.count("*").alias("n"))
+    over = per_cell.where(
+        (F.col("n") > max_rows) & (F.col("_res") < res + extra)
+    ).count()
+    stats = checked.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("bad"),
     ).collect()[0]
     return spark.createDataFrame(
-        [(int(stats["n_cells"]), int(stats["mx"]), int(stats["tot"]))],
-        "n_cells long, max_rows long, total long",
+        [(int(stats["total"]), int(stats["bad"]), int(over))],
+        "total long, n_key_mismatch long, n_over_below_max_depth long",
     )
 
 
@@ -719,7 +736,12 @@ def oracle_sql() -> dict[str, str]:
             + quality.language_id_sql("text")
             + " AS guess FROM documents) GROUP BY guess"
         ),
+        "adaptive_cells": (
+            "SELECT CAST(20000 AS BIGINT) AS total,"
+            " CAST(0 AS BIGINT) AS n_key_mismatch,"
+            " CAST(0 AS BIGINT) AS n_over_below_max_depth"
+        ),
         # doc_minhash_pairs / doc_simhash_pairs / ann_topk_lsh /
-        # adaptive_cells / multimodal_features: no SQL analog -> rows-only
-        # (adaptive_cells gets SQL-checked invariants via its own query).
+        # multimodal_features: no SQL analog -> rows-only (each has a
+        # differential unit test in tests/ instead).
     }
