@@ -239,3 +239,21 @@ def test_language_id_edge_cases(spark):
         .orderBy("i").collect()
     )
     assert [r["g"] for r in got] == ["en", "en", "de", "zh", "en"]
+
+
+def test_fused_candidates_equal_count_filter_path(documents, spark):
+    # Force tiny Arrow batches so key runs span batch boundaries in the
+    # fused streamer.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        sigs = dedup.minhash_signatures(
+            documents.limit(200), num_perm=64, shingle_n=3, bands=16
+        ).persist()
+        old = {(r["id_a"], r["id_b"])
+               for r in dedup.minhash_lsh_candidates(sigs, bands=16).collect()}
+        new = {(r["id_a"], r["id_b"])
+               for r in dedup.minhash_lsh_candidates_fused(sigs, bands=16).collect()}
+        sigs.unpersist()
+        assert old == new
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

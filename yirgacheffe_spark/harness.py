@@ -211,16 +211,20 @@ def bench_pages(spark, sf_dir: str, n_rows: int, res: int = 6, seed: int = 42) -
     workers per task (measured 3x slower and erratic)."""
     from .spatial import pages as pages_mod
 
-    path = os.path.join(_cache_dir(sf_dir), f"pages_n{n_rows}_r{res}_s{seed}")
+    path = os.path.join(_cache_dir(sf_dir), f"pages_n{n_rows}_r{res}_s{seed}_v2")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # ~12k rows (~1.5 MB zstd) per file: a 100 TB crawl table has millions
+        # of row groups, so a reader is never split-starved; the small fixture
+        # must reproduce that or the Python-UDF stages cap at the writer's
+        # width (measured: 800k docs landed in 16 row groups -> at most 16
+        # signature tasks on 32 cores, flattening the 8->32 scaling curve).
+        n_files = max(8, min(512, n_rows // 12000))
         (
             pages_mod.enriched_pages(spark, n_rows, res=res, seed=seed)
+            .repartition(n_files)
             .write.mode("overwrite")
             .option("compression", "zstd")
-            # 8 MB row groups: a table written by an 8-core job must still
-            # split into enough scan tasks for a 32-core reader (one giant
-            # row group per file caps parallelism at the writer's width).
-            .option("parquet.block.size", 8 * 1024 * 1024)
+            .option("parquet.block.size", 4 * 1024 * 1024)
             .parquet(path)
         )
     return path

@@ -263,6 +263,91 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _run_pairs_stream(batch_iter, max_bucket: int):
+    """Stream Arrow batches of (key_band, key_bucket, id[, extra...]) rows
+    sorted within the partition; yield pair tuples for every key run of
+    2..max_bucket members.  Run detection is vectorised; only the (rare)
+    multi-member runs are expanded, so per-row Python never happens."""
+    import pandas as pd  # pylint: disable=C0415
+
+    carry = None  # (band, bucket, ids) of the run left open by the last batch
+
+    def expand(members, out_a, out_b):
+        if 1 < len(members) <= max_bucket:
+            a_idx, b_idx = np.triu_indices(len(members), k=1)
+            out_a.append(members[a_idx])
+            out_b.append(members[b_idx])
+
+    for pdf in batch_iter:
+        if not len(pdf):
+            continue
+        bands = pdf.iloc[:, 0].to_numpy()
+        buckets = pdf.iloc[:, 1].to_numpy()
+        ids = pdf.iloc[:, 2].to_numpy()
+        new_run = np.ones(len(pdf), dtype=bool)
+        new_run[1:] = (bands[1:] != bands[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], len(pdf))
+        out_a, out_b = [], []
+        for k, (s, e) in enumerate(zip(starts, ends)):
+            members = ids[s:e]
+            if k == 0 and carry is not None:
+                if carry[0] == bands[0] and carry[1] == buckets[0]:
+                    members = np.concatenate([carry[2], members])
+                else:  # the carried run ended at the batch boundary
+                    expand(carry[2], out_a, out_b)
+                carry = None
+            if e == len(pdf):
+                # the batch's final run may continue into the next batch —
+                # hold it (capped: runs beyond max_bucket are dropped anyway,
+                # so a mega-bucket cannot buffer unboundedly)
+                carry = (bands[-1], buckets[-1], members[: max_bucket + 1])
+            else:
+                expand(members, out_a, out_b)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+    if carry is not None:
+        out_a, out_b = [], []
+        expand(carry[2], out_a, out_b)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a[0], "id_b": out_b[0]})
+
+
+def minhash_lsh_candidates_fused(sigs: DataFrame, id_col: str = "doc_id",
+                                 bands: int = 8, max_bucket: int = 4096,
+                                 partitions: int | None = None) -> DataFrame:
+    """Single-shuffle candidate pairs: hash-repartition the banded rows on
+    (band, bucket), sort within partitions, and stream key runs in one
+    Arrow pass — pairs are emitted map-side per run, singletons cost only
+    their shuffled row (no lists, no broadcast, no second aggregation).
+
+    Versus ``minhash_lsh_candidates`` this trades the count-filter's extra
+    pass + broadcast join for one in-partition sort: three shuffling stages
+    collapse into one (plus the tiny pair ``distinct``), which at bench
+    scale removes ~2 AQE/stage-latency barriers and at cluster scale halves
+    the banded-row shuffle volume."""
+    del bands  # signature compatibility; buckets must be precomputed
+    if "buckets" not in sigs.columns:
+        raise ValueError("fused candidates need the fused `buckets` column")
+    spark = sigs.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    id_type = dict(sigs.dtypes)[id_col]
+    banded = sigs.select(
+        F.col(id_col), F.posexplode("buckets").alias("band", "bucket")
+    )
+    shuffled = banded.repartition(n_parts, "band", "bucket").sortWithinPartitions(
+        "band", "bucket", id_col
+    ).select("band", "bucket", id_col)
+
+    def gen(batches):
+        yield from _run_pairs_stream(batches, max_bucket)
+
+    pairs = shuffled.mapInPandas(gen, schema=f"id_a {id_type}, id_b {id_type}")
+    return pairs.distinct()
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs (the verifier)."""
