@@ -95,6 +95,7 @@ def main() -> int:
         [pages_path, minhash_path, rasters["qty"].path,
          os.path.join(SF_DIR, "lineitem.parquet"),
          os.path.join(SF_DIR, "embeddings.parquet")]
+        + harness.bench_mosaic_children(SF_DIR, repeat=RASTER_REPEAT)
     )
 
     def timed(fn):
@@ -116,6 +117,10 @@ def main() -> int:
 
     def q_unique():
         return len((rasters["hab"] % 7).unique(spark=spark))
+
+    def q_mosaic():
+        paths = harness.bench_mosaic_children(SF_DIR, repeat=RASTER_REPEAT)
+        return yg.GroupLayer.layer_from_files(paths, "mosaic").sum(spark=spark)
 
     def q_save():
         # tmpfs output: the sandbox's single 130 MB/s disk is not the write
@@ -193,6 +198,7 @@ def main() -> int:
         "aoh_mask_sum": q_aoh,
         "conv2d_sum": q_conv,
         "unique_vals": q_unique,
+        "mosaic_sum": q_mosaic,
         "save_tiles": q_save,
         "pages_enrich": q_enrich,
         "pages_pip_join": q_pip,

@@ -230,6 +230,37 @@ def bench_pages(spark, sf_dir: str, n_rows: int, res: int = 6, seed: int = 42) -
     return path
 
 
+def bench_mosaic_children(sf_dir: str, repeat: int = 48,
+                          n_children: int = 6, overlap: int = 32) -> list[str]:
+    """Write (once) N overlapping horizontal strips of the bench qty grid as
+    separate parquet rasters — the GroupLayer/mosaic benchmark fixture.
+    Overlapping rows carry identical data, so first-wins compositing makes
+    the mosaic bit-equal to the full raster (sum is invariant-checkable)."""
+    base = os.path.join(_cache_dir(sf_dir), f"bench_mosaic_r{repeat}_n{n_children}")
+    paths = [os.path.join(base, f"child_{i}") for i in range(n_children)]
+    if not all(os.path.exists(os.path.join(p, "_raster_meta.json")) for p in paths):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity"]
+        )
+        qty = table.column("l_quantity").to_numpy().astype(np.int16)
+        n = len(qty) * repeat
+        height = math.ceil(n / BENCH_W)
+        grid = np.zeros(height * BENCH_W, dtype=np.int16)
+        tiled = np.tile(qty, repeat)
+        grid[: len(tiled)] = tiled
+        grid = grid.reshape(height, BENCH_W)
+        strip = math.ceil(height / n_children)
+        os.makedirs(base, exist_ok=True)
+        for i, p in enumerate(paths):
+            y0 = max(i * strip - (overlap if i else 0), 0)
+            y1 = min((i + 1) * strip, height)
+            area = Area(0.0, -y0 * STEP, BENCH_W * STEP, -y1 * STEP, PROJ)
+            write_array_as_raster_table(p, grid[y0:y1], area)
+    return paths
+
+
 def bench_rasters_multiband(sf_dir: str, repeat: int = 48) -> dict[str, ParquetRasterLayer]:
     """The bench channels as ONE interleaved multiband table: multi-channel
     expressions read it in a single scan with zero shuffles.

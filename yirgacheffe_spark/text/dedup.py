@@ -323,11 +323,14 @@ def minhash_lsh_candidates_fused(sigs: DataFrame, id_col: str = "doc_id",
     Arrow pass — pairs are emitted map-side per run, singletons cost only
     their shuffled row (no lists, no broadcast, no second aggregation).
 
-    Versus ``minhash_lsh_candidates`` this trades the count-filter's extra
-    pass + broadcast join for one in-partition sort: three shuffling stages
-    collapse into one (plus the tiny pair ``distinct``), which at bench
-    scale removes ~2 AQE/stage-latency barriers and at cluster scale halves
-    the banded-row shuffle volume."""
+    Measured tradeoff vs ``minhash_lsh_candidates`` (800k docs, local[32]):
+    comparable from a persisted signature table (6.5s vs 6.9s) but SLOWER
+    end-to-end, because this path must shuffle every banded row including
+    its document id (ids are often long urls), while the count-filter path's
+    wide shuffle carries only (band, bucket) counts and re-shuffles ids for
+    the few hot buckets.  Kept as the alternative for corpora where the
+    multi-member bucket set is too large to broadcast (mostly-duplicate
+    corpora), where the count-filter design degrades."""
     del bands  # signature compatibility; buckets must be precomputed
     if "buckets" not in sigs.columns:
         raise ValueError("fused candidates need the fused `buckets` column")
