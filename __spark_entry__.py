@@ -479,6 +479,19 @@ def q_layer_vector_mask_sum(spark, sf_dir):
     return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
+def q_layer_reproject_nearest_sum(spark, sf_dir):
+    """Nearest-neighbour reprojection at a NON-integer scale factor (1.5x
+    coarsening) over an expression (as_area re-scope -> as_projection),
+    exercising the preimage-window gather.  Target centers never land on
+    pixel boundaries ((6j+3)/4 is never integral), so the SQL mirror
+    floor((6j+3)/4) is float-safe."""
+    r = harness.lineitem_rasters(sf_dir)
+    clipped = r["qty"].as_area(yg.Area(0.0, 0.0, 2.4, -1.2, harness.PROJ))
+    coarse = yg.MapProjection("epsg:4326", 0.015, -0.015)
+    total = clipped.as_projection(coarse, "nearest").sum(spark=spark)
+    return scalar_df(spark, total, "sum_value")
+
+
 def q_events_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -528,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_nan_to_num_sum": q_layer_nan_to_num_sum,
         "layer_mosaic_sum": q_layer_mosaic_sum,
         "layer_reproject_sum": q_layer_reproject_sum,
+        "layer_reproject_nearest_sum": q_layer_reproject_nearest_sum,
         "layer_round_log_sum": q_layer_round_log_sum,
         "layer_pow_sum": q_layer_pow_sum,
         "layer_uniform_sum": q_layer_uniform_sum,
@@ -610,6 +624,12 @@ def oracle_sql() -> dict[str, str]:
                 + SUM(CASE WHEN (i // 256) + 64 >= {h} OR (i % 256) + 32 >= 256
                            THEN price ELSE 0 END) AS sum_value FROM px""",
         "layer_reproject_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
+        "layer_reproject_nearest_sum": PX_CTE
+        + """SELECT CAST(SUM(COALESCE(qty, 0)) AS DOUBLE) AS sum_value
+             FROM (SELECT (6 * r.range + 3) // 4 AS si,
+                          (6 * c.range + 3) // 4 AS sj
+                   FROM range(0, 80) r, range(0, 160) c) t
+             LEFT JOIN px ON px.i = t.si * 256 + t.sj""",
         "layer_round_log_sum": PX_CTE
         + "SELECT SUM(round(ln(qty + 1) * 1000)) AS sum_value FROM px",
         "layer_pow_sum": PX_CTE

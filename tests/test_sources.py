@@ -224,3 +224,26 @@ def test_reprojected_nearest_partial_window_reads_match_full(tmp_path):
             ys, xs = min(3, h - y0), min(3, w - x0)
             pieces[y0:y0 + ys, x0:x0 + xs] = rl.read_array(x0, y0, xs, ys)
     np.testing.assert_array_equal(pieces, whole)
+
+
+def test_as_projection_on_expression(spark):
+    # Reference wraps any node (_operators/__init__.py:422-434); the sum of
+    # an expression coarsened 2x by block-sum must equal the full-res sum.
+    a = yg.from_array(np.arange(64, dtype=np.float64).reshape(8, 8), (0.0, 0.0), PROJ)
+    b = yg.from_array(np.full((8, 8), 2.0), (0.0, 0.0), PROJ)
+    expr = a * b + 1
+    coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+    got = expr.as_projection(coarse, "sum").sum(spark=spark)
+    want = (np.arange(64, dtype=np.float64).reshape(8, 8) * 2 + 1).sum()
+    assert got == want
+
+
+def test_as_projection_expression_nearest_local():
+    a = yg.from_array(np.arange(144, dtype=np.float64).reshape(12, 12), (0.0, 0.0), PROJ)
+    expr = a % 7
+    coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)
+    got = evaluate_window(expr.as_projection(coarse, "nearest"))
+    data = np.arange(144, dtype=np.float64).reshape(12, 12) % 7
+    for i in range(8):
+        for j in range(8):
+            assert got[i, j] == data[int((i + 0.5) * 1.5), int((j + 0.5) * 1.5)]

@@ -28,15 +28,45 @@ from .base import Layer
 RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", "rms")
 
 
+class _ExpressionLayer(Layer):
+    """Adapter presenting an expression tree as a readable layer, so any
+    node — not just sources — can be reprojected (reference wraps arbitrary
+    nodes the same way, ``_operators/__init__.py:422-434``).  Reads evaluate
+    the subtree through the fused local kernel (operator fusion + CSE), and
+    inside Spark kernels the subtree's parquet leaves use the same pruned
+    per-worker dataset reads as mosaic children."""
+
+    def __init__(self, tree):
+        from ..operators import LayerOperation  # pylint: disable=C0415
+
+        self._tree = tree if isinstance(tree, LayerOperation) else LayerOperation(tree)
+        projection = self._tree.projection
+        if projection is None:
+            raise ValueError("Expression must carry a projection to reproject")
+        area = self._tree.operation_area(projection)
+        super().__init__(area, name="expr")
+
+    @property
+    def datatype(self) -> DataType:
+        return self._tree.datatype
+
+    @property
+    def cse_hash(self) -> int | None:
+        return self._tree.cse_hash
+
+    def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
+        from ..plans.kernel import evaluate_window  # pylint: disable=C0415
+
+        return evaluate_window(self._tree, xoff, yoff, xsize, ysize)
+
+
 class ReprojectedLayer(Layer):
     def __init__(self, source, projection: MapProjection, method: str = "nearest",
                  name: str | None = None):
         if method not in RESAMPLING_METHODS:
             raise ValueError(f"Unsupported resampling method: {method}")
         if not isinstance(source, Layer):
-            raise NotImplementedError(
-                "as_projection currently reprojects source layers, not expressions"
-            )
+            source = _ExpressionLayer(source)
         if source.projection is None:
             raise ValueError("Source layer must be projected")
         area = source.area.reproject(projection)
