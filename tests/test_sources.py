@@ -247,3 +247,50 @@ def test_as_projection_expression_nearest_local():
     for i in range(8):
         for j in range(8):
             assert got[i, j] == data[int((i + 0.5) * 1.5), int((j + 0.5) * 1.5)]
+
+
+class TestWhereFilter:
+    FEATS = [
+        {"species": 1, "cls": "bird", "pop": 10.5,
+         "geom_wkt": "POLYGON ((0.003 -0.003, 0.037 -0.003, 0.037 -0.037, 0.003 -0.037, 0.003 -0.003))"},
+        {"species": 2, "cls": "mammal", "pop": 3.0,
+         "geom_wkt": "POLYGON ((0.103 -0.003, 0.137 -0.003, 0.137 -0.037, 0.103 -0.037, 0.103 -0.003))"},
+        {"species": 3, "cls": "bird", "pop": None,
+         "geom_wkt": "POLYGON ((0.203 -0.003, 0.237 -0.003, 0.237 -0.037, 0.203 -0.037, 0.203 -0.003))"},
+    ]
+
+    def _kept(self, flt):
+        from yirgacheffe_spark.sources.vector import parse_where_filter
+        pred = parse_where_filter(flt)
+        return [f["species"] for f in self.FEATS if pred(f)]
+
+    def test_comparisons(self):
+        assert self._kept("species = 2") == [2]
+        assert self._kept("species <> 2") == [1, 3]
+        assert self._kept("pop >= 3.0") == [1, 2]
+        assert self._kept("pop < 5") == [2]
+
+    def test_string_and_bool_ops(self):
+        assert self._kept("cls = 'bird'") == [1, 3]
+        assert self._kept("cls = 'bird' AND pop > 5") == [1]
+        assert self._kept("cls = 'mammal' OR species = 3") == [2, 3]
+        assert self._kept("NOT (cls = 'bird')") == [2]
+
+    def test_in_and_null(self):
+        assert self._kept("species IN (1, 3)") == [1, 3]
+        assert self._kept("cls IN ('mammal')") == [2]
+        assert self._kept("pop IS NULL") == [3]
+        assert self._kept("pop IS NOT NULL") == [1, 2]
+
+    def test_escaped_quote(self):
+        feats = [{"name": "o'brien", "geom_wkt": self.FEATS[0]["geom_wkt"]}]
+        from yirgacheffe_spark.sources.vector import parse_where_filter
+        pred = parse_where_filter("name = 'o''brien'")
+        assert pred(feats[0])
+
+    def test_layer_filters_and_burn_dtype(self):
+        vl = yg.read_shape(self.FEATS, PROJ, burn_value="species",
+                           where_filter="cls = 'bird' AND species < 3")
+        assert vl.datatype == yg.DataType.Int64
+        vl_f = yg.read_shape(self.FEATS[:2], PROJ, burn_value="pop")
+        assert vl_f.datatype == yg.DataType.Float64

@@ -138,6 +138,146 @@ def load_geojson(path: str) -> list[dict]:
     return feats
 
 
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op><=|>=|<>|!=|=|<|>)"
+    r"|(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*))"
+)
+
+
+def _tokenize_filter(text: str) -> list[tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(f"Bad where_filter near: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "word" and val.upper() in ("AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE"):
+            tokens.append(("kw", val.upper()))
+        else:
+            tokens.append((kind, val))
+    return tokens
+
+
+def parse_where_filter(text: str):
+    """Parse an OGR-SQL-style attribute filter into a predicate over feature
+    dicts.  Supports comparisons (=, !=, <>, <, <=, >, >=), AND/OR/NOT,
+    IN (...), IS [NOT] NULL and parentheses — the operators the reference
+    pushes through ``SetAttributeFilter`` (``_layers/vectors.py:138-139``).
+    Comparisons are numeric when both sides are numbers, else string."""
+    tokens = _tokenize_filter(text)
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else (None, None)
+
+    def take(kind=None, val=None):
+        nonlocal pos
+        t = peek()
+        if (kind and t[0] != kind) or (val and t[1] != val):
+            raise ValueError(f"where_filter parse error at token {t} in {text!r}")
+        pos += 1
+        return t
+
+    def coerce(raw_kind, raw):
+        if raw_kind == "num":
+            return float(raw)
+        return raw[1:-1].replace("''", "'")  # unquote string literal
+
+    def cmp_values(feature_value, op, literal):
+        if feature_value is None:
+            return False
+        a, b = feature_value, literal
+        if isinstance(b, float):
+            try:
+                a = float(a)
+            except (TypeError, ValueError):
+                return False
+        else:
+            a = str(a)
+        if op == "=":
+            return a == b
+        if op in ("!=", "<>"):
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        return a >= b
+
+    def parse_primary():
+        nonlocal pos
+        kind, val = peek()
+        if kind == "kw" and val == "NOT":
+            take()
+            inner = parse_primary()
+            return lambda f: not inner(f)
+        if kind == "lparen":
+            take()
+            inner = parse_or()
+            take("rparen")
+            return inner
+        col = take("word")[1]
+        kind, val = peek()
+        if kind == "kw" and val == "IS":
+            take()
+            negate = peek() == ("kw", "NOT")
+            if negate:
+                take()
+            take("kw", "NULL")
+            return (lambda f: f.get(col) is not None) if negate else (
+                lambda f: f.get(col) is None)
+        if kind == "kw" and val == "IN":
+            take()
+            take("lparen")
+            items = []
+            while True:
+                k, v = take()
+                if k not in ("num", "str"):
+                    raise ValueError(f"IN list expects literals, got {v!r}")
+                items.append(coerce(k, v))
+                k, _ = peek()
+                if k == "comma":
+                    take()
+                    continue
+                take("rparen")
+                break
+            return lambda f: any(cmp_values(f.get(col), "=", item) for item in items)
+        op = take("op")[1]
+        k, v = take()
+        if k not in ("num", "str"):
+            raise ValueError(f"Comparison expects a literal, got {v!r}")
+        lit = coerce(k, v)
+        return lambda f: cmp_values(f.get(col), op, lit)
+
+    def parse_and():
+        left = parse_primary()
+        while peek() == ("kw", "AND"):
+            take()
+            right = parse_primary()
+            left = (lambda a, b: lambda f: a(f) and b(f))(left, right)
+        return left
+
+    def parse_or():
+        left = parse_and()
+        while peek() == ("kw", "OR"):
+            take()
+            right = parse_and()
+            left = (lambda a, b: lambda f: a(f) or b(f))(left, right)
+        return left
+
+    pred = parse_or()
+    if pos != len(tokens):
+        raise ValueError(f"Trailing tokens in where_filter: {tokens[pos:]}")
+    return pred
+
+
 class VectorLayer(Layer):
     """A polygon table rasterized lazily against a reference pixel grid.
 
@@ -166,20 +306,12 @@ class VectorLayer(Layer):
             raise ValueError("projection must be provided")
         feats = list(features)
         if where_filter is not None:
-            if isinstance(where_filter, str):
-                col, _, raw = where_filter.partition("=")
-                col, raw = col.strip(), raw.strip().strip("'\"")
-
-                def _pred(f, col=col, raw=raw):
-                    v = f.get(col)
-                    try:
-                        return float(v) == float(raw)
-                    except (TypeError, ValueError):
-                        return str(v) == raw
-
-                feats = [f for f in feats if _pred(f)]
-            else:
-                feats = [f for f in feats if where_filter(f)]
+            pred = (
+                parse_where_filter(where_filter)
+                if isinstance(where_filter, str)
+                else where_filter
+            )
+            feats = [f for f in feats if pred(f)]
         if not feats:
             raise ValueError("No features match filter (or empty feature set)")
 
@@ -212,7 +344,20 @@ class VectorLayer(Layer):
         super().__init__(area, name)
         if datatype is None:
             if isinstance(burn_value, str):
-                self._datatype = DataType.Float64
+                # Infer from the attribute's values, like the reference reads
+                # the OGR field definition (integer field -> Int64, real ->
+                # Float64; ``_layers/vectors.py:17-33``).
+                values = [f[burn_value] for _r, _b, f in self._features]
+                if any(isinstance(v, bool) or not isinstance(v, (int, float))
+                       for v in values):
+                    raise ValueError(
+                        f"Can't infer datatype for burn attribute {burn_value!r}"
+                    )
+                self._datatype = (
+                    DataType.Int64
+                    if all(isinstance(v, int) for v in values)
+                    else DataType.Float64
+                )
             else:
                 self._datatype = scalar_datatype(burn_value)
         else:
