@@ -361,6 +361,31 @@ def q_spatial_knn(spark, sf_dir):
     )
 
 
+def q_spatial_knn_table(spark, sf_dir):
+    """Table-vs-table kNN: a DataFrame of nation-derived query points against
+    the customer point table — all-DataFrame ring expansion (shell cells from
+    explode(sequence), JVM haversine, localCheckpoint rounds; the driver only
+    checks whether unsettled queries remain)."""
+    pts = harness.customer_points(spark, sf_dir).withColumn(
+        "cell", joins.cell_expr("lat", "lng", RES)
+    )
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    qdf = nation.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        ((F.col("n_nationkey") * 7) % 160 - 80 + 0.5).cast("double").alias("lat"),
+        ((F.col("n_nationkey") * 13) % 360 - 180 + 0.5).cast("double").alias("lng"),
+    )
+    # max_ring=64 >= cols/2 at res 5: the expansion provably covers the whole
+    # grid before force-settling, so results stay exact even on the sparsest
+    # test corpus (polar queries at sf0.001 need ring > 6).
+    out = joins.knn_join_df(spark, pts, qdf, k=3, res=RES, max_ring=64,
+                            id_col="c_custkey")
+    return out.select(
+        "query_id", "c_custkey",
+        F.round(F.col("dist_m")).cast("long").alias("dist_round_m"),
+    )
+
+
 def q_pages_extract_invariant(spark, sf_dir):
     from yirgacheffe_spark.spatial import pages as P
 
@@ -566,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_cell_assign": q_spatial_cell_assign,
         "spatial_pip": q_spatial_pip,
         "spatial_knn": q_spatial_knn,
+        "spatial_knn_table": q_spatial_knn_table,
         "pages_extract_invariant": q_pages_extract_invariant,
         "adaptive_cells": q_adaptive_cells,
         "multimodal_features": q_multimodal_features,
@@ -749,6 +775,28 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY dist_m ASC, c_custkey ASC
                 ) AS rn FROM scored
             ) WHERE rn <= 5
+        """,
+        "spatial_knn_table": f"""
+            WITH pts AS ({POINTS_SQL}),
+            q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+                         CAST((n_nationkey * 7) % 160 - 80 + 0.5 AS DOUBLE) AS qlat,
+                         CAST((n_nationkey * 13) % 360 - 180 + 0.5 AS DOUBLE) AS qlng
+                  FROM nation),
+            scored AS (
+                SELECT q.query_id, pts.c_custkey,
+                       2 * 6371008.8 * asin(sqrt(
+                           pow(sin(radians(pts.lat - q.qlat) / 2), 2)
+                           + cos(radians(q.qlat)) * cos(radians(pts.lat))
+                           * pow(sin(radians(pts.lng - q.qlng) / 2), 2)
+                       )) AS dist_m
+                FROM pts CROSS JOIN q
+            )
+            SELECT query_id, c_custkey, CAST(round(dist_m) AS BIGINT) AS dist_round_m
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY dist_m ASC, c_custkey ASC
+                ) AS rn FROM scored
+            ) WHERE rn <= 3
         """,
         "pages_extract_invariant": "SELECT CAST(20000 AS BIGINT) AS n_pages, CAST(0 AS BIGINT) AS n_mismatch",
         "doc_langid": (

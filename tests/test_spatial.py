@@ -205,3 +205,30 @@ class TestLineage:
         lineage = run2.lineage()
         assert set(lineage["task_id"]) == {0, 1, 2}
         assert (lineage["rows"] == 10).all()
+
+
+class TestKNNTable:
+    def test_table_vs_table_matches_brute_force(self, spark):
+        df = pages.enriched_pages(spark, 1200, res=4).cache()
+        qpdf = pd.DataFrame(
+            {
+                "query_id": np.arange(60),
+                "lat": ((np.arange(60) * 37) % 160) - 80 + 0.5,
+                "lng": ((np.arange(60) * 91) % 360) - 180 + 0.5,
+            }
+        )
+        got = joins.knn_join_df(
+            spark, df, spark.createDataFrame(qpdf), k=3, res=4, max_ring=32
+        )
+        got_rows = got.orderBy("query_id", "rank").collect()
+
+        rows = df.select("url", "lat", "lng").collect()
+        lat = np.array([r["lat"] for r in rows])
+        lng = np.array([r["lng"] for r in rows])
+        urls = np.array([r["url"] for r in rows])
+        for q in qpdf.itertuples():
+            d = joins.haversine_m(lat, lng, q.lat, q.lng)
+            order = np.lexsort((urls, d))[:3]
+            want = list(urls[order])
+            mine = [r["url"] for r in got_rows if r["query_id"] == q.query_id]
+            assert mine == want, f"query {q.query_id}"

@@ -111,6 +111,185 @@ def point_in_polygon_join(
     return candidates.where(contains(F.col("lat"), F.col("lng"), F.col("poly_id")))
 
 
+def haversine_col(lat, lng, qlat, qlng):
+    """Great-circle metres as a JVM column expression (term-for-term mirror
+    of ``haversine_m``, so both engines and the SQL oracle agree)."""
+    p1 = F.radians(qlat)
+    p2 = F.radians(lat)
+    a = (
+        F.pow(F.sin((p2 - p1) / 2), 2)
+        + F.cos(p1) * F.cos(p2) * F.pow(F.sin((F.radians(lng) - F.radians(qlng)) / 2), 2)
+    )
+    return F.lit(2.0) * F.lit(EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def knn_join_df(
+    spark: SparkSession,
+    pages: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    max_ring: int = 6,
+    id_col: str = "url",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Table-vs-table kNN: for every row of ``queries`` (query_id, lat, lng),
+    its k nearest pages by great-circle distance.
+
+    Fully distributed cell-ring expansion: each round scores only the NEW
+    Chebyshev shell (prev_ring, ring] of cells around each still-unsettled
+    query — shell cells are generated with JVM ``explode(sequence(...))``
+    column algebra, candidates come from a cell-equality join, distances are
+    JVM column math (no Python anywhere), and the per-query running top-k is
+    a window re-rank over (previous best) ∪ (new shell hits).  A query
+    settles once its k-th distance is provably inside the searched disk:
+    ``ring * min(cell_height_m, cell_width_m at the disk's most poleward
+    latitude)`` (width shrinks toward the poles; if the disk touches a pole
+    the width bound collapses to zero and only ``max_ring`` terminates).
+    The driver never sees a result row — it only checks per-round whether
+    unsettled queries remain (rounds are O(log max_ring)).
+    """
+    rows_n, cols_n = 1 << res, 1 << (res + 1)
+    cell_h_deg = 180.0 / rows_n
+    cell_w_deg = 360.0 / cols_n
+    m_per_deg = 111_194.9
+
+    q = queries.select(
+        "query_id",
+        F.col("lat").cast("double").alias("qlat"),
+        F.col("lng").cast("double").alias("qlng"),
+    ).withColumn(
+        "qrow",
+        F.least(
+            F.greatest(
+                F.floor((F.lit(90.0) - F.col("qlat")) / F.lit(cell_h_deg)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(rows_n - 1),
+        ),
+    ).withColumn(
+        "qcol",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.pmod(F.col("qlng") + F.lit(180.0), F.lit(360.0)))
+                    / F.lit(cell_w_deg)
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(cols_n - 1),
+        ),
+    )
+
+    from pyspark.sql import Window as W
+
+    pending = q
+    best: DataFrame | None = None
+    settled_frames: list[DataFrame] = []
+    prev_ring, ring = -1, 1
+    while True:
+        shell = (
+            pending.withColumn("dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .where(
+                (F.col("qrow") + F.col("dy") >= 0)
+                & (F.col("qrow") + F.col("dy") < rows_n)
+            )
+            .withColumn("dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .where(F.greatest(F.abs("dy"), F.abs("dx")) > prev_ring)
+            .select(
+                "query_id",
+                "qlat",
+                "qlng",
+                (
+                    F.lit(res).cast("long") * F.lit(1 << 56).cast("long")
+                    + (F.col("qrow") + F.col("dy")) * F.lit(1 << 28).cast("long")
+                    + F.pmod(F.col("qcol") + F.col("dx"), F.lit(cols_n))
+                ).alias("cell"),
+            )
+        )
+        if 2 * ring + 1 > cols_n:  # longitude wrap can duplicate shell cells
+            shell = shell.dropDuplicates(["query_id", "cell"])
+        cand = pages.join(
+            F.broadcast(shell) if broadcast_queries else shell, "cell", "inner"
+        )
+        new_hits = cand.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")).alias("dist_m"),
+        )
+        merged = new_hits if best is None else best.unionByName(new_hits)
+        if 2 * ring + 1 > cols_n:
+            # Longitude wrap lets a physical cell re-enter a LATER shell
+            # under a larger |dx| (17 right == 15 left on a 32-col grid), so
+            # its pages would be scored twice; dedupe (rows are identical).
+            merged = merged.dropDuplicates(["query_id", "neighbor_id"])
+        # localCheckpoint (not persist): each round's running top-k feeds the
+        # next round's plan on BOTH sides (shell candidates and the settle
+        # check), so without lineage truncation the logical plan doubles per
+        # round — exponential analyzer/broadcast cost by ring 4.  Truncation
+        # caps it; the stored frame is <= k rows per unsettled query.
+        best = (
+            merged.withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("dist_m").asc(), F.col("neighbor_id").asc()
+                    )
+                ),
+            )
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist_m")
+            .localCheckpoint(eager=True)
+        )
+
+        stats = best.groupBy("query_id").agg(
+            F.count("*").alias("_c"), F.max("dist_m").alias("_kth")
+        )
+        phi_far = F.least(
+            F.lit(90.0), F.abs(F.col("qlat")) + F.lit((ring + 1) * cell_h_deg)
+        )
+        safe_m = F.lit(ring * m_per_deg) * F.least(
+            F.lit(cell_h_deg),
+            F.lit(cell_w_deg) * F.greatest(F.cos(F.radians(phi_far)), F.lit(0.0)),
+        )
+        judged = pending.join(stats, "query_id", "left")
+        is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_m)
+        if ring >= max_ring:
+            is_settled = F.lit(True)
+        settled_ids = judged.where(is_settled).select("query_id")
+        settled_frames.append(
+            best.join(F.broadcast(settled_ids), "query_id", "left_semi")
+        )
+        pending = (
+            judged.where(~F.coalesce(is_settled, F.lit(False)))
+            .select("query_id", "qlat", "qlng", "qrow", "qcol")
+            .localCheckpoint(eager=True)
+        )
+        if ring >= max_ring or pending.isEmpty():
+            break
+        prev_ring, ring = ring, min(ring * 2, max_ring)
+
+    out = settled_frames[0]
+    for frame in settled_frames[1:]:
+        out = out.unionByName(frame)
+    out = (
+        out.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("dist_m").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("neighbor_id").alias(id_col), "dist_m", "rank")
+    )
+    # settled_frames are localCheckpoint-backed (executor-resident, <= k rows
+    # per query each); Spark's ContextCleaner reclaims them when the result
+    # goes out of scope.  No driver collect anywhere.
+    return out
+
+
 def knn_join(
     spark: SparkSession,
     pages: DataFrame,
@@ -120,85 +299,13 @@ def knn_join(
     max_ring: int = 6,
     id_col: str = "url",
 ) -> DataFrame:
-    """For each query point, its k nearest pages by great-circle distance.
-
-    Cell-ring expansion: candidates are pages whose cell lies within an
-    expanding Chebyshev ring of the query's cell.  Rings grow geometrically
-    (1, 2, 4, ...) and a query is *settled* once its k-th best distance is
-    provably inside the searched ring (the ring's inscribed distance exceeds
-    it) — the standard grid-kNN termination guarantee, run as a handful of
-    pruned broadcast joins rather than one giant cross product.
-
-    ``queries``: dicts with ``query_id``, ``lat``, ``lng``.
-    """
-    rows_s, rows_w, rows_n, rows_e = cellindex.cell_bounds(
-        np.array([cellindex.latlng_to_cell(q["lat"], q["lng"], res) for q in queries],
-                 dtype=np.int64)
+    """List-of-dicts convenience wrapper over ``knn_join_df`` (``queries``:
+    dicts with ``query_id``, ``lat``, ``lng``)."""
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "lat", "lng"])
     )
-    # Cell height in metres bounds the inscribed radius of a ring.
-    cell_h_m = (rows_n - rows_s) * 111_194.9  # metres per degree latitude
-
-    pending = {q["query_id"]: q for q in queries}
-    best: dict = {q["query_id"]: [] for q in queries}
-    ring = 1
-    results = []
-    while pending and ring <= max_ring:
-        cand_rows = []
-        for qid, q in pending.items():
-            c0 = int(cellindex.latlng_to_cell(q["lat"], q["lng"], res))
-            for c in cellindex.grid_disk(c0, ring):
-                cand_rows.append((qid, int(c), q["lat"], q["lng"]))
-        cand = spark.createDataFrame(
-            pd.DataFrame(cand_rows, columns=["query_id", "cell", "qlat", "qlng"])
-        )
-        joined = pages.join(F.broadcast(cand), "cell", "inner")
-
-        @pandas_udf("double")
-        def dist(lat: pd.Series, lng: pd.Series, qlat: pd.Series, qlng: pd.Series) -> pd.Series:
-            return pd.Series(
-                haversine_m(lat.to_numpy(), lng.to_numpy(), qlat.to_numpy(), qlng.to_numpy())
-            )
-
-        from pyspark.sql import Window as W
-
-        scored = joined.withColumn("dist_m", dist("lat", "lng", "qlat", "qlng"))
-        topk = (
-            scored.withColumn(
-                "rank",
-                F.row_number().over(
-                    W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-                ),
-            )
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col(id_col).alias("neighbor_id"), "dist_m", "rank")
-        )
-        batch = topk.collect()
-        got: dict = {}
-        for r in batch:
-            got.setdefault(r["query_id"], []).append((r["dist_m"], r["neighbor_id"]))
-
-        still = {}
-        for i, (qid, q) in enumerate(list(pending.items())):
-            hits = sorted(got.get(qid, []))
-            # Safe radius: ring of Chebyshev distance r guarantees coverage of
-            # a circle of (r-? ) cells; use (ring) * inscribed cell height.
-            idx = [qq["query_id"] for qq in queries].index(qid)
-            safe_m = ring * float(cell_h_m[idx])
-            if len(hits) >= k and hits[k - 1][0] <= safe_m:
-                results.extend(
-                    (qid, url, d, rank + 1) for rank, (d, url) in enumerate(hits[:k])
-                )
-            elif ring >= max_ring:
-                results.extend(
-                    (qid, url, d, rank + 1) for rank, (d, url) in enumerate(hits[:k])
-                )
-            else:
-                still[qid] = q
-        pending = still
-        ring *= 2
-
-    return spark.createDataFrame(
-        pd.DataFrame(results, columns=["query_id", id_col, "dist_m", "rank"])
+    return knn_join_df(
+        spark, pages, qdf, k=k, res=res, max_ring=max_ring, id_col=id_col
     )
 
 
