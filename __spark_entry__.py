@@ -351,6 +351,27 @@ def q_spatial_pip(spark, sf_dir):
     )
 
 
+def q_spatial_pip_table(spark, sf_dir):
+    """Point-in-polygon with a DataFrame polygon side: 5 region-derived
+    rectangles (WKT built JVM-side), cover cells computed distributed, exact
+    ray-cast verify with a per-batch parse cache."""
+    pts = harness.customer_points(spark, sf_dir).withColumn(
+        "cell", joins.cell_expr("lat", "lng", RES)
+    )
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    w = (F.col("r_regionkey") * 60 - 150).cast("int")
+    s = (F.col("r_regionkey") * 20 - 50).cast("int")
+    polys = region.select(
+        F.col("r_regionkey").cast("long").alias("poly_id"),
+        F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            w, s, w + 40, s, w + 40, s + 30, w, s + 30, w, s,
+        ).alias("geom_wkt"),
+    )
+    out = joins.point_in_polygon_join_df(spark, pts, polys, res=RES)
+    return out.select("c_custkey", "poly_id")
+
+
 def q_spatial_knn(spark, sf_dir):
     pts = harness.customer_points(spark, sf_dir).withColumn(
         "cell", joins.cell_expr("lat", "lng", RES)
@@ -590,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "spatial_cell_assign": q_spatial_cell_assign,
         "spatial_pip": q_spatial_pip,
+        "spatial_pip_table": q_spatial_pip_table,
         "spatial_knn": q_spatial_knn,
         "spatial_knn_table": q_spatial_knn_table,
         "pages_extract_invariant": q_pages_extract_invariant,
@@ -755,6 +777,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, CAST(2 AS BIGINT) AS poly_id FROM pts
             WHERE lat >= -40 AND lat < 0 AND lng >= -120 AND lng < -60
+        """,
+        "spatial_pip_table": f"""
+            WITH pts AS ({POINTS_SQL})
+            SELECT c_custkey, CAST(r_regionkey AS BIGINT) AS poly_id
+            FROM pts, region
+            WHERE lat >= r_regionkey * 20 - 50 AND lat < r_regionkey * 20 - 20
+              AND lng >= r_regionkey * 60 - 150 AND lng < r_regionkey * 60 - 110
         """,
         "spatial_knn": f"""
             WITH pts AS ({POINTS_SQL}),

@@ -71,6 +71,72 @@ def polygon_cover(polygons: list[dict], res: int) -> pd.DataFrame:
     return pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
 
 
+def point_in_polygon_join_df(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Exact (page, polygon) containment pairs with a DataFrame polygon side.
+
+    Plan: the cover table (poly_id, cell) is computed DISTRIBUTED from the
+    polygon table (one Arrow batch pass: parse WKT, envelope cells); pages ⋈
+    cover on ``cell`` prunes candidates (broadcast hash join when the
+    polygon side is dim-sized — pass broadcast=False for huge polygon tables
+    and let AQE pick the strategy); candidates then re-join the polygon
+    geometry and a vectorised ray-cast verifies each one (per-batch parse
+    cache: each polygon's WKT is parsed once per Arrow batch, points verify
+    in bulk).  Output rows are exact (no envelope false-positives).
+
+    ``pages`` must carry ``lat``, ``lng`` and ``cell``; ``res`` must match
+    the cell column.  ``polygons`` must carry ``poly_id`` and ``geom_wkt``.
+    """
+
+    def cover_gen(batches):
+        for pdf in batches:
+            rows_poly, rows_cell = [], []
+            for pid, wkt in zip(pdf["poly_id"], pdf["geom_wkt"]):
+                pts = np.vstack(parse_wkt_polygon(wkt))
+                cover_cells = cellindex.cells_covering_bbox(
+                    pts[:, 0].min(), pts[:, 1].min(),
+                    pts[:, 0].max(), pts[:, 1].max(), res,
+                )
+                rows_poly.extend([pid] * len(cover_cells))
+                rows_cell.extend(cover_cells.tolist())
+            yield pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
+
+    poly_id_type = dict(polygons.dtypes)["poly_id"]
+    cover = polygons.select("poly_id", "geom_wkt").mapInPandas(
+        cover_gen, schema=f"poly_id {poly_id_type}, cell long"
+    )
+    if broadcast:
+        cover = F.broadcast(cover)
+    candidates = pages.join(cover, "cell", "inner")
+
+    geom = polygons.select("poly_id", "geom_wkt")
+    candidates = candidates.join(
+        F.broadcast(geom) if broadcast else geom, "poly_id", "inner"
+    )
+
+    @pandas_udf("boolean")
+    def contains(lat: pd.Series, lng: pd.Series, poly_id: pd.Series,
+                 wkt: pd.Series) -> pd.Series:
+        lat_v, lng_v = lat.to_numpy(), lng.to_numpy()
+        pid_v = poly_id.to_numpy()
+        out = np.zeros(len(lat_v), dtype=bool)
+        for pid in pd.unique(pid_v):
+            sel = pid_v == pid
+            rings = parse_wkt_polygon(wkt[sel].iloc[0])
+            # lng is x, lat is y in ring coordinates.
+            out[sel] = points_in_rings(lat_v[sel], lng_v[sel], rings)
+        return pd.Series(out)
+
+    return candidates.where(
+        contains(F.col("lat"), F.col("lng"), F.col("poly_id"), F.col("geom_wkt"))
+    ).drop("geom_wkt")
+
+
 def point_in_polygon_join(
     spark: SparkSession,
     pages: DataFrame,
@@ -78,37 +144,14 @@ def point_in_polygon_join(
     res: int = 7,
     broadcast: bool = True,
 ) -> DataFrame:
-    """Exact (page, polygon) containment pairs.
-
-    Plan: pages ⋈ (poly_id, cell) on ``cell`` — broadcast hash join, zero
-    shuffle of the page side — then a vectorised ray-cast verifies each
-    candidate.  Output rows are exact (no envelope false-positives).
-
-    ``pages`` must carry ``lat``, ``lng`` and ``cell`` (see
-    ``pages.enriched_pages``); ``res`` must match the cell column.
-    """
-    cover = spark.createDataFrame(polygon_cover(polygons, res))
-    if broadcast:
-        cover = F.broadcast(cover)
-    candidates = pages.join(cover, "cell", "inner")
-
-    rings_by_id = {
-        f["poly_id"]: parse_wkt_polygon(f["geom_wkt"]) for f in polygons
-    }
-    rings_bc = spark.sparkContext.broadcast(rings_by_id)
-
-    @pandas_udf("boolean")
-    def contains(lat: pd.Series, lng: pd.Series, poly_id: pd.Series) -> pd.Series:
-        lat_v, lng_v = lat.to_numpy(), lng.to_numpy()
-        out = np.zeros(len(lat_v), dtype=bool)
-        for pid in np.unique(poly_id.to_numpy()):
-            sel = poly_id.to_numpy() == pid
-            # lng is x, lat is y in ring coordinates.
-            rings = rings_bc.value[pid]
-            out[sel] = points_in_rings(lat_v[sel], lng_v[sel], rings)
-        return pd.Series(out)
-
-    return candidates.where(contains(F.col("lat"), F.col("lng"), F.col("poly_id")))
+    """List-of-dicts convenience wrapper over ``point_in_polygon_join_df``."""
+    poly_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"poly_id": [f["poly_id"] for f in polygons],
+             "geom_wkt": [f["geom_wkt"] for f in polygons]}
+        )
+    )
+    return point_in_polygon_join_df(spark, pages, poly_df, res=res, broadcast=broadcast)
 
 
 def haversine_col(lat, lng, qlat, qlng):
