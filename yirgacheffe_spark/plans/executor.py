@@ -403,6 +403,40 @@ def _interleaved_single_scan(spark: SparkSession, payload: dict,
 
 MANIFEST_SCHEMA = "file string, rg int, mty int, mtx int"
 
+# Footer statistics cache: repeated terminal actions over the same raster
+# (every bench/production loop) must not re-read every parquet footer on the
+# driver.  Keyed by (file, mtime); entries are (row_group, (ty_min, ty_max),
+# (tx_min, tx_max)) with None when the writer recorded no statistics.
+_FOOTER_CACHE: dict[tuple[str, float], list] = {}
+
+
+def _footer_stats(path: str) -> list:
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    key = (path, os.stat(path).st_mtime)
+    got = _FOOTER_CACHE.get(key)
+    if got is None:
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        iy, ix = names.get("tile_y"), names.get("tile_x")
+
+        def minmax(group, idx):
+            if idx is None:
+                return None
+            st = group.column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            return (st.min, st.max)
+
+        got = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            got.append((rg, minmax(g, iy), minmax(g, ix)))
+        while len(_FOOTER_CACHE) >= 4096:
+            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+        _FOOTER_CACHE[key] = got
+    return got
+
 
 def _manifest_rows(spark: SparkSession, payload: dict,
                    tile_box: tuple[int, int, int, int]):
@@ -440,8 +474,6 @@ def _manifest_rows(spark: SparkSession, payload: dict,
     if len(metas) > 1 and not all(m["interleaved"] for m in metas):
         return None
 
-    import pyarrow.parquet as pq  # pylint: disable=C0415
-
     s = first["S"]
     ayoff, axoff = first["ayoff"], first["axoff"]
     ty_lo, ty_hi, tx_lo, tx_hi = tile_box
@@ -458,26 +490,12 @@ def _manifest_rows(spark: SparkSession, payload: dict,
         if f.endswith(".parquet")
     )
     for f in part_files:
-        md = pq.ParquetFile(f).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        iy, ix = names.get("tile_y"), names.get("tile_x")
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            keep = True
-            if iy is not None:
-                st = g.column(iy).statistics
-                if st is not None and st.has_min_max and (
-                    st.max < sy_lo or st.min > sy_hi
-                ):
-                    keep = False
-            if keep and ix is not None:
-                st = g.column(ix).statistics
-                if st is not None and st.has_min_max and (
-                    st.max < sx_lo or st.min > sx_hi
-                ):
-                    keep = False
-            if keep:
-                rows.append((f, rg, -1, -1))
+        for rg, ymm, xmm in _footer_stats(f):
+            if ymm is not None and (ymm[1] < sy_lo or ymm[0] > sy_hi):
+                continue
+            if xmm is not None and (xmm[1] < sx_lo or xmm[0] > sx_hi):
+                continue
+            rows.append((f, rg, -1, -1))
 
     # Tiles outside stored coverage still exist as zeros (closed form).
     off_y, off_x = ayoff // s, axoff // s
