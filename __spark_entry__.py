@@ -241,6 +241,51 @@ def q_doc_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
+def q_doc_quality_filter(spark, sf_dir):
+    """The canonical training-data gate: keep documents passing quality,
+    language and length thresholds — one scan, all JVM column algebra."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        quality.quality_score(F.col("text")).alias("q"),
+        quality.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality.language_id(F.col("text")).alias("lang"),
+    )
+    return scored.where(
+        (F.col("q") >= 0.3) & (F.col("lang") == "en") & (F.col("n_tokens") >= 20)
+    )
+
+
+def q_doc_lang_stats(spark, sf_dir):
+    """Corpus stats per detected language: doc count, exact token total, and a
+    fixed-point quality total (round-to-micro before summing keeps the
+    aggregate integer-exact and fold-order-free across engines)."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        quality.language_id(F.col("text")).alias("lang"),
+        quality.token_count(F.col("text")).cast("long").alias("t"),
+        F.round(quality.quality_score(F.col("text")) * 1000000).cast("long").alias("qm"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.sum("qm").cast("long").alias("total_q_micro"),
+    )
+
+
+def q_ann_topk_multi(spark, sf_dir):
+    """Brute-force exact top-5 for a 5-query batch (query set = the 5 lowest
+    vec_ids, so the oracle derives the same literals from the table)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(emb, qs, k=5)
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -538,6 +583,89 @@ def q_layer_reproject_nearest_sum(spark, sf_dir):
     return scalar_df(spark, total, "sum_value")
 
 
+def q_layer_nary_sum(spark, sf_dir):
+    """yg.sum over N layers (balanced reduce) + yg.any as a mask."""
+    r = harness.lineitem_rasters(sf_dir)
+    total = yg.sum([r["qty"], r["elev"], r["hab"]])
+    masked = total * yg.any([r["qty"] > 45, r["elev"] > 900])
+    return scalar_df(spark, masked.sum(spark=spark), "sum_value")
+
+
+def q_layer_from_array_sum(spark, sf_dir):
+    """ArrayLayer (from_array, shipped in the kernel closure) times the
+    parquet qty channel; the array's values are the linear pixel index, so
+    the oracle is SUM(qty * i)."""
+    h = harness.raster_height(sf_dir)
+    arr = np.arange(h * 256, dtype=np.float64).reshape(h, 256)
+    idx = yg.from_array(arr, (0.0, 0.0), harness.PROJ, "idx")
+    r = harness.lineitem_rasters(sf_dir)
+    return scalar_df(spark, (r["qty"] * idx).sum(spark=spark), "sum_value")
+
+
+def q_layer_read_array_window(spark, sf_dir):
+    """read_array sink: materialise a driver-side numpy window (rows 3..10,
+    cols 17..100) and report its float64 sum."""
+    from yirgacheffe_spark.plans import executor as X
+
+    r = harness.lineitem_rasters(sf_dir)
+    window = X.read_array(r["qty"] * 2 + 1, 17, 3, 83, 7, spark=spark)
+    return scalar_df(spark, float(window.astype(np.float64).sum()), "sum_value")
+
+
+def q_layer_multiband_sum(spark, sf_dir):
+    """Interleaved multiband table (one tile table, bands in shared row
+    groups -> single-scan zero-shuffle plan): sum(b1 * b2) where b1 = qty
+    and b2 = hab derive from lineitem."""
+    import pyarrow.parquet as pq
+    from yirgacheffe_spark.sources.parquet import write_multiband_interleaved
+
+    base = os.path.join(harness._cache_dir(sf_dir), "mb_qty_hab")  # noqa: SLF001
+    if not os.path.exists(os.path.join(base, "_raster_meta.json")):
+        table = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                     "l_quantity"],
+        )
+        cols = {n: table.column(n).to_numpy() for n in table.column_names}
+        order = np.lexsort(
+            (cols["l_suppkey"], cols["l_partkey"], cols["l_linenumber"],
+             cols["l_orderkey"])
+        )
+        n = len(order)
+        height = harness.raster_height(sf_dir)
+        qty = np.zeros(height * 256, dtype=np.float64)
+        hab = np.zeros(height * 256, dtype=np.float64)
+        qty[:n] = cols["l_quantity"][order].astype(np.float64)
+        hab[:n] = (cols["l_suppkey"][order] % 20).astype(np.float64)
+        area = yg.Area(0.0, 0.0, 256 * harness.STEP, -height * harness.STEP,
+                       harness.PROJ)
+        write_multiband_interleaved(
+            base, {1: qty.reshape(height, 256), 2: hab.reshape(height, 256)}, area
+        )
+    b1 = yg.ParquetRasterLayer(base, band=1, name="mb_qty")
+    b2 = yg.ParquetRasterLayer(base, band=2, name="mb_hab")
+    return scalar_df(spark, (b1 * b2).sum(spark=spark), "sum_value")
+
+
+def q_layer_pixel_coords_roundtrip(spark, sf_dir):
+    """latlng_for_pixel / pixel_for_latlng invariants: the round trip is the
+    identity over a probe grid, and coordinates follow the closed form
+    (lat = -(y + 0) * step at the pixel's top-left corner)."""
+    r = harness.lineitem_rasters(sf_dir)["qty"]
+    h = harness.raster_height(sf_dir)
+    mismatch = 0
+    probes = [(0, 0), (13, 7), (255, min(h - 1, 21)), (128, min(h - 1, 3))]
+    for x, y in probes:
+        lat, lng = r.latlng_for_pixel(x, y)
+        if abs(lng - x * harness.STEP) > 1e-9 or abs(lat + y * harness.STEP) > 1e-9:
+            mismatch += 1
+        if r.pixel_for_latlng(lat, lng) != (x, y):
+            mismatch += 1
+    return spark.createDataFrame(
+        [(len(probes), mismatch)], "n_probes long, n_mismatch long"
+    )
+
+
 def q_events_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -593,6 +721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_uniform_sum": q_layer_uniform_sum,
         "layer_cell_mask_sum": q_layer_cell_mask_sum,
         "layer_vector_mask_sum": q_layer_vector_mask_sum,
+        "layer_nary_sum": q_layer_nary_sum,
+        "layer_from_array_sum": q_layer_from_array_sum,
+        "layer_read_array_window": q_layer_read_array_window,
+        "layer_multiband_sum": q_layer_multiband_sum,
+        "layer_pixel_coords_roundtrip": q_layer_pixel_coords_roundtrip,
         "events_topk_per_user": q_events_topk_per_user,
         "orders_customer_join": q_orders_customer_join,
         "doc_token_count": q_doc_token_count,
@@ -600,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
+        "doc_quality_filter": q_doc_quality_filter,
+        "doc_lang_stats": q_doc_lang_stats,
+        "ann_topk_multi": q_ann_topk_multi,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -684,6 +820,19 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT SUM(pow(qty, 2) + pow(2, qty % 8)) + {pad} * 1.0 AS sum_value FROM px",
         "layer_uniform_sum": PX_CTE
         + "SELECT SUM(qty * ((i // 256) + 1)) AS sum_value FROM px",
+        "layer_nary_sum": PX_CTE
+        + """SELECT SUM((qty + elev + hab)
+                * CASE WHEN qty > 45 OR elev > 900 THEN 1 ELSE 0 END)
+              AS sum_value FROM px""",
+        "layer_from_array_sum": PX_CTE
+        + "SELECT SUM(qty * i) AS sum_value FROM px",
+        "layer_read_array_window": PX_CTE
+        + """SELECT SUM(qty * 2 + 1) AS sum_value FROM px
+             WHERE (i // 256) BETWEEN 3 AND 9 AND (i % 256) BETWEEN 17 AND 99""",
+        "layer_multiband_sum": PX_CTE
+        + "SELECT SUM(qty * hab) AS sum_value FROM px",
+        "layer_pixel_coords_roundtrip":
+            "SELECT CAST(4 AS BIGINT) AS n_probes, CAST(0 AS BIGINT) AS n_mismatch",
         "layer_vector_mask_sum": PX_CTE
         + f"""SELECT SUM(CASE WHEN ({mask}) AND (
                     ((i // 256) BETWEEN 2 AND 9 AND (i % 256) BETWEEN 5 AND 39)
@@ -833,6 +982,51 @@ def oracle_sql() -> dict[str, str]:
             + quality.language_id_sql("text")
             + " AS guess FROM documents) GROUP BY guess"
         ),
+        "doc_quality_filter": f"""
+            SELECT doc_id, q, n_tokens, lang FROM (
+                SELECT doc_id,
+                       {quality.quality_score_sql("text")} AS q,
+                       {quality.token_count_sql("text")} AS n_tokens,
+                       {quality.language_id_sql("text")} AS lang
+                FROM documents
+            ) WHERE q >= 0.3 AND lang = 'en' AND n_tokens >= 20
+        """,
+        "doc_lang_stats": f"""
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens,
+                   CAST(SUM(qm) AS BIGINT) AS total_q_micro
+            FROM (
+                SELECT {quality.language_id_sql("text")} AS lang,
+                       {quality.token_count_sql("text")} AS t,
+                       CAST(round({quality.quality_score_sql("text")} * 1000000)
+                            AS BIGINT) AS qm
+                FROM documents
+            ) GROUP BY lang
+        """,
+        "ann_topk_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(
+                           list_reduce(list_transform(
+                               list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+                               x -> x[1] * x[2]), (acc, x) -> acc + x)
+                           / (sqrt(list_reduce(list_transform(
+                                  CAST(e.embedding AS DOUBLE[]), x -> x * x),
+                                  (acc, x) -> acc + x))
+                              * sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                  (acc, x) -> acc + x))), 6) AS sim
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
+        """,
         "adaptive_cells": (
             "SELECT CAST(20000 AS BIGINT) AS total,"
             " CAST(0 AS BIGINT) AS n_key_mismatch,"
