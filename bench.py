@@ -148,12 +148,15 @@ def main() -> int:
         return joins.point_in_polygon_join(spark, pages_df, pip_polys, res=6).count()
 
     def q_knn():
-        qs = [
-            {"query_id": 1, "lat": 40.7, "lng": -74.0},
-            {"query_id": 2, "lat": 51.5, "lng": -0.1},
-            {"query_id": 3, "lat": -33.0, "lng": 100.0},
-        ]
-        return joins.knn_join(spark, pages_df, qs, k=10, res=6).count()
+        # 64-query batch through the table-vs-table path: per-round work is
+        # 64 shells joined at once, so the job scales with cores instead of
+        # sitting at the scheduler's latency floor like a 3-query lookup.
+        qs = spark.range(64).selectExpr(
+            "id AS query_id",
+            "CAST((id * 37) % 160 - 80 + 0.7 AS DOUBLE) AS lat",
+            "CAST((id * 91) % 360 - 180 + 0.3 AS DOUBLE) AS lng",
+        )
+        return joins.knn_join_df(spark, pages_df, qs, k=10, res=6).count()
 
     # -- text / training-data ops ---------------------------------------------
     def q_text():
@@ -183,10 +186,10 @@ def main() -> int:
 
     def q_ann():
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        qs = emb.orderBy("vec_id").limit(8).select(
+        qs = emb.orderBy("vec_id").limit(64).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return ann.brute_force_topk(emb, qs, k=10).count()
+        return ann.brute_force_topk_fast(emb, qs, k=10).count()
 
     def q_pricing():
         li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))

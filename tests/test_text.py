@@ -257,3 +257,12 @@ def test_fused_candidates_equal_count_filter_path(documents, spark):
         assert old == new
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_brute_force_fast_equals_fold(embeddings, spark):
+    qs = embeddings.limit(6).selectExpr("vec_id AS query_id", "embedding")
+    fold = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in ann.brute_force_topk(embeddings, qs, k=7).collect()}
+    fast = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in ann.brute_force_topk_fast(embeddings, qs, k=7).collect()}
+    assert fast == fold and fold

@@ -61,6 +61,69 @@ def brute_force_topk(
     return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
 
 
+def brute_force_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, numpy-batched: the (dim-sized) query set is
+    collected, L2-normalised and broadcast as one matrix; every Arrow batch
+    of the corpus scores with a single matmul and emits only its LOCAL
+    per-query top-k (any row outside a batch's top-k is dominated by k
+    better rows and cannot reach the global top-k), then one window rank
+    merges ~k * n_batches rows per query.
+
+    Results equal ``brute_force_topk`` (same rounded-sim ordering, same id
+    tie-break); only the float summation order differs (BLAS matmul vs
+    sequential fold), which the 6-dp rounding absorbs except at 1e-16-scale
+    round boundaries.  ~40x less per-row work than the fold expression —
+    this is the production scorer; the fold variant exists to mirror the
+    DuckDB oracle term-for-term."""
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def gen(batches):
+        qids_, qn = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ qn.T, 6)  # (batch, nq)
+            ids = pdf[id_col].to_numpy()
+            k_eff = min(k, sims.shape[0])
+            out_q, out_id, out_s = [], [], []
+            for j in range(nq):
+                # Batch-local top-k under the FINAL ordering (sim desc, id asc).
+                order = np.lexsort((ids, -sims[:, j]))[:k_eff]
+                out_q.extend([qids_[j]] * k_eff)
+                out_id.extend(ids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "sim": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{query_id_col} {qid_type}, {id_col} {id_type}, sim double"
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
