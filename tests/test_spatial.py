@@ -232,3 +232,24 @@ class TestKNNTable:
             want = list(urls[order])
             mine = [r["url"] for r in got_rows if r["query_id"] == q.query_id]
             assert mine == want, f"query {q.query_id}"
+
+
+def test_pip_table_shuffle_path_matches_broadcast(spark):
+    df = pages.enriched_pages(spark, 600, res=4).cache()
+    poly_pdf = pd.DataFrame(
+        {
+            "poly_id": [1, 2],
+            "geom_wkt": [
+                "POLYGON ((-80 30, -60 30, -60 48, -80 48, -80 30))",
+                "POLYGON ((0 -20, 35 -20, 35 15, 0 15, 0 -20))",
+            ],
+        }
+    )
+    polys = spark.createDataFrame(poly_pdf)
+    a = {(r["url"], r["poly_id"]) for r in
+         joins.point_in_polygon_join_df(spark, df, polys, res=4, broadcast=True)
+         .select("url", "poly_id").collect()}
+    b = {(r["url"], r["poly_id"]) for r in
+         joins.point_in_polygon_join_df(spark, df, polys, res=4, broadcast=False)
+         .select("url", "poly_id").collect()}
+    assert a == b and a
