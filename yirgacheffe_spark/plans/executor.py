@@ -416,6 +416,16 @@ def _footer_stats(path: str) -> list:
     key = (path, os.stat(path).st_mtime)
     got = _FOOTER_CACHE.get(key)
     if got is None:
+        # Prefer the save-time manifest: one JSON fetch for the whole table
+        # instead of a footer read per file (the scale path for tables with
+        # many part files on object storage).
+        from ..sources.parquet import read_tile_manifest  # pylint: disable=C0415
+
+        manifest = read_tile_manifest(os.path.dirname(path))
+        if manifest is not None and os.path.basename(path) in manifest:
+            got = manifest[os.path.basename(path)]
+            _FOOTER_CACHE[key] = got
+            return got
         md = pq.ParquetFile(path).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         iy, ix = names.get("tile_y"), names.get("tile_x")
@@ -1067,6 +1077,7 @@ def save_multiband(trees: list, path: str, spark: SparkSession | None = None) ->
         constants.TILE_YSIZE,
         bands=len(roots),
     )
+    pq_raster.write_tile_manifest(path)
 
 
 def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
@@ -1108,6 +1119,7 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
         constants.TILE_YSIZE,
         dense=not sparse,
     )
+    pq_raster.write_tile_manifest(path)
     total = None
     if and_sum:
         # Distributed partial sums over the freshly written table (re-reading

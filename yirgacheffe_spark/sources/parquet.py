@@ -98,6 +98,70 @@ def read_meta(path: str) -> dict:
         return json.load(fp)
 
 
+MANIFEST_JSON = "_tile_manifest.json"
+
+
+def write_tile_manifest(path: str) -> None:
+    """Iceberg-style save-time manifest: one JSON carrying every row group's
+    (file, tile_y min/max, tile_x min/max), written once by the writer so a
+    reader plans its pruned scan from a SINGLE metadata fetch.  Without it,
+    planning reads every parquet footer — one ranged GET per file against
+    object storage, linear driver cost as table file counts grow."""
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    entries: dict[str, list] = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        iy, ix = cols.get("tile_y"), cols.get("tile_x")
+
+        def minmax(group, idx):
+            if idx is None:
+                return None
+            st = group.column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            return [int(st.min), int(st.max)]
+
+        rows = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            rows.append([rg, minmax(g, iy), minmax(g, ix)])
+        entries[name] = rows
+    with open(os.path.join(path, MANIFEST_JSON), "w", encoding="utf-8") as fp:
+        json.dump({"version": 1, "entries": entries}, fp)
+
+
+_TILE_MANIFEST_CACHE: dict[tuple[str, float], dict] = {}
+
+
+def read_tile_manifest(path: str) -> dict | None:
+    """The saved manifest as {file -> [(rg, (ty_min, ty_max), (tx_min,
+    tx_max)), ...]}, or None when the table predates manifests.  Cached per
+    (dir, manifest mtime)."""
+    mf = os.path.join(path, MANIFEST_JSON)
+    if not os.path.exists(mf):
+        return None
+    key = (path, os.stat(mf).st_mtime)
+    got = _TILE_MANIFEST_CACHE.get(key)
+    if got is None:
+        with open(mf, encoding="utf-8") as fp:
+            doc = json.load(fp)
+        got = {
+            name: [
+                (rg, tuple(ymm) if ymm else None, tuple(xmm) if xmm else None)
+                for rg, ymm, xmm in rows
+            ]
+            for name, rows in doc.get("entries", {}).items()
+        }
+        while len(_TILE_MANIFEST_CACHE) >= 64:
+            _TILE_MANIFEST_CACHE.pop(next(iter(_TILE_MANIFEST_CACHE)))
+        _TILE_MANIFEST_CACHE[key] = got
+    return got
+
+
 class ParquetRasterLayer(Layer):
     """A raster layer backed by a parquet tile table on disk.
 
@@ -241,6 +305,7 @@ def write_array_as_raster_table(
         compression="zstd", compression_level=3,
     )
     write_meta(path, area, DataType.of_array(data), nodata, s)
+    write_tile_manifest(path)
     return ParquetRasterLayer(path)
 
 
@@ -296,4 +361,5 @@ def write_multiband_interleaved(
         compression="zstd", compression_level=3,
     )
     write_meta(path, area, dtypes.pop(), nodata, s, bands=len(band_ids), interleaved=True)
+    write_tile_manifest(path)
     return {b: ParquetRasterLayer(path, band=b) for b in band_ids}
