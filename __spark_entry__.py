@@ -583,6 +583,44 @@ def q_layer_reproject_nearest_sum(spark, sf_dir):
     return scalar_df(spark, total, "sum_value")
 
 
+def q_layer_tiled_mosaic_sum(spark, sf_dir):
+    """TiledGroupLayer over a regular split of the qty raster (top/bottom
+    halves with an 8-row overlap carrying identical data): first-wins
+    compositing must reproduce the full raster exactly, so the oracle is
+    plain SUM(qty)."""
+    import pyarrow.parquet as pq
+    from yirgacheffe_spark.sources.parquet import write_array_as_raster_table
+
+    base = os.path.join(harness._cache_dir(sf_dir), "tiled_mosaic")  # noqa: SLF001
+    paths = [os.path.join(base, "top"), os.path.join(base, "bottom")]
+    if not all(os.path.exists(os.path.join(p, "_raster_meta.json")) for p in paths):
+        table = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                     "l_quantity"],
+        )
+        cols = {n: table.column(n).to_numpy() for n in table.column_names}
+        order = np.lexsort(
+            (cols["l_suppkey"], cols["l_partkey"], cols["l_linenumber"],
+             cols["l_orderkey"])
+        )
+        n = len(order)
+        height = harness.raster_height(sf_dir)
+        grid = np.zeros(height * 256, dtype=np.float64)
+        grid[:n] = cols["l_quantity"][order].astype(np.float64)
+        grid = grid.reshape(height, 256)
+        os.makedirs(base, exist_ok=True)
+        half = height // 2
+        for p, (y0, y1) in zip(paths, [(0, half + 8), (half, height)]):
+            area = yg.Area(0.0, -y0 * harness.STEP, 256 * harness.STEP,
+                           -y1 * harness.STEP, harness.PROJ)
+            write_array_as_raster_table(p, grid[y0:y1], area)
+    mosaic = yg.TiledGroupLayer(
+        [yg.ParquetRasterLayer(p) for p in paths], "tiled"
+    )
+    return scalar_df(spark, mosaic.sum(spark=spark), "sum_value")
+
+
 def q_layer_nary_sum(spark, sf_dir):
     """yg.sum over N layers (balanced reduce) + yg.any as a mask."""
     r = harness.lineitem_rasters(sf_dir)
@@ -721,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_uniform_sum": q_layer_uniform_sum,
         "layer_cell_mask_sum": q_layer_cell_mask_sum,
         "layer_vector_mask_sum": q_layer_vector_mask_sum,
+        "layer_tiled_mosaic_sum": q_layer_tiled_mosaic_sum,
         "layer_nary_sum": q_layer_nary_sum,
         "layer_from_array_sum": q_layer_from_array_sum,
         "layer_read_array_window": q_layer_read_array_window,
@@ -820,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT SUM(pow(qty, 2) + pow(2, qty % 8)) + {pad} * 1.0 AS sum_value FROM px",
         "layer_uniform_sum": PX_CTE
         + "SELECT SUM(qty * ((i // 256) + 1)) AS sum_value FROM px",
+        "layer_tiled_mosaic_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
         "layer_nary_sum": PX_CTE
         + """SELECT SUM((qty + elev + hab)
                 * CASE WHEN qty > 45 OR elev > 900 THEN 1 ELSE 0 END)
