@@ -294,3 +294,76 @@ class TestWhereFilter:
         assert vl.datatype == yg.DataType.Int64
         vl_f = yg.read_shape(self.FEATS[:2], PROJ, burn_value="pop")
         assert vl_f.datatype == yg.DataType.Float64
+
+
+class TestGeneralBlockStats:
+    def _expect(self, data, fy, fx, method):
+        # Reference semantics: source pixel belongs to the target pixel its
+        # center falls in; counts vary per target cell for non-integer factors.
+        h, w = data.shape
+        th, tw = int(np.floor(h / fy)), int(np.floor(w / fx))
+        out = np.zeros((th, tw))
+        for i in range(th):
+            for j in range(tw):
+                rows = [r for r in range(h) if i <= (r + 0.5) / fy < i + 1]
+                cols = [c for c in range(w) if j <= (c + 0.5) / fx < j + 1]
+                block = data[np.ix_(rows, cols)]
+                out[i, j] = {
+                    "sum": block.sum(), "average": block.mean(),
+                    "min": block.min(), "max": block.max(),
+                    "rms": np.sqrt(np.mean(np.square(block))),
+                }[method]
+        return out
+
+    def test_noninteger_factor_stats(self):
+        data = RNG.integers(0, 40, (12, 12)).astype(np.float64)
+        src = yg.from_array(data, (0.0, 0.0), PROJ)
+        coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)  # 1.5x
+        for method in ("sum", "average", "min", "max", "rms"):
+            rl = yg.ReprojectedLayer(src, coarse, method)
+            got = rl.read_array(0, 0, 8, 8)
+            np.testing.assert_allclose(
+                got, self._expect(data, 1.5, 1.5, method), rtol=1e-12,
+                err_msg=method)
+
+    def test_integer_factor_general_path_matches_reshape(self):
+        data = RNG.integers(0, 40, (8, 8)).astype(np.float64)
+        src = yg.from_array(data, (0.0, 0.0), PROJ)
+        coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+        got = yg.ReprojectedLayer(src, coarse, "sum").read_array(0, 0, 4, 4)
+        np.testing.assert_array_equal(got, data.reshape(4, 2, 4, 2).sum(axis=(1, 3)))
+
+    def test_cross_crs_average(self):
+        # Mercator source coarsened onto a lat/lng target grid near the
+        # equator: every target cell must average >= 1 source pixel, and the
+        # result must match a direct center-assignment computation.
+        from yirgacheffe_spark.reprojection import lnglat_to_mercator
+
+        m_step = 10000.0
+        data = RNG.integers(0, 40, (40, 40)).astype(np.float64)
+        merc = yg.MapProjection("epsg:3857", m_step, -m_step)
+        src = yg.ArrayLayer(data, yg.Area(0.0, 200000.0, 400000.0, -200000.0, merc),
+                            "m", nodata=None)
+        tgt = yg.MapProjection("epsg:4326", 0.5, -0.5)
+        rl = yg.ReprojectedLayer(src, tgt, "average")
+        got = np.asarray(rl.read_window(0, 0, 4, 2, yg.Window(0, 0, 4, 2)))
+        # Direct check for target cell (0, 0): lng [left, left+0.5), lat (top-0.5, top]
+        area = rl.area
+        for ti in range(2):
+            for tj in range(4):
+                x0, _ = lnglat_to_mercator(area.left + tj * 0.5, 0.0)
+                x1, _ = lnglat_to_mercator(area.left + (tj + 1) * 0.5, 0.0)
+                _, y0 = lnglat_to_mercator(0.0, area.top + ti * -0.5)
+                _, y1 = lnglat_to_mercator(0.0, area.top + (ti + 1) * -0.5)
+                # Out-of-extent source pixels average in as zeros (the same
+                # zero-padding the integer-factor path applies at edges).
+                rows = [r for r in range(-100, 140)
+                        if y1 < 200000.0 - (r + 0.5) * m_step <= y0]
+                cols = [c for c in range(-100, 140)
+                        if x0 <= 0.0 + (c + 0.5) * m_step < x1]
+                vals = [
+                    data[r, c] if 0 <= r < 40 and 0 <= c < 40 else 0.0
+                    for r in rows for c in cols
+                ]
+                np.testing.assert_allclose(
+                    got[ti, tj], np.mean(vals), rtol=1e-12)

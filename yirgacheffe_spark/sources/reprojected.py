@@ -26,6 +26,10 @@ from ..reprojection import transform_point
 from .base import Layer
 
 RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", "rms")
+# Methods the segmented (reduceat) path supports: any coarsening factor,
+# same-CRS or separable cross-CRS.  mode/med need fixed-size blocks and stay
+# on the integer-factor reshape path.
+_GENERAL_STATS = ("sum", "average", "min", "max", "rms")
 
 
 class _ExpressionLayer(Layer):
@@ -85,6 +89,76 @@ class ReprojectedLayer(Layer):
             return None
         return hash((src, self._underlying_area, self.projection, self._method))
 
+    def _block_stats_general(self, px0: int, py0: int, xsize: int, ysize: int) -> Any:
+        """Segmented block statistics for arbitrary coarsening factors: each
+        source pixel belongs to the target pixel its CENTER falls in, the
+        per-axis segment boundaries come from inverse-mapping the target
+        pixel edges (separable transforms), and the statistic reduces the
+        preimage block with two ``reduceat`` passes (rows, then columns) —
+        no per-pixel Python, reads only the preimage window."""
+        target_proj = self.projection
+        source_proj = self._source.projection
+        assert target_proj is not None and source_proj is not None
+        x_edges = self._underlying_area.left + (px0 + np.arange(xsize + 1)) * target_proj.xstep
+        y_edges = self._underlying_area.top + (py0 + np.arange(ysize + 1)) * target_proj.ystep
+        if source_proj.crs != target_proj.crs:
+            x_edges = np.array(
+                [transform_point(target_proj.crs, source_proj.crs, x, 0.0)[0] for x in x_edges]
+            )
+            y_edges = np.array(
+                [transform_point(target_proj.crs, source_proj.crs, 0.0, y)[1] for y in y_edges]
+            )
+        src_area = self._source.area
+        src_w, src_h = self._source.window.xsize, self._source.window.ysize
+
+        def segments(edges, left, step):
+            """(first_src_index, counts, src_lo, src_hi) for one axis.  The
+            source range is NOT clipped to the stored extent: out-of-extent
+            pixels read as zeros (``read_window`` pads), exactly like the
+            integer-factor reshape path at raster edges."""
+            # (edges - left) / step is ascending in source pixel units on
+            # both axes (ystep is negative on both sides, cancelling).
+            frac = (edges - left) / step
+            if frac[0] > frac[-1]:
+                raise NotImplementedError("Axis flip between CRSs is not supported")
+            lo = int(np.floor(frac[0]))
+            hi = int(np.ceil(frac[-1]))
+            centers = np.arange(lo, hi) + 0.5
+            which = np.searchsorted(frac, centers, side="right") - 1
+            keep = (which >= 0) & (which < len(edges) - 1)
+            centers, which = centers[keep], which[keep]
+            counts = np.bincount(which, minlength=len(edges) - 1)
+            if (counts == 0).any():
+                raise NotImplementedError(
+                    "Block-stats resampling needs every target pixel to cover "
+                    ">= 1 source pixel (coarsening, not upsampling)"
+                )
+            first = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=first[1:])
+            src_lo = int(centers[0] - 0.5)
+            return first, counts, src_lo, src_lo + int(counts.sum())
+
+        fx_first, fx_counts, c0, c1 = segments(x_edges, src_area.left, source_proj.xstep)
+        fy_first, fy_counts, r0, r1 = segments(y_edges, src_area.top, source_proj.ystep)
+        block = np.asarray(
+            self._source.read_window(c0, r0, c1 - c0, r1 - r0, self._source.window)
+        ).astype(np.float64)
+        if self._method == "min":
+            rows = np.minimum.reduceat(block, fy_first, axis=0)
+            return np.minimum.reduceat(rows, fx_first, axis=1)
+        if self._method == "max":
+            rows = np.maximum.reduceat(block, fy_first, axis=0)
+            return np.maximum.reduceat(rows, fx_first, axis=1)
+        values = np.square(block) if self._method == "rms" else block
+        rows = np.add.reduceat(values, fy_first, axis=0)
+        total = np.add.reduceat(rows, fx_first, axis=1)
+        if self._method == "sum":
+            return total
+        area = fy_counts[:, np.newaxis] * fx_counts[np.newaxis, :]
+        if self._method == "average":
+            return total / area
+        return np.sqrt(total / area)  # rms
+
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         if xsize <= 0 or ysize <= 0:
             raise ValueError("Request dimensions must be positive and non-zero")
@@ -99,11 +173,13 @@ class ReprojectedLayer(Layer):
         ty = self._underlying_area.top + (py0 + np.arange(ysize) + 0.5) * target_proj.ystep
 
         same_crs = source_proj.crs == target_proj.crs
-        if self._method == "nearest" or not same_crs:
-            if self._method != "nearest":
-                raise NotImplementedError(
-                    f"{self._method} resampling across CRSs is not supported; use nearest"
-                )
+        if not same_crs and self._method not in ("nearest",) + _GENERAL_STATS:
+            raise NotImplementedError(
+                f"{self._method} resampling across CRSs is not supported"
+            )
+        if not same_crs and self._method in _GENERAL_STATS:
+            return self._block_stats_general(px0, py0, xsize, ysize)
+        if self._method == "nearest":
             if same_crs:
                 sx, sy = tx, ty
             else:
@@ -136,13 +212,19 @@ class ReprojectedLayer(Layer):
             out[mask] = gathered[mask]
             return out
 
-        # Same-CRS block statistics for integer coarsening factors.
+        # Block statistics.  Integer same-CRS factors use the exact reshape
+        # path (also the only home of mode/med, which need fixed-size
+        # blocks); every other coarsening — non-integer factors and
+        # separable cross-CRS — goes through segmented reduceat stats over
+        # the preimage window.
         fx = abs(target_proj.xstep / source_proj.xstep)
         fy = abs(target_proj.ystep / source_proj.ystep)
         if not (float(fx).is_integer() and float(fy).is_integer()):
-            raise NotImplementedError(
-                f"{self._method} resampling requires integer scale factors, got {fx}x{fy}"
-            )
+            if self._method not in _GENERAL_STATS:
+                raise NotImplementedError(
+                    f"{self._method} needs integer scale factors, got {fx}x{fy}"
+                )
+            return self._block_stats_general(px0, py0, xsize, ysize)
         fx, fy = int(fx), int(fy)
         src_area = self._source.area
         col0 = int(np.floor((tx[0] - 0.5 * target_proj.xstep - src_area.left) / source_proj.xstep))
