@@ -6,12 +6,13 @@ pixel center, compute its source-CRS coordinate with the engine's closed-form
 transforms, convert to source pixel indices, and gather.
 
 Supported methods (the reference's eight, ``_layers/reprojected.py:14-46``):
-``nearest`` (index gather) and ``sum``/``average``/``min``/``max``/``mode``/
-``med``/``rms`` (block-stats over the source pixels mapping to each target
-pixel — only for integer downscale factors on the same CRS, the common
-"coarsen a raster" case).  Bilinear-family kernels are intentionally absent,
-as in the reference (chunked evaluation breaks their support;
-``reprojected.py:38-46``).
+``nearest`` (index gather, any separable CRS pair) and ``sum``/``average``/
+``min``/``max``/``rms`` (block-stats over the source pixels whose centers map
+into each target pixel — any coarsening factor, same-CRS or separable
+cross-CRS, via segmented ``reduceat``) plus ``mode``/``med`` (fixed-size
+blocks, so integer same-CRS factors only).  Bilinear-family kernels are
+intentionally absent, as in the reference (chunked evaluation breaks their
+support; ``reprojected.py:38-46``).
 """
 
 from __future__ import annotations
