@@ -241,6 +241,47 @@ def q_doc_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
+def q_lineage_resume(spark, sf_dir):
+    """Checkpoint-resume as a gate row (north rule: per-partition lineage +
+    resumability): a partial run records tasks 0 and 2; the resume run must
+    recompute ONLY the missing task 1, and the combined output must equal
+    the direct computation over all documents."""
+    import hashlib
+    import shutil
+
+    from yirgacheffe_spark.spatial.lineage import CheckpointedRun
+
+    base = "/dev/shm/yg_gate_lineage_" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+
+    def task(spark_, task_id):
+        return docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == task_id).select(
+            "doc_id",
+            quality.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+
+    CheckpointedRun(spark, base).run([0, 2], task)  # interrupted run
+    resumed = CheckpointedRun(spark, base)
+    pre_done = sorted(resumed.completed_tasks())
+    out = resumed.run([0, 1, 2], task)
+    newly_done = sorted(set(resumed.completed_tasks()) - set(pre_done))
+    stats = out.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            int(stats["n"]),
+            int(stats["t"]),
+            len(pre_done),
+            1 if newly_done == [1] else 0,
+        )],
+        "n_docs long, total_tokens long, pre_done long, resumed_only_missing long",
+    )
+
+
 def q_doc_quality_filter(spark, sf_dir):
     """The canonical training-data gate: keep documents passing quality,
     language and length thresholds — one scan, all JVM column algebra."""
@@ -772,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
+        "lineage_resume": q_lineage_resume,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_lang_stats": q_doc_lang_stats,
         "ann_topk_multi": q_ann_topk_multi,
@@ -1021,6 +1063,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT guess, COUNT(*) AS n FROM (SELECT "
             + quality.language_id_sql("text")
             + " AS guess FROM documents) GROUP BY guess"
+        ),
+        "lineage_resume": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM("
+            + quality.token_count_sql("text")
+            + ") AS BIGINT) AS total_tokens, CAST(2 AS BIGINT) AS pre_done,"
+            " CAST(1 AS BIGINT) AS resumed_only_missing FROM documents"
         ),
         "doc_quality_filter": f"""
             SELECT doc_id, q, n_tokens, lang FROM (
