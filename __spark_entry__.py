@@ -241,6 +241,38 @@ def q_doc_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Structured-streaming ingest invariants as a gate row: a 3000-page
+    file feed drains through the SAME enrichment as batch (availableNow
+    trigger), extraction stays byte-identical, and a re-run against the
+    same checkpoint reads nothing twice (exactly-once resume)."""
+    import hashlib
+    import shutil
+
+    from yirgacheffe_spark.spatial import pages as P
+    from yirgacheffe_spark.streaming import ingest
+
+    base = "/dev/shm/yg_gate_stream_" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(base, ignore_errors=True)
+    feed, out, ckpt = (os.path.join(base, d) for d in ("feed", "out", "ckpt"))
+    P.generate_pages(spark, 3000).write.parquet(feed)
+
+    stream = ingest.enrich_stream(ingest.pages_file_stream(spark, feed), res=6)
+    ingest.run_available(stream, out, ckpt)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    n_mismatch = first.where(F.col("extracted") != F.col("text")).count()
+    # Exactly-once: draining again with the same checkpoint adds nothing.
+    ingest.run_available(stream, out, ckpt)
+    delta = spark.read.parquet(out).count() - n_first
+    return spark.createDataFrame(
+        [(int(n_first), int(n_mismatch), int(delta))],
+        "n_rows long, n_extract_mismatch long, second_run_delta long",
+    )
+
+
 def q_lineage_resume(spark, sf_dir):
     """Checkpoint-resume as a gate row (north rule: per-partition lineage +
     resumability): a partial run records tasks 0 and 2; the resume run must
@@ -814,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
         "lineage_resume": q_lineage_resume,
+        "streaming_ingest": q_streaming_ingest,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_lang_stats": q_doc_lang_stats,
         "ann_topk_multi": q_ann_topk_multi,
@@ -1063,6 +1096,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT guess, COUNT(*) AS n FROM (SELECT "
             + quality.language_id_sql("text")
             + " AS guess FROM documents) GROUP BY guess"
+        ),
+        "streaming_ingest": (
+            "SELECT CAST(3000 AS BIGINT) AS n_rows,"
+            " CAST(0 AS BIGINT) AS n_extract_mismatch,"
+            " CAST(0 AS BIGINT) AS second_run_delta"
         ),
         "lineage_resume": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM("
