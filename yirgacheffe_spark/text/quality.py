@@ -110,15 +110,15 @@ def _lang_score_columns(col: Column) -> dict[str, Column]:
 
 def language_id(col: Column) -> Column:
     """Stopword-profile language guesser, fully JVM-side.  Tie-break mirrors
-    the reference loop: the FIRST language (in ``_STOPWORDS`` order) reaching
-    the maximum score wins."""
+    the reference loop: ``array_position`` finds the FIRST language (in
+    ``_STOPWORDS`` order) reaching the maximum score.  (The equivalent
+    when-chain form repeats every score sub-tree per branch and overflows
+    janino's codegen limits, forcing interpreted fallback.)"""
     scores = _lang_score_columns(col)
-    best = F.greatest(*scores.values())
     langs = list(_STOPWORDS)
-    result = F.when(scores[langs[0]] == best, F.lit(langs[0]))
-    for lang in langs[1:]:
-        result = result.when(scores[lang] == best, F.lit(lang))
-    return result.otherwise(F.lit(langs[0]))
+    score_arr = F.array(*[scores[lang] for lang in langs])
+    idx = F.array_position(score_arr, F.array_max(score_arr))
+    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx.cast("int"))
 
 
 def language_id_sql(col: str = "text") -> str:
