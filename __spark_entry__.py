@@ -777,6 +777,49 @@ def q_layer_pixel_coords_roundtrip(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Event sessionization (30-minute inactivity gap): per-user session and
+    event counts.  Gap detection is a LAG over (ts, event_id) on whole epoch
+    seconds, identical in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    # Interval comparison: microsecond-exact integer arithmetic in both
+    # engines (TIMESTAMP_NTZ has no epoch cast, and epoch floats would not
+    # be bit-comparable anyway).
+    gap = F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")
+    new_sess = F.when(prev.isNull() | gap, 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+def q_doc_dedup_best_of_group(spark, sf_dir):
+    """Fingerprint-group dedup keeping the best representative: highest
+    quality score, then lowest doc_id — the crawl-dedup policy of keeping
+    the 'canonical' copy rather than the first seen."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        quality.fingerprint(F.col("text")).alias("fp"),
+        quality.quality_score(F.col("text")).alias("q"),
+    )
+    w = W.partitionBy("fp").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "fp", "q")
+    )
+
+
 def q_events_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -839,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_multiband_sum": q_layer_multiband_sum,
         "layer_pixel_coords_roundtrip": q_layer_pixel_coords_roundtrip,
         "events_topk_per_user": q_events_topk_per_user,
+        "events_sessionize": q_events_sessionize,
+        "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
         "orders_customer_join": q_orders_customer_join,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -957,6 +1002,35 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT SUM(CASE WHEN ((i % 256) + 0.5) * 0.01 < 1.40625
                               AND -(((i // 256) + 0.5) * 0.01) > -1.40625
                              THEN qty ELSE 0 END) AS sum_value FROM px""",
+        "events_sessionize": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM (
+                    SELECT user_id, ts,
+                           LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS prev
+                    FROM events
+                )
+            ) GROUP BY user_id
+        """,
+        "doc_dedup_best_of_group": f"""
+            SELECT doc_id, fp, q FROM (
+                SELECT doc_id, fp, q, row_number() OVER (
+                    PARTITION BY fp ORDER BY q DESC, doc_id ASC
+                ) AS rn
+                FROM (
+                    SELECT doc_id,
+                           {quality.fingerprint_sql("text")} AS fp,
+                           {quality.quality_score_sql("text")} AS q
+                    FROM documents
+                )
+            ) WHERE rn = 1
+        """,
         "events_topk_per_user": """
             SELECT user_id, event_id, rk FROM (
                 SELECT user_id, event_id, row_number() OVER (
