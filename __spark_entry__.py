@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import yirgacheffe_spark as yg
 from yirgacheffe_spark import harness
-from yirgacheffe_spark.harness import PX_CTE, POINTS_SQL, cell_assign_sql, scalar_df
+from yirgacheffe_spark.harness import (
+    AREA_LAT_CENTER_SQL,
+    PX_CTE,
+    POINTS_SQL,
+    area_pixel_sql,
+    cell_assign_sql,
+    scalar_df,
+)
 from yirgacheffe_spark.spatial import joins
 from yirgacheffe_spark.text import ann, dedup, multimodal, quality
 
@@ -79,9 +86,20 @@ def q_layer_sum(spark, sf_dir):
     return scalar_df(spark, r["qty"].sum(spark=spark), "sum_value")
 
 
-def q_layer_add_scalar_sum(spark, sf_dir):
+def q_layer_elementwise_sum(spark, sf_dir):
+    """Compound element-wise coverage in one scan: scalar arithmetic, unary
+    neg/abs, minimum/maximum, and nan_to_num (0/0 -> nan -> 5, x/0 -> inf ->
+    2) — merged from four round-2 micro-queries so the whole registry fits
+    the driver's 50-query correctness window."""
     r = harness.lineitem_rasters(sf_dir)
-    return scalar_df(spark, (r["qty"] * 3 + 7).sum(spark=spark), "sum_value")
+    expr = (
+        (r["qty"] * 3 + 7)
+        + (-(r["qty"] - 25)).abs()
+        + yg.maximum(r["qty"], 25)
+        + yg.minimum(r["elev"], 500)
+        + (r["qty"] / (r["hab"] - r["hab"])).nan_to_num(nan=5, posinf=2, neginf=0)
+    )
+    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
 def q_layer_mask_mul_sum(spark, sf_dir):
@@ -118,22 +136,24 @@ def q_layer_unique_counts(spark, sf_dir):
     )
 
 
-def q_layer_union_sum(spark, sf_dir):
+def q_layer_extent_sum(spark, sf_dir):
+    """Extent-inference coverage, both directions in one gate row: a grown
+    extent forces the UNION path with zero-fill on all four edges; a
+    ConstantLayer scoped to an interior window forces the INTERSECTION
+    path."""
     r = harness.lineitem_rasters(sf_dir)
-    # A grown extent forces the UNION path with zero-fill on all four edges.
     grown = r["price"].as_area(r["price"].area.grow(16 * harness.STEP))
-    expr = r["qty"] + grown
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_intersect_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
+    union_total = (r["qty"] + grown).sum(spark=spark)
     window_area = yg.Area(
         30 * harness.STEP, -5 * harness.STEP, 200 * harness.STEP, -20 * harness.STEP,
         harness.PROJ,
     )
     ones = yg.constant(1).as_area(window_area)
-    return scalar_df(spark, (r["qty"] * ones).sum(spark=spark), "sum_value")
+    inter_total = (r["qty"] * ones).sum(spark=spark)
+    return spark.createDataFrame(
+        [(float(union_total), float(inter_total))],
+        "union_sum double, intersect_sum double",
+    )
 
 
 def q_layer_conv2d_sum(spark, sf_dir):
@@ -142,39 +162,15 @@ def q_layer_conv2d_sum(spark, sf_dir):
     return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
-def q_layer_bitwise_sum(spark, sf_dir):
+def q_layer_intops_sum(spark, sf_dir):
+    """Compound integer-domain coverage in one scan: astype + bitwise
+    and/or/shift, floordiv + mod, and logical and/or — merged from three
+    round-2 micro-queries."""
     r = harness.lineitem_rasters(sf_dir)
-    expr = ((r["qty"].as_type(yg.DataType.Int64) & 3) | 1) << 1
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_floordiv_mod_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
-    expr = (r["price"] // 7) + (r["qty"] % 3)
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_logical_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
-    expr = yg.logical_or(r["qty"] > 40, yg.logical_and(r["elev"] > 500, r["hab"] < 10))
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_abs_neg_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
-    expr = (-(r["qty"] - 25)).abs()
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_minimum_maximum_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
-    expr = yg.maximum(r["qty"], 25) + yg.minimum(r["elev"], 500)
-    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
-
-
-def q_layer_nan_to_num_sum(spark, sf_dir):
-    r = harness.lineitem_rasters(sf_dir)
-    expr = (r["qty"] / (r["hab"] - r["hab"])).nan_to_num(nan=5, posinf=2, neginf=0)
+    bitwise = ((r["qty"].as_type(yg.DataType.Int64) & 3) | 1) << 1
+    intdiv = (r["price"] // 7) + (r["qty"] % 3)
+    logic = yg.logical_or(r["qty"] > 40, yg.logical_and(r["elev"] > 500, r["hab"] < 10))
+    expr = bitwise + intdiv + logic
     return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
@@ -204,10 +200,12 @@ def q_layer_reproject_sum(spark, sf_dir):
     return scalar_df(spark, rl.sum(spark=spark), "sum_value")
 
 
-def q_layer_round_log_sum(spark, sf_dir):
+def q_layer_math_sum(spark, sf_dir):
+    """Compound math coverage in one scan: log/round (integer-exact:
+    round(log(qty+1)*1000) sums as whole numbers) plus pow in both operand
+    orders — merged from two round-2 micro-queries."""
     r = harness.lineitem_rasters(sf_dir)
-    # Integer-exact: round(log(qty+1) * 1000) summed as whole numbers.
-    expr = ((r["qty"] + 1).log() * 1000).round()
+    expr = ((r["qty"] + 1).log() * 1000).round() + (r["qty"] ** 2) + (2 ** (r["qty"] % 8))
     return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
@@ -219,21 +217,15 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def q_doc_token_count(spark, sf_dir):
+def q_doc_text_features(spark, sf_dir):
+    """Per-document text features in one scan: BPE-ish token count, rolling
+    64-bit fingerprint, and the length/punct/stopword quality score — merged
+    from three round-2 micro-queries (all pure JVM column algebra)."""
     return _docs(spark, sf_dir).select(
-        "doc_id", quality.token_count(F.col("text")).cast("long").alias("n_tokens")
-    )
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", quality.fingerprint(F.col("text")).alias("fp")
-    )
-
-
-def q_doc_quality(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", quality.quality_score(F.col("text")).alias("q")
+        "doc_id",
+        quality.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality.fingerprint(F.col("text")).alias("fp"),
+        quality.quality_score(F.col("text")).alias("q"),
     )
 
 
@@ -347,13 +339,15 @@ def q_doc_lang_stats(spark, sf_dir):
 
 
 def q_ann_topk_multi(spark, sf_dir):
-    """Brute-force exact top-5 for a 5-query batch (query set = the 5 lowest
-    vec_ids, so the oracle derives the same literals from the table)."""
+    """Exact top-5 for a 5-query batch (query set = the 5 lowest vec_ids, so
+    the oracle derives the same literals from the table) — registered on the
+    PRODUCTION numpy-matmul scorer (differential-tested equal to the fold
+    scorer that term-for-term mirrors the oracle, tests/test_text.py)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qs = emb.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann.brute_force_topk(emb, qs, k=5)
+    out = ann.brute_force_topk_fast(emb, qs, k=5)
     return out.select(
         "query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank")
     )
@@ -376,16 +370,6 @@ def q_doc_minhash_pairs(spark, sf_dir):
 def q_doc_simhash_pairs(spark, sf_dir):
     hashes = dedup.simhash_column(_docs(spark, sf_dir))
     return dedup.simhash_near_dups(hashes, max_hamming=7, chunks=8)
-
-
-def q_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    first = emb.orderBy("vec_id").limit(1).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ann.brute_force_topk(emb, first, k=10).select(
-        "vec_id", F.col("rank").cast("long").alias("rank")
-    )
 
 
 def q_doc_jaccard_pairs(spark, sf_dir):
@@ -412,14 +396,6 @@ def q_emb_cosine_near_dup_lsh(spark, sf_dir):
     the same operator prunes aggressively with 8 bits x 16 tables."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann.cosine_near_dup_pairs_lsh(emb, threshold=0.42, bits=4, tables=64)
-
-
-def q_emb_cosine_near_dup(spark, sf_dir):
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # 0.42: the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51 at sf0.01), so a production-style 0.9 would make the oracle an
-    # empty-set check.
-    return ann.cosine_near_dup_pairs(emb, threshold=0.42)
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -597,6 +573,21 @@ def q_layer_uniform_sum(spark, sf_dir):
     )
     r = harness.lineitem_rasters(sf_dir)
     return scalar_df(spark, (r["qty"] * ua).sum(spark=spark), "sum_value")
+
+
+def q_layer_area_raster_sum(spark, sf_dir):
+    """AreaPerPixelLayer over the flagship habitat/elevation mask: the most
+    common real AoH workflow (``yg.area_raster() * mask`` summed = masked
+    area in m², reference ``_layers/area_per_pixel.py:30-123``).  Per-pixel
+    areas are rounded to whole m² before summation so the float64 aggregate
+    is integer-exact and fold-order-free; the oracle mirrors the ellipsoid
+    band-area formula with the kernel's own constants inlined."""
+    r = harness.lineitem_rasters(sf_dir)
+    mask = r["hab"].isin([1.0, 5.0, 7.0, 11.0]) * (
+        (r["elev"] >= 100) & (r["elev"] <= 800)
+    )
+    expr = (mask * yg.area_raster(harness.PROJ)).round()
+    return scalar_df(spark, expr.sum(spark=spark), "sum_value")
 
 
 def q_layer_cell_mask_sum(spark, sf_dir):
@@ -851,28 +842,27 @@ def q_orders_customer_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the driver's correctness gate verifies at most the
+    # first 50 registry entries, so round-2's 60-query registry left 10 tail
+    # queries without a driver-side row.  Round-2 micro-queries were merged
+    # into compound gate rows (elementwise/intops/math/extent/text_features)
+    # to make every registered query driver-visible.
     return {
         "layer_sum": q_layer_sum,
-        "layer_add_scalar_sum": q_layer_add_scalar_sum,
+        "layer_elementwise_sum": q_layer_elementwise_sum,
         "layer_mask_mul_sum": q_layer_mask_mul_sum,
         "layer_where_clip_sum": q_layer_where_clip_sum,
         "layer_minmax": q_layer_minmax,
         "layer_unique_counts": q_layer_unique_counts,
-        "layer_union_sum": q_layer_union_sum,
-        "layer_intersect_sum": q_layer_intersect_sum,
+        "layer_extent_sum": q_layer_extent_sum,
         "layer_conv2d_sum": q_layer_conv2d_sum,
-        "layer_bitwise_sum": q_layer_bitwise_sum,
-        "layer_floordiv_mod_sum": q_layer_floordiv_mod_sum,
-        "layer_logical_sum": q_layer_logical_sum,
-        "layer_abs_neg_sum": q_layer_abs_neg_sum,
-        "layer_minimum_maximum_sum": q_layer_minimum_maximum_sum,
-        "layer_nan_to_num_sum": q_layer_nan_to_num_sum,
+        "layer_intops_sum": q_layer_intops_sum,
+        "layer_math_sum": q_layer_math_sum,
         "layer_mosaic_sum": q_layer_mosaic_sum,
         "layer_reproject_sum": q_layer_reproject_sum,
         "layer_reproject_nearest_sum": q_layer_reproject_nearest_sum,
-        "layer_round_log_sum": q_layer_round_log_sum,
-        "layer_pow_sum": q_layer_pow_sum,
         "layer_uniform_sum": q_layer_uniform_sum,
+        "layer_area_raster_sum": q_layer_area_raster_sum,
         "layer_cell_mask_sum": q_layer_cell_mask_sum,
         "layer_vector_mask_sum": q_layer_vector_mask_sum,
         "layer_tiled_mosaic_sum": q_layer_tiled_mosaic_sum,
@@ -883,27 +873,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_pixel_coords_roundtrip": q_layer_pixel_coords_roundtrip,
         "events_topk_per_user": q_events_topk_per_user,
         "events_sessionize": q_events_sessionize,
-        "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
-        "orders_customer_join": q_orders_customer_join,
-        "doc_token_count": q_doc_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_quality": q_doc_quality,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_langid": q_doc_langid,
-        "lineage_resume": q_lineage_resume,
-        "streaming_ingest": q_streaming_ingest,
-        "doc_quality_filter": q_doc_quality_filter,
-        "doc_lang_stats": q_doc_lang_stats,
-        "ann_topk_multi": q_ann_topk_multi,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "emb_cosine_near_dup_lsh": q_emb_cosine_near_dup_lsh,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
+        "orders_customer_join": q_orders_customer_join,
+        "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
+        "doc_text_features": q_doc_text_features,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_langid": q_doc_langid,
+        "doc_quality_filter": q_doc_quality_filter,
+        "doc_lang_stats": q_doc_lang_stats,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "lineage_resume": q_lineage_resume,
+        "streaming_ingest": q_streaming_ingest,
+        "ann_topk_multi": q_ann_topk_multi,
+        "emb_cosine_near_dup_lsh": q_emb_cosine_near_dup_lsh,
         "spatial_cell_assign": q_spatial_cell_assign,
         "spatial_pip": q_spatial_pip,
         "spatial_pip_table": q_spatial_pip_table,
@@ -911,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn_table": q_spatial_knn_table,
         "pages_extract_invariant": q_pages_extract_invariant,
         "adaptive_cells": q_adaptive_cells,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -921,8 +907,13 @@ def oracle_sql() -> dict[str, str]:
     mask = "hab IN (1, 5, 7, 11) AND elev >= 100 AND elev <= 800"
     return {
         "layer_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
-        "layer_add_scalar_sum": PX_CTE
-        + f"SELECT SUM(qty * 3 + 7) + {pad} * 7.0 AS sum_value FROM px",
+        # Pad correction 62 = 7 (qty*3+7) + 25 (abs(0-25)) + 25 (max(0,25))
+        # + 0 (min(0,500)) + 5 (0/0 -> nan -> 5) at the zero-filled pixels.
+        "layer_elementwise_sum": PX_CTE
+        + f"""SELECT SUM((qty * 3 + 7) + abs(qty - 25)
+                + greatest(qty, 25) + least(elev, 500)
+                + CASE WHEN qty > 0 THEN 2 ELSE 5 END)
+                + {pad} * 62.0 AS sum_value FROM px""",
         "layer_mask_mul_sum": PX_CTE
         + f"SELECT SUM(CASE WHEN {mask} THEN qty ELSE 0 END) AS sum_value FROM px",
         "layer_where_clip_sum": PX_CTE
@@ -936,32 +927,23 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 0.0 AS value, {pad} AS n WHERE {pad} > 0
               ) GROUP BY value""",
-        "layer_union_sum": PX_CTE
-        + "SELECT SUM(qty) + SUM(price) AS sum_value FROM px",
-        "layer_intersect_sum": PX_CTE
-        + """SELECT SUM(CASE WHEN (i // 256) >= 5 AND (i // 256) < 20
-                              AND (i % 256) >= 30 AND (i % 256) < 200
-                             THEN qty ELSE 0 END) AS sum_value FROM px""",
+        "layer_extent_sum": PX_CTE
+        + """SELECT (SELECT SUM(qty) + SUM(price) FROM px) AS union_sum,
+                    (SELECT SUM(CASE WHEN (i // 256) >= 5 AND (i // 256) < 20
+                                      AND (i % 256) >= 30 AND (i % 256) < 200
+                                     THEN qty ELSE 0 END) FROM px) AS intersect_sum""",
         "layer_conv2d_sum": PX_CTE
         + f"""SELECT SUM(qty
                 * (least((i // 256) + 1, {h} - 1) - greatest((i // 256) - 1, 0) + 1)
                 * (least((i % 256) + 1, 255) - greatest((i % 256) - 1, 0) + 1)
               ) AS sum_value FROM px""",
-        "layer_bitwise_sum": PX_CTE
-        + f"SELECT CAST(SUM(((CAST(qty AS BIGINT) & 3) | 1) * 2) + {pad} * 2 AS DOUBLE) AS sum_value FROM px",
-        "layer_floordiv_mod_sum": PX_CTE
-        + "SELECT SUM(floor(price / 7) + (qty % 3)) AS sum_value FROM px",
-        "layer_logical_sum": PX_CTE
-        + """SELECT CAST(SUM(CASE WHEN qty > 40 OR (elev > 500 AND hab < 10)
-                             THEN 1 ELSE 0 END) AS DOUBLE) AS sum_value FROM px""",
-        "layer_abs_neg_sum": PX_CTE
-        + f"SELECT SUM(abs(qty - 25)) + {pad} * 25.0 AS sum_value FROM px",
-        "layer_minimum_maximum_sum": PX_CTE
-        + f"""SELECT SUM(greatest(qty, 25) + least(elev, 500))
-                + {pad} * 25.0 AS sum_value FROM px""",
-        "layer_nan_to_num_sum": PX_CTE
-        + f"""SELECT CAST(SUM(CASE WHEN qty > 0 THEN 2 ELSE 5 END)
-                + {pad} * 5.0 AS DOUBLE) AS sum_value FROM px""",
+        # Pad correction 2 = ((0 & 3) | 1) << 1 at the zero-filled pixels.
+        "layer_intops_sum": PX_CTE
+        + f"""SELECT CAST(SUM(((CAST(qty AS BIGINT) & 3) | 1) * 2
+                + floor(price / 7) + (qty % 3)
+                + CASE WHEN qty > 40 OR (elev > 500 AND hab < 10)
+                       THEN 1 ELSE 0 END)
+                + {pad} * 2 AS DOUBLE) AS sum_value FROM px""",
         "layer_mosaic_sum": PX_CTE
         + f"""SELECT SUM(qty)
                 + SUM(CASE WHEN (i // 256) + 64 >= {h} OR (i % 256) + 32 >= 256
@@ -973,12 +955,16 @@ def oracle_sql() -> dict[str, str]:
                           (6 * c.range + 3) // 4 AS sj
                    FROM range(0, 80) r, range(0, 160) c) t
              LEFT JOIN px ON px.i = t.si * 256 + t.sj""",
-        "layer_round_log_sum": PX_CTE
-        + "SELECT SUM(round(ln(qty + 1) * 1000)) AS sum_value FROM px",
-        "layer_pow_sum": PX_CTE
-        + f"SELECT SUM(pow(qty, 2) + pow(2, qty % 8)) + {pad} * 1.0 AS sum_value FROM px",
+        # Pad correction 1 = round(ln(1)*1000) + 0^2 + 2^0 at zero pixels.
+        "layer_math_sum": PX_CTE
+        + f"""SELECT SUM(round(ln(qty + 1) * 1000) + pow(qty, 2) + pow(2, qty % 8))
+                + {pad} * 1.0 AS sum_value FROM px""",
         "layer_uniform_sum": PX_CTE
         + "SELECT SUM(qty * ((i // 256) + 1)) AS sum_value FROM px",
+        "layer_area_raster_sum": PX_CTE
+        + f"""SELECT SUM(CASE WHEN {mask}
+                             THEN round({area_pixel_sql(AREA_LAT_CENTER_SQL)})
+                             ELSE 0 END) AS sum_value FROM px""",
         "layer_tiled_mosaic_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
         "layer_nary_sum": PX_CTE
         + """SELECT SUM((qty + elev + hab)
@@ -1046,16 +1032,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "doc_token_count": (
+        "doc_text_features": (
             "SELECT doc_id, "
             + quality.token_count_sql("text")
-            + " AS n_tokens FROM documents"
-        ),
-        "doc_fingerprint": (
-            "SELECT doc_id, " + quality.fingerprint_sql("text") + " AS fp FROM documents"
-        ),
-        "doc_quality": (
-            "SELECT doc_id, " + quality.quality_score_sql("text") + " AS q FROM documents"
+            + " AS n_tokens, "
+            + quality.fingerprint_sql("text")
+            + " AS fp, "
+            + quality.quality_score_sql("text")
+            + " AS q FROM documents"
         ),
         "doc_exact_dedup": """
             SELECT doc_id FROM (
@@ -1063,10 +1047,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1
         """,
-        "ann_topk": ann.brute_force_topk_sql(
-            10, "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)"
-        ).replace("SELECT vec_id, sim, rank", "SELECT vec_id, rank"),
-        "emb_cosine_near_dup": ann.cosine_near_dup_pairs_sql(0.42),
         # The LSH path must reproduce the brute-force pair set exactly
         # (precision is exact by construction; recall engineered > 1 - 1e-6
         # per pair at this threshold), so it shares the brute-force oracle.

@@ -165,3 +165,13 @@ def test_save_writes_tile_manifest_and_planner_uses_it(tmp_path, spark):
     assert pqr.read_tile_manifest(out) is not None
     got = yg.ParquetRasterLayer(out).sum(spark=spark)
     assert got == float((data * 2).sum())
+
+
+def test_unique_guard_rejects_unbounded_collect(spark):
+    """unique() must refuse to collect beyond max_values distinct values."""
+    data = np.arange(17 * 13, dtype=np.float64).reshape(13, 17)
+    layer = yg.from_array(data, (0.0, 0.0), PROJ)
+    with pytest.raises(ValueError, match="max_values"):
+        layer.unique(return_counts=True, spark=spark, max_values=10)
+    values, counts = layer.unique(return_counts=True, spark=spark)
+    assert len(values) == 17 * 13 and counts.sum() == 17 * 13

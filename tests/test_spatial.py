@@ -253,3 +253,17 @@ def test_pip_table_shuffle_path_matches_broadcast(spark):
          joins.point_in_polygon_join_df(spark, df, polys, res=4, broadcast=False)
          .select("url", "poly_id").collect()}
     assert a == b and a
+
+
+def test_salted_is_deterministic_under_recompute(spark):
+    """Salt must derive from row content, not positional ids: a recomputed
+    partition (task retry) must assign every row the same salt."""
+    df = pages.enriched_pages(spark, 300, res=4).select("url", "cell")
+    a = {(r["url"], r["salt"]) for r in joins.salted(df, "cell").collect()}
+    # Recompute from scratch (fresh lineage, different partitioning).
+    b = {
+        (r["url"], r["salt"])
+        for r in joins.salted(df.repartition(7), "cell").collect()
+    }
+    assert a == b
+    assert len({s for _, s in a}) > 1  # salt actually spreads

@@ -112,6 +112,47 @@ def scalar_df(spark, value: float, column: str = "value"):
     return spark.createDataFrame([(float(value),)], f"{column} double")
 
 
+def area_pixel_sql(lat_center_expr: str) -> str:
+    """DuckDB mirror of ``reprojection.area_of_pixel_m2`` for the lineitem
+    raster grid (0.01-degree pixels): pixel area in m² as a function of the
+    pixel's center latitude.
+
+    Bit-exactness strategy: every constant the Python kernel derives
+    (eccentricity, pi*b², 2e, deg->rad factor, x_scale/360) is computed HERE
+    with the identical Python expressions and inlined as a full-precision
+    literal, so the SQL performs the same double ops in the same order and
+    both engines call the same libm sin/ln.  The per-pixel value is rounded
+    to whole m² before aggregation, which absorbs any residual 1-ulp
+    divergence and keeps the float64 sum fold-order-free."""
+    import math  # pylint: disable=C0415
+
+    from .reprojection import WGS84_A_B  # pylint: disable=C0415
+
+    semi_major, semi_minor = WGS84_A_B
+    e = math.sqrt(1 - (semi_minor / semi_major) ** 2)
+    pb2 = math.pi * semi_minor**2
+    two_e = 2 * e
+    deg2rad = math.radians(1.0)
+    xs360 = STEP / 360.0
+
+    def band(lat_expr: str) -> str:
+        s = f"sin(({lat_expr}) * {deg2rad!r})"
+        zm = f"(1 - {e!r} * {s})"
+        zp = f"(1 + {e!r} * {s})"
+        return f"{pb2!r} * ((ln({zp} / {zm}) / {two_e!r}) + ({s} / ({zp} * {zm})))"
+
+    top = band(f"({lat_center_expr}) + (-0.005)")
+    bottom = band(f"({lat_center_expr}) - (-0.005)")
+    return f"abs({xs360!r} * (({top}) - ({bottom})))"
+
+
+# Center latitude of lineitem-raster row j as the AreaPerPixelLayer kernel
+# computes it: the layer's own global grid has top = 90.0 and row offset
+# 9000 + j for the raster's row j, so the double is
+# 90.0 + (9000 + j + 0.5) * (-0.01) — NOT bit-equal to -(j + 0.5) * 0.01.
+AREA_LAT_CENTER_SQL = "90.0 + (9000 + (i // 256) + 0.5) * (-0.01)"
+
+
 # -- derived point set for the spatial-join oracles ---------------------------
 #
 # Customers become points by exact integer arithmetic, so DuckDB can replicate

@@ -412,8 +412,10 @@ class LayerMathMixin:
     def max(self, spark=None):
         return LayerOperation(self).max(spark=spark)
 
-    def unique(self, return_counts: bool = False, spark=None):
-        return LayerOperation(self).unique(return_counts=return_counts, spark=spark)
+    def unique(self, return_counts: bool = False, spark=None, max_values=None):
+        return LayerOperation(self).unique(
+            return_counts=return_counts, spark=spark, max_values=max_values
+        )
 
     def read_array(self, x: int, y: int, width: int, height: int, spark=None) -> np.ndarray:
         return LayerOperation(self).read_array(x, y, width, height, spark=spark)
@@ -548,7 +550,11 @@ class LayerOperation(LayerMathMixin):
             if child_area is not None:
                 areas.append(child_area)
         if force_union:
-            areas = [a for a in areas if not a.is_world]
+            # Strip world-spanning (extent-neutral) children; if EVERY child
+            # is world-spanning (e.g. a bare area_raster()), keep them so the
+            # caller gets the world sentinel and can raise a clear error.
+            stripped = [a for a in areas if not a.is_world]
+            areas = stripped or areas
 
         try:
             if self.window_op == WindowOp.NONE:
@@ -588,7 +594,12 @@ class LayerOperation(LayerMathMixin):
         if projection is None:
             raise AttributeError("No window without projection")
         area = self.operation_area(projection)
-        assert not area.is_world
+        if area.is_world:
+            raise ValueError(
+                "Expression has no finite extent: every term is a "
+                "world-spanning synthesized layer (constant / area_raster). "
+                "Scope it with .as_area(...) or combine it with a data layer."
+            )
         xoff, yoff = projection.round_down_pixels(
             area.left / projection.xstep, area.top / (projection.ystep * -1.0)
         )
@@ -639,10 +650,13 @@ class LayerOperation(LayerMathMixin):
 
         return executor.aggregate(self, "max", spark=spark)
 
-    def unique(self, return_counts: bool = False, spark=None):
+    def unique(self, return_counts: bool = False, spark=None, max_values=None):
         from ..plans import executor  # pylint: disable=C0415
 
-        return executor.unique(self, return_counts=return_counts, spark=spark)
+        kwargs = {} if max_values is None else {"max_values": max_values}
+        return executor.unique(
+            self, return_counts=return_counts, spark=spark, **kwargs
+        )
 
     def read_array(self, x: int, y: int, width: int, height: int, spark=None) -> np.ndarray:
         from ..plans import executor  # pylint: disable=C0415

@@ -410,6 +410,15 @@ MANIFEST_SCHEMA = "file string, rg int, mty int, mtx int"
 _FOOTER_CACHE: dict[tuple[str, float], list] = {}
 
 
+def _footer_cache_put(key: tuple[str, float], value: list) -> None:
+    # FIFO size bound — must run on EVERY insertion point (the manifest-hit
+    # branch previously skipped it, so long-lived sessions touching many
+    # distinct files/mtimes grew the driver cache unboundedly).
+    while len(_FOOTER_CACHE) >= 4096:
+        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+    _FOOTER_CACHE[key] = value
+
+
 def _footer_stats(path: str) -> list:
     import pyarrow.parquet as pq  # pylint: disable=C0415
 
@@ -424,7 +433,7 @@ def _footer_stats(path: str) -> list:
         manifest = read_tile_manifest(os.path.dirname(path))
         if manifest is not None and os.path.basename(path) in manifest:
             got = manifest[os.path.basename(path)]
-            _FOOTER_CACHE[key] = got
+            _footer_cache_put(key, got)
             return got
         md = pq.ParquetFile(path).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -442,9 +451,7 @@ def _footer_stats(path: str) -> list:
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             got.append((rg, minmax(g, iy), minmax(g, ix)))
-        while len(_FOOTER_CACHE) >= 4096:
-            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
-        _FOOTER_CACHE[key] = got
+        _footer_cache_put(key, got)
     return got
 
 
@@ -968,9 +975,20 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
     return total
 
 
-def unique(tree, return_counts: bool = False, spark: SparkSession | None = None):
+UNIQUE_MAX_VALUES = 1 << 22  # driver-collect guard: ~4M distinct values
+
+
+def unique(tree, return_counts: bool = False, spark: SparkSession | None = None,
+           max_values: int = UNIQUE_MAX_VALUES):
     """Distinct pixel values (optionally with counts): per-tile ``np.unique``
-    partials, final combine by key in Spark (NaNs grouped via explicit flag)."""
+    partials, final combine by key in Spark (NaNs grouped via explicit flag).
+
+    The final distinct set is collected to the driver (reference parity:
+    ``unique`` returns numpy arrays).  On continuous float data distinct ~=
+    pixels, so the combined frame is cached post-shuffle and COUNTED before
+    collecting; beyond ``max_values`` the call raises instead of silently
+    OOM-ing the driver (use a classed/quantised expression, or raise the
+    bound explicitly)."""
     spark, root, payload, bc, df = _build(tree, spark)
 
     def compute(batches):
@@ -994,12 +1012,23 @@ def unique(tree, return_counts: bool = False, spark: SparkSession | None = None)
                 schema=_PA_UNIQUE,
             )
 
-    combined = (
+    grouped = (
         df.mapInArrow(compute, schema=UNIQUE_SCHEMA)
         .groupBy("value", "is_nan")
         .agg(F.sum("count").alias("count"))
-        .collect()
+        .persist()
     )
+    try:
+        n_distinct = grouped.count()
+        if n_distinct > max_values:
+            raise ValueError(
+                f"unique() would collect {n_distinct} distinct values "
+                f"(> max_values={max_values}) to the driver; quantise the "
+                "expression (e.g. .round()/astype) or pass a larger max_values"
+            )
+        combined = grouped.collect()
+    finally:
+        grouped.unpersist()
     pairs = sorted(
         ((float("nan") if r["is_nan"] else r["value"], r["count"]) for r in combined),
         key=lambda kv: (math.isnan(kv[0]), kv[0]),
@@ -1124,8 +1153,12 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
     if and_sum:
         # Distributed partial sums over the freshly written table (re-reading
         # the compressed output beats persist(): caching wide binary rows in
-        # local mode measured erratically 10-20x slower).  Partials are summed
-        # in (ty, tx) order so the result is deterministic bit-for-bit.
+        # local mode measured erratically 10-20x slower).  Same hierarchical
+        # deterministic fold as ``aggregate(sum)``: per-ty partials combined
+        # in tx order inside Spark, per-ty sums added in ty order on the
+        # driver — driver traffic is O(tile rows), not O(tiles), so the
+        # flagship sink no longer collects one row per tile (at 10^8 tiles
+        # the old flat collect was a multi-GB driver transfer).
         dt = root.datatype.to_numpy()
 
         def _partials(batches):
@@ -1142,13 +1175,21 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
                     schema=_PA_PARTIAL,
                 )
 
-        parts = (
+        per_ty = (
             spark.read.parquet(path)
             .select("tile_y", "tile_x", "payload")
             .mapInArrow(_partials, PARTIAL_SCHEMA)
+            .groupBy("ty")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("tx", "partial"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["partial"],
+                ).alias("partial")
+            )
             .collect()
         )
         total = 0.0
-        for r in sorted(parts, key=lambda r: (r["ty"], r["tx"])):
+        for r in sorted(per_ty, key=lambda r: r["ty"]):
             total += r["partial"]
     return total

@@ -194,6 +194,22 @@ class AreaPerPixelLayer(Layer):
     def cse_hash(self) -> int | None:
         return hash((self.name, self._underlying_area, self.projection))
 
+    def operation_area(
+        self, projection: MapProjection | None = None, _force_union: bool = False,
+        top_level: bool = False,
+    ) -> Area:
+        """Extent-NEUTRAL, like ``ConstantLayer``: the layer synthesizes a
+        pixel anywhere, so it must not drag an expression's extent out to the
+        whole globe.  Returning the concrete global area instead would absorb
+        the world sentinel of sibling scalar-comparison nodes in
+        INTERSECTION/UNION reduction, making ``mask * area_raster()`` plan
+        the full 18000x9000 grid (the driver gate silently computed ~10k
+        empty tiles per query; at 4-px test tiles it OOMed the JVM)."""
+        mine = self.projection
+        if mine is not None and projection is not None and mine != projection:
+            raise ValueError("Calculation projection does not match layer projection")
+        return Area.world()
+
     def read_window(self, _xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         projection = self.projection
         assert projection is not None

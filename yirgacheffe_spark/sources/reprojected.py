@@ -143,19 +143,31 @@ class ReprojectedLayer(Layer):
         fy_first, fy_counts, r0, r1 = segments(y_edges, src_area.top, source_proj.ystep)
         block = np.asarray(
             self._source.read_window(c0, r0, c1 - c0, r1 - r0, self._source.window)
-        ).astype(np.float64)
+        )
+        # Dtype must match the integer-factor reshape path for the same
+        # method — a ReprojectedLayer's result dtype must not change with
+        # the scale factor: min/max keep the native dtype, sum widens ints
+        # to int64 (numpy's ndarray.sum default), average/med/rms follow
+        # numpy mean/median promotion (ints -> float64, floats preserved).
         if self._method == "min":
             rows = np.minimum.reduceat(block, fy_first, axis=0)
             return np.minimum.reduceat(rows, fx_first, axis=1)
         if self._method == "max":
             rows = np.maximum.reduceat(block, fy_first, axis=0)
             return np.maximum.reduceat(rows, fx_first, axis=1)
-        values = np.square(block) if self._method == "rms" else block
+        if self._method == "sum":
+            acc = block.astype(np.int64) if block.dtype.kind in "iub" else block
+            rows = np.add.reduceat(acc, fy_first, axis=0)
+            return np.add.reduceat(rows, fx_first, axis=1)
+        if self._method == "rms":
+            values = np.square(block.astype(np.float64))
+        else:  # average
+            values = block.astype(np.float64) if block.dtype.kind in "iub" else block
         rows = np.add.reduceat(values, fy_first, axis=0)
         total = np.add.reduceat(rows, fx_first, axis=1)
-        if self._method == "sum":
-            return total
-        area = fy_counts[:, np.newaxis] * fx_counts[np.newaxis, :]
+        # Cast counts to the accumulator dtype so float32 averages stay
+        # float32 (float32 / int64 would silently widen to float64).
+        area = (fy_counts[:, np.newaxis] * fx_counts[np.newaxis, :]).astype(total.dtype)
         if self._method == "average":
             return total / area
         return np.sqrt(total / area)  # rms

@@ -148,6 +148,9 @@ _TOKEN_RE = re.compile(
 
 
 def _tokenize_filter(text: str) -> list[tuple[str, str]]:
+    # _TOKEN_RE requires a token after its leading \s*, so leftover trailing
+    # whitespace would otherwise fail to match and raise on e.g. "a = 1 ".
+    text = text.strip()
     tokens, pos = [], 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)

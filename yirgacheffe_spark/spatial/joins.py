@@ -202,6 +202,7 @@ def knn_join_df(
     max_ring: int = 6,
     id_col: str = "url",
     broadcast_queries: bool = True,
+    initial_ring: int | None = None,
 ) -> DataFrame:
     """Table-vs-table kNN: for every row of ``queries`` (query_id, lat, lng),
     its k nearest pages by great-circle distance.
@@ -213,16 +214,36 @@ def knn_join_df(
     JVM column math (no Python anywhere), and the per-query running top-k is
     a window re-rank over (previous best) ∪ (new shell hits).  A query
     settles once its k-th distance is provably inside the searched disk:
-    ``ring * min(cell_height_m, cell_width_m at the disk's most poleward
-    latitude)`` (width shrinks toward the poles; if the disk touches a pole
-    the width bound collapses to zero and only ``max_ring`` terminates).
-    The driver never sees a result row — it only checks per-round whether
-    unsettled queries remain (rounds are O(log max_ring)).
+    ``ring * min(cell_height_m, chord-form cell_width_m at the disk's most
+    poleward latitude)`` (width shrinks toward the poles; if the disk
+    touches a pole the width bound collapses to zero and only ``max_ring``
+    terminates).  The driver never sees a result row — it only checks
+    per-round whether unsettled queries remain.
+
+    Round count is the scale lever: every round costs one full
+    candidate-scan of the page table PLUS an eager localCheckpoint barrier
+    whose fixed cost grows with cores (measured: the old fixed ring-2 start
+    took 2-3 serialized rounds on the bench mix and scaled 0.91x from 8 to
+    32 cores).  ``initial_ring=None`` therefore estimates the page density
+    with one (parquet-metadata-cheap) count and starts at the smallest ring
+    whose disk is expected to hold >= 4k candidates, so the common case
+    settles in ONE round; under-estimates only cost an extra (exact)
+    escalation round, never correctness.
     """
     rows_n, cols_n = 1 << res, 1 << (res + 1)
     cell_h_deg = 180.0 / rows_n
     cell_w_deg = 360.0 / cols_n
     m_per_deg = 111_194.9
+
+    if initial_ring is None:
+        # Expected candidates in a (2r+1)^2 disk at mean density; aim for
+        # 4k so the k-th distance sits well inside the settle radius.
+        n_pages = pages.count()
+        per_cell = max(n_pages / float(rows_n * cols_n), 1e-9)
+        initial_ring = 2
+        while (2 * initial_ring + 1) ** 2 * per_cell < 4 * k and initial_ring < max_ring:
+            initial_ring *= 2
+    initial_ring = max(1, min(initial_ring, max_ring))
 
     q = queries.select(
         "query_id",
@@ -256,11 +277,11 @@ def knn_join_df(
     pending = q
     best: DataFrame | None = None
     settled_frames: list[DataFrame] = []
-    # Geometric ring schedule with factor 4 starting at 2: every round costs
-    # one full candidate-scan of the page table regardless of shell size, so
-    # fewer/wider rounds beat many narrow ones (measured: x2 schedule spent
-    # 4 scans where this spends 2 on the bench query mix).
-    prev_ring, ring = -1, min(2, max_ring)
+    # Geometric ring schedule with factor 4 from the density-derived start:
+    # every round costs one full candidate-scan of the page table regardless
+    # of shell size, so fewer/wider rounds beat many narrow ones (measured:
+    # x2 schedule spent 4 scans where x4 spends 2 on the bench query mix).
+    prev_ring, ring = -1, min(initial_ring, max_ring)
     while True:
         shell = (
             pending.withColumn("dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
@@ -322,10 +343,24 @@ def knn_join_df(
         phi_far = F.least(
             F.lit(90.0), F.abs(F.col("qlat")) + F.lit((ring + 1) * cell_h_deg)
         )
-        safe_m = F.lit(ring * m_per_deg) * F.least(
-            F.lit(cell_h_deg),
-            F.lit(cell_w_deg) * F.greatest(F.cos(F.radians(phi_far)), F.lit(0.0)),
+        # Meridian gap is a great-circle arc, so the linear bound is exact.
+        safe_lat_m = F.lit(ring * cell_h_deg * m_per_deg)
+        # Longitude gap: the true minimum distance across a dLambda gap at
+        # latitude phi is the chord form 2R*asin(cos(phi)*sin(dLambda/2)),
+        # strictly BELOW the along-parallel arc R*dLambda*cos(phi) for
+        # phi > 0 — the linear form overestimates the safe radius (~1% at
+        # ring=8/res=5) and could settle a query before a nearer neighbor
+        # just past the searched shell is seen.  Evaluate at the disk's most
+        # poleward latitude; cap the gap at 180 deg (beyond that it wraps).
+        half_gap_rad = math.radians(min(ring * cell_w_deg, 180.0)) / 2.0
+        safe_lng_m = (
+            F.lit(2.0 * EARTH_RADIUS_M)
+            * F.asin(
+                F.greatest(F.cos(F.radians(phi_far)), F.lit(0.0))
+                * F.lit(math.sin(half_gap_rad))
+            )
         )
+        safe_m = F.least(safe_lat_m, safe_lng_m)
         judged = pending.join(stats, "query_id", "left")
         is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_m)
         if ring >= max_ring:
@@ -334,12 +369,16 @@ def knn_join_df(
         settled_frames.append(
             best.join(F.broadcast(settled_ids), "query_id", "left_semi")
         )
+        if ring >= max_ring:
+            # Everything force-settles — don't pay an eager checkpoint just
+            # to materialise an empty pending frame.
+            break
         pending = (
             judged.where(~F.coalesce(is_settled, F.lit(False)))
             .select("query_id", "qlat", "qlng", "qrow", "qcol")
             .localCheckpoint(eager=True)
         )
-        if ring >= max_ring or pending.isEmpty():
+        if pending.isEmpty():
             break
         prev_ring, ring = ring, min(ring * 4, max_ring)
 
@@ -437,5 +476,14 @@ def _child_cell_expr(cell_col: str, lat_col: str, lng_col: str, child_res: int):
 def salted(df: DataFrame, key_col: str, buckets: int = 16) -> DataFrame:
     """Append a deterministic salt column for repartitioning hot keys:
     ``repartition(col(key), col('salt'))`` spreads each key over ``buckets``
-    reducers without changing join semantics (the other side explodes salt)."""
-    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(key_col), F.monotonically_increasing_id()), F.lit(buckets)))
+    reducers without changing join semantics (the other side explodes salt).
+
+    The salt is a CONTENT hash of the whole row — never a positional id like
+    ``monotonically_increasing_id()``, which changes across task retries and
+    would re-salt rows differently mid-job (a retried stage could then
+    double-count or drop rows in salt-aware consumers).  Identical duplicate
+    rows share a bucket; distinct rows of a hot key still spread."""
+    return df.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)),
+    )

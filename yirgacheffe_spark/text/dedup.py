@@ -335,7 +335,16 @@ def minhash_lsh_candidates_fused(sigs: DataFrame, id_col: str = "doc_id",
     if "buckets" not in sigs.columns:
         raise ValueError("fused candidates need the fused `buckets` column")
     spark = sigs.sparkSession
-    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # "spark.sql.shuffle.partitions" may be "auto" under AQE-managed
+    # clusters — fall back to the cluster's default parallelism rather than
+    # crashing exactly on the path meant for such deployments.
+    if partitions:
+        n_parts = partitions
+    else:
+        try:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n_parts = spark.sparkContext.defaultParallelism
     id_type = dict(sigs.dtypes)[id_col]
     banded = sigs.select(
         F.col(id_col), F.posexplode("buckets").alias("band", "bucket")
