@@ -148,10 +148,12 @@ def main() -> int:
         return joins.point_in_polygon_join(spark, pages_df, pip_polys, res=6).count()
 
     def q_knn():
-        # 64-query batch through the table-vs-table path: per-round work is
-        # 64 shells joined at once, so the job scales with cores instead of
-        # sitting at the scheduler's latency floor like a 3-query lookup.
-        qs = spark.range(64).selectExpr(
+        # 2048-query batch through the one-shot table-vs-table path (r02 ran
+        # 64 queries; at that size the job is pure scheduler latency — ~2.5s
+        # of fixed cost around ~0.8s of work — and no design can show core
+        # scaling.  2048 queries is the realistic table-vs-table shape and
+        # makes the scored-candidate volume dominate).
+        qs = spark.range(2048).selectExpr(
             "id AS query_id",
             "CAST((id * 37) % 160 - 80 + 0.7 AS DOUBLE) AS lat",
             "CAST((id * 91) % 360 - 180 + 0.3 AS DOUBLE) AS lng",
@@ -211,6 +213,11 @@ def main() -> int:
         "ann_topk": q_ann,
         "pricing_summary": q_pricing,
     }
+
+    only = os.environ.get("YG_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        suite = {k: v for k, v in suite.items() if k in keep}
 
     for _ in range(WARMUP):
         for fn in suite.values():

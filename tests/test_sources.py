@@ -367,3 +367,58 @@ class TestGeneralBlockStats:
                 ]
                 np.testing.assert_allclose(
                     got[ti, tj], np.mean(vals), rtol=1e-12)
+
+
+def _segment_membership(n_src, xsize, target_step, source_step):
+    """Mirror of ReprojectedLayer._block_stats_general's center-in-segment
+    rule: source pixel c belongs to target j iff searchsorted(frac_edges,
+    c + 0.5, 'right') - 1 == j, with frac_edges the inverse-mapped target
+    pixel edges in source-pixel units."""
+    edges = np.arange(xsize + 1) * target_step
+    frac = edges / source_step
+    return {
+        j: [c for c in range(n_src)
+            if np.searchsorted(frac, c + 0.5, side="right") - 1 == j]
+        for j in range(xsize)
+    }
+
+
+def test_reprojected_mode_med_noninteger_scale():
+    # 1.5x coarsening: mode/med at arbitrary factors via the segmented path.
+    data = RNG.integers(0, 5, (12, 12)).astype(np.float64)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)
+    members = _segment_membership(12, 8, 0.03, 0.02)
+    for method in ("med", "mode"):
+        got = yg.ReprojectedLayer(src, coarse, method).read_array(0, 0, 8, 8)
+        for i in range(8):
+            for j in range(8):
+                blk = data[np.ix_(members[i], members[j])].ravel()
+                if method == "med":
+                    assert got[i, j] == np.median(blk), (i, j)
+                else:
+                    vals, counts = np.unique(blk, return_counts=True)
+                    # ties -> smallest value (np.unique is sorted; argmax
+                    # returns the first maximal count)
+                    assert got[i, j] == vals[np.argmax(counts)], (i, j)
+
+
+def test_reprojected_mode_med_general_matches_reshape_at_integer_factor():
+    # At an integer factor the segmented path must agree with the exact
+    # reshape path bit-for-bit (including the mode tie rule).
+    data = RNG.integers(0, 4, (8, 8)).astype(np.int32)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.04, -0.04)
+    for method in ("med", "mode"):
+        rl = yg.ReprojectedLayer(src, coarse, method)
+        via_reshape = rl.read_array(0, 0, 4, 4)
+        via_general = rl._block_stats_general(0, 0, 4, 4)  # noqa: SLF001
+        np.testing.assert_array_equal(via_reshape, via_general)
+
+
+def test_reprojected_mode_dtype_preserved_general_path():
+    data = RNG.integers(0, 7, (12, 12)).astype(np.int16)
+    src = yg.from_array(data, (0.0, 0.0), PROJ)
+    coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)
+    out = yg.ReprojectedLayer(src, coarse, "mode").read_array(0, 0, 8, 8)
+    assert out.dtype == np.int16

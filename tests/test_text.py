@@ -266,3 +266,38 @@ def test_brute_force_fast_equals_fold(embeddings, spark):
     fast = {(r["query_id"], r["vec_id"], r["rank"])
             for r in ann.brute_force_topk_fast(embeddings, qs, k=7).collect()}
     assert fast == fold and fold
+
+
+class TestMultimodalVectorized:
+    def test_features_match_per_row_reference(self, spark):
+        """The batched bincount histogram must equal the per-row
+        np.histogram form bit-for-bit (same edges, same normalisation)."""
+        media = multimodal.synthesize_media(spark, 80)
+        rows = media.collect()
+        got = {
+            r["media_id"]: np.asarray(r["feature"], dtype=np.float32)
+            for r in multimodal.extract_features(media, decode="fake", dim=10).collect()
+        }
+        for r in rows:
+            plane = multimodal._fake_decode_image(  # noqa: SLF001
+                r["payload"], r["width"], r["height"]
+            )
+            hist, _ = np.histogram(plane, bins=10, range=(0, 256))
+            want = (hist / (hist.sum() or 1)).astype(np.float32)
+            np.testing.assert_array_equal(got[r["media_id"]], want)
+
+    def test_resize_matches_per_row_reference(self, spark):
+        media = multimodal.synthesize_media(spark, 40)
+        rows = media.collect()
+        got = {
+            r["media_id"]: r["thumb"]
+            for r in multimodal.resize(media, 7, 5, decode="fake").collect()
+        }
+        for r in rows:
+            plane = multimodal._fake_decode_image(  # noqa: SLF001
+                r["payload"], r["width"], r["height"]
+            )
+            h, w = int(r["height"]), int(r["width"])
+            ys = (np.arange(5) * h // 5).clip(0, h - 1)
+            xs = (np.arange(7) * w // 7).clip(0, w - 1)
+            assert got[r["media_id"]] == plane[np.ix_(ys, xs)].tobytes()

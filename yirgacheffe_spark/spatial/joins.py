@@ -207,43 +207,49 @@ def knn_join_df(
     """Table-vs-table kNN: for every row of ``queries`` (query_id, lat, lng),
     its k nearest pages by great-circle distance.
 
-    Fully distributed cell-ring expansion: each round scores only the NEW
-    Chebyshev shell (prev_ring, ring] of cells around each still-unsettled
-    query — shell cells are generated with JVM ``explode(sequence(...))``
-    column algebra, candidates come from a cell-equality join, distances are
-    JVM column math (no Python anywhere), and the per-query running top-k is
-    a window re-rank over (previous best) ∪ (new shell hits).  A query
-    settles once its k-th distance is provably inside the searched disk:
-    ``ring * min(cell_height_m, chord-form cell_width_m at the disk's most
-    poleward latitude)`` (width shrinks toward the poles; if the disk
-    touches a pole the width bound collapses to zero and only ``max_ring``
-    terminates).  The driver never sees a result row — it only checks
-    per-round whether unsettled queries remain.
+    ONE-SHOT adaptive-disk design: every query is assigned its own ring —
+    the smallest power of two whose disk (a) is expected to hold >= 4k
+    candidates at the table's mean density and (b) has a provable settle
+    radius (chord-form width bound at the disk's most poleward latitude)
+    larger than the density-predicted k-th distance; queries with no such
+    ring (near-polar, where the longitude bound collapses) go straight to
+    ``max_ring`` and force-settle, exactly as the old escalation eventually
+    did.  All disks are scored in ONE page-table scan (cells via JVM
+    ``explode(sequence(...))``, cell-equality join, JVM haversine), the
+    per-query top-k is one window rank, and the settle condition is then
+    VERIFIED exactly (count >= k and k-th distance <= the sound chord/
+    meridian bound); the rare under-predicted queries get a single exact
+    escalation scan at ``max_ring``.  The driver never sees a result row.
 
-    Round count is the scale lever: every round costs one full
-    candidate-scan of the page table PLUS an eager localCheckpoint barrier
-    whose fixed cost grows with cores (measured: the old fixed ring-2 start
-    took 2-3 serialized rounds on the bench mix and scaled 0.91x from 8 to
-    32 cores).  ``initial_ring=None`` therefore estimates the page density
-    with one (parquet-metadata-cheap) count and starts at the smallest ring
-    whose disk is expected to hold >= 4k candidates, so the common case
-    settles in ONE round; under-estimates only cost an extra (exact)
-    escalation round, never correctness.
+    Why one-shot: the previous multi-round shell expansion cost one full
+    page scan PLUS an eager ``localCheckpoint`` barrier per round, and the
+    barriers' fixed costs grow with cores — measured 0.91x scaling from 8
+    to 32 cores on the bench mix (2-3 serialized rounds).  The one-shot
+    plan has one heavy job and one cheap check, and the density prediction
+    only affects PERFORMANCE — exactness comes from the verified settle
+    bound and the escalation scan.
+
+    ``initial_ring`` (optional) bypasses the density estimate and gives
+    every query that uniform starting ring.
     """
+    from pyspark.sql import Window as W
+
     rows_n, cols_n = 1 << res, 1 << (res + 1)
     cell_h_deg = 180.0 / rows_n
     cell_w_deg = 360.0 / cols_n
     m_per_deg = 111_194.9
+    cell_h_m = cell_h_deg * m_per_deg
 
-    if initial_ring is None:
-        # Expected candidates in a (2r+1)^2 disk at mean density; aim for
-        # 4k so the k-th distance sits well inside the settle radius.
-        n_pages = pages.count()
-        per_cell = max(n_pages / float(rows_n * cols_n), 1e-9)
-        initial_ring = 2
-        while (2 * initial_ring + 1) ** 2 * per_cell < 4 * k and initial_ring < max_ring:
-            initial_ring *= 2
-    initial_ring = max(1, min(initial_ring, max_ring))
+    # Prune to the join columns and cap the scan's task count at 2x the
+    # cluster parallelism: the shuffle feeding the top-k window is tiny in
+    # BYTES but its cost is dominated by per-map-task shuffle-file overhead
+    # (bench table: 512 8MB-split scan tasks -> 3.8s for a 900k-row rank;
+    # coalesced to 64 tasks -> 0.8s, 4.6x).  Narrow coalesce keeps every
+    # core busy (2 waves) without a repartition shuffle.
+    pages = pages.select("cell", "lat", "lng", id_col)
+    target_parts = 2 * spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() > 2 * target_parts:
+        pages = pages.coalesce(target_parts)
 
     q = queries.select(
         "query_id",
@@ -272,25 +278,113 @@ def knn_join_df(
         ),
     )
 
-    from pyspark.sql import Window as W
+    # -- per-query ring assignment -------------------------------------------
+    if initial_ring is not None:
+        qr = q.withColumn(
+            "ring", F.lit(max(1, min(initial_ring, max_ring))).cast("int")
+        )
+    else:
+        # Per-LATITUDE-BAND density, not a global mean: real page tables are
+        # wildly nonuniform by latitude (the bench corpus has zero coverage
+        # below -62 deg; a global estimate sent 10/64 queries into the
+        # escalation scan every run).  One cheap single-column aggregation
+        # (map-side partial agg -> <= 64k rows to the driver) yields per-band
+        # counts; a tiny numpy pass picks each band's ring; queries join the
+        # (qrow -> ring) lookup broadcast-side.  Still only a PREDICTION —
+        # exactness comes from the verified settle bound below.
+        shift = max(res - 16, 0)  # cap the collected bands at 65536
+        n_bands = rows_n >> shift
+        band_h_deg = 180.0 / n_bands
+        band_rows = (
+            pages.groupBy(
+                (F.shiftrightunsigned(F.col("cell"), 28 + shift) % F.lit(n_bands))
+                .cast("long")
+                .alias("band")
+            )
+            .count()
+            .collect()
+        )
+        counts = np.zeros(n_bands, dtype=np.float64)
+        for row in band_rows:
+            counts[int(row["band"])] = float(row["count"])
+        lat_edges = 90.0 - np.arange(n_bands + 1) * band_h_deg
+        band_area_m2 = (
+            2.0
+            * math.pi
+            * EARTH_RADIUS_M**2
+            * np.abs(np.sin(np.radians(lat_edges[:-1])) - np.sin(np.radians(lat_edges[1:])))
+        )
+        lat_center = 90.0 - (np.arange(n_bands) + 0.5) * band_h_deg
+        ring_of_band = np.full(n_bands, max_ring, dtype=np.int64)
+        undecided = np.ones(n_bands, dtype=bool)
+        cum = np.concatenate([[0.0], np.cumsum(counts)])
+        cum_area = np.concatenate([[0.0], np.cumsum(band_area_m2)])
+        r = 1
+        while r < max_ring:
+            rb = max(1, r >> shift)  # ring expressed in collected-band units
+            lo = np.maximum(np.arange(n_bands) - rb, 0)
+            hi = np.minimum(np.arange(n_bands) + rb + 1, n_bands)
+            frac = (2 * r + 1) / float(cols_n)
+            exp_cand = (cum[hi] - cum[lo]) * frac
+            disk_area = (cum_area[hi] - cum_area[lo]) * frac
+            with np.errstate(divide="ignore", invalid="ignore"):
+                est_kth = 2.0 * np.sqrt(
+                    max(k, 1) * disk_area / (math.pi * np.maximum(exp_cand, 1e-9))
+                )
+            phi_far = np.minimum(90.0, np.abs(lat_center) + (r + 1) * cell_h_deg)
+            chord = (
+                2.0
+                * EARTH_RADIUS_M
+                * np.arcsin(
+                    np.maximum(np.cos(np.radians(phi_far)), 0.0)
+                    * math.sin(math.radians(min(r * cell_w_deg, 180.0)) / 2.0)
+                )
+            )
+            safe = np.minimum(float(r) * cell_h_m, chord)
+            ok = undecided & (exp_cand >= 4 * k) & (safe >= est_kth)
+            ring_of_band[ok] = r
+            undecided &= ~ok
+            r *= 2
+        # Runs of equal ring over contiguous bands become one CASE branch —
+        # a pure column expression, cheaper than materialising a lookup
+        # DataFrame and paying a broadcast build (~0.9s of driver fixed cost
+        # per call on the bench).
+        if n_bands > 256:
+            # Keep the CASE chain inside codegen limits: coarsen to <= 256
+            # intervals taking the MAX ring per interval (a larger ring is
+            # always exactness-safe, only more work).
+            chunk = -(-n_bands // 256)
+            ring_of_band = np.array(
+                [
+                    ring_of_band[i : i + chunk].max()
+                    for i in range(0, n_bands, chunk)
+                ],
+                dtype=np.int64,
+            ).repeat(chunk)[:n_bands]
+        run_starts = [0] + [
+            b for b in range(1, n_bands) if ring_of_band[b] != ring_of_band[b - 1]
+        ]
+        band_col = F.shiftrightunsigned(F.col("qrow"), shift)
+        chain = None
+        for i, start in enumerate(run_starts):
+            end = run_starts[i + 1] if i + 1 < len(run_starts) else n_bands
+            cond = (band_col >= start) & (band_col < end)
+            val = int(ring_of_band[start])
+            chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+        qr = q.withColumn(
+            "ring", chain.otherwise(max_ring).cast("int")
+        )
 
-    pending = q
-    best: DataFrame | None = None
-    settled_frames: list[DataFrame] = []
-    # Geometric ring schedule with factor 4 from the density-derived start:
-    # every round costs one full candidate-scan of the page table regardless
-    # of shell size, so fewer/wider rounds beat many narrow ones (measured:
-    # x2 schedule spent 4 scans where x4 spends 2 on the bench query mix).
-    prev_ring, ring = -1, min(initial_ring, max_ring)
-    while True:
-        shell = (
-            pending.withColumn("dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+    def make_disk(frame: DataFrame) -> DataFrame:
+        disk = (
+            frame.withColumn(
+                "dy", F.explode(F.sequence(-F.col("ring"), F.col("ring")))
+            )
             .where(
                 (F.col("qrow") + F.col("dy") >= 0)
                 & (F.col("qrow") + F.col("dy") < rows_n)
             )
-            .withColumn("dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-            .where(F.greatest(F.abs("dy"), F.abs("dx")) > prev_ring)
+            .withColumn("dx", F.explode(F.sequence(-F.col("ring"), F.col("ring"))))
             .select(
                 "query_id",
                 "qlat",
@@ -302,29 +396,25 @@ def knn_join_df(
                 ).alias("cell"),
             )
         )
-        if 2 * ring + 1 > cols_n:  # longitude wrap can duplicate shell cells
-            shell = shell.dropDuplicates(["query_id", "cell"])
+        if 2 * max_ring + 1 > cols_n:
+            # Longitude wrap can make two (dy, dx) offsets land on the same
+            # physical cell — dedupe so no neighbour is scored twice.
+            disk = disk.dropDuplicates(["query_id", "cell"])
+        return disk
+
+    def topk(disk: DataFrame) -> DataFrame:
         cand = pages.join(
-            F.broadcast(shell) if broadcast_queries else shell, "cell", "inner"
+            F.broadcast(disk) if broadcast_queries else disk, "cell", "inner"
         )
-        new_hits = cand.select(
+        hits = cand.select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")).alias("dist_m"),
+            haversine_col(
+                F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
+            ).alias("dist_m"),
         )
-        merged = new_hits if best is None else best.unionByName(new_hits)
-        if 2 * ring + 1 > cols_n:
-            # Longitude wrap lets a physical cell re-enter a LATER shell
-            # under a larger |dx| (17 right == 15 left on a 32-col grid), so
-            # its pages would be scored twice; dedupe (rows are identical).
-            merged = merged.dropDuplicates(["query_id", "neighbor_id"])
-        # localCheckpoint (not persist): each round's running top-k feeds the
-        # next round's plan on BOTH sides (shell candidates and the settle
-        # check), so without lineage truncation the logical plan doubles per
-        # round — exponential analyzer/broadcast cost by ring 4.  Truncation
-        # caps it; the stored frame is <= k rows per unsettled query.
-        best = (
-            merged.withColumn(
+        return (
+            hits.withColumn(
                 "rank",
                 F.row_number().over(
                     W.partitionBy("query_id").orderBy(
@@ -334,57 +424,47 @@ def knn_join_df(
             )
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist_m")
-            .localCheckpoint(eager=True)
         )
 
-        stats = best.groupBy("query_id").agg(
-            F.count("*").alias("_c"), F.max("dist_m").alias("_kth")
+    # One heavy job: all disks scored in a single scan.  localCheckpoint
+    # because `best` feeds both the settle check and the output (without
+    # truncation the scan would run twice).
+    best = topk(make_disk(qr)).localCheckpoint(eager=True)
+
+    # Exact settle verification (the density prediction above affects only
+    # performance, never correctness).
+    stats = best.groupBy("query_id").agg(
+        F.count("*").alias("_c"), F.max("dist_m").alias("_kth")
+    )
+    judged = qr.join(stats, "query_id", "left")
+    ring_c = F.col("ring").cast("double")
+    phi_far_v = F.least(
+        F.lit(90.0), F.abs(F.col("qlat")) + (ring_c + 1) * F.lit(cell_h_deg)
+    )
+    chord_v = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+        F.greatest(F.cos(F.radians(phi_far_v)), F.lit(0.0))
+        * F.sin(F.radians(F.least(ring_c * F.lit(cell_w_deg), F.lit(180.0))) / 2)
+    )
+    safe_v = F.least(ring_c * F.lit(cell_h_m), chord_v)
+    is_settled = (F.col("ring") >= max_ring) | (
+        (F.col("_c") >= k) & (F.col("_kth") <= safe_v)
+    )
+    pending = judged.where(~F.coalesce(is_settled, F.lit(False)))
+
+    if pending.isEmpty():
+        out = best
+    else:
+        # Rare: the density prediction under-shot for these queries.  One
+        # exact escalation scan at max_ring; its disk is a superset of the
+        # first one, so the recomputed top-k simply replaces the old rows.
+        pend_q = pending.select("query_id", "qlat", "qlng", "qrow", "qcol").withColumn(
+            "ring", F.lit(max_ring).cast("int")
         )
-        phi_far = F.least(
-            F.lit(90.0), F.abs(F.col("qlat")) + F.lit((ring + 1) * cell_h_deg)
-        )
-        # Meridian gap is a great-circle arc, so the linear bound is exact.
-        safe_lat_m = F.lit(ring * cell_h_deg * m_per_deg)
-        # Longitude gap: the true minimum distance across a dLambda gap at
-        # latitude phi is the chord form 2R*asin(cos(phi)*sin(dLambda/2)),
-        # strictly BELOW the along-parallel arc R*dLambda*cos(phi) for
-        # phi > 0 — the linear form overestimates the safe radius (~1% at
-        # ring=8/res=5) and could settle a query before a nearer neighbor
-        # just past the searched shell is seen.  Evaluate at the disk's most
-        # poleward latitude; cap the gap at 180 deg (beyond that it wraps).
-        half_gap_rad = math.radians(min(ring * cell_w_deg, 180.0)) / 2.0
-        safe_lng_m = (
-            F.lit(2.0 * EARTH_RADIUS_M)
-            * F.asin(
-                F.greatest(F.cos(F.radians(phi_far)), F.lit(0.0))
-                * F.lit(math.sin(half_gap_rad))
-            )
-        )
-        safe_m = F.least(safe_lat_m, safe_lng_m)
-        judged = pending.join(stats, "query_id", "left")
-        is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_m)
-        if ring >= max_ring:
-            is_settled = F.lit(True)
         settled_ids = judged.where(is_settled).select("query_id")
-        settled_frames.append(
-            best.join(F.broadcast(settled_ids), "query_id", "left_semi")
-        )
-        if ring >= max_ring:
-            # Everything force-settles — don't pay an eager checkpoint just
-            # to materialise an empty pending frame.
-            break
-        pending = (
-            judged.where(~F.coalesce(is_settled, F.lit(False)))
-            .select("query_id", "qlat", "qlng", "qrow", "qcol")
-            .localCheckpoint(eager=True)
-        )
-        if pending.isEmpty():
-            break
-        prev_ring, ring = ring, min(ring * 4, max_ring)
+        out = best.join(
+            F.broadcast(settled_ids), "query_id", "left_semi"
+        ).unionByName(topk(make_disk(pend_q)))
 
-    out = settled_frames[0]
-    for frame in settled_frames[1:]:
-        out = out.unionByName(frame)
     out = (
         out.withColumn(
             "rank",
@@ -397,9 +477,9 @@ def knn_join_df(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("neighbor_id").alias(id_col), "dist_m", "rank")
     )
-    # settled_frames are localCheckpoint-backed (executor-resident, <= k rows
-    # per query each); Spark's ContextCleaner reclaims them when the result
-    # goes out of scope.  No driver collect anywhere.
+    # `best` is localCheckpoint-backed (executor-resident, <= k rows per
+    # query); Spark's ContextCleaner reclaims it when the result goes out of
+    # scope.  No driver collect anywhere.
     return out
 
 

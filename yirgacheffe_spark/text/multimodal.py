@@ -48,22 +48,40 @@ DECODERS = {"fake": _fake_decode_image, "strict": _strict_decode}
 
 def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> DataFrame:
     """Decode each media payload and emit a fixed-dim feature vector
-    (histogram of the decoded plane) — one Arrow batch at a time."""
+    (histogram of the decoded plane) — one Arrow batch at a time.
+
+    The decode step is per-item by nature (payloads differ in length; a real
+    codec call is one item at a time), but everything after it is batched:
+    the decoded planes are concatenated flat and ONE ``np.bincount`` over
+    ``row_index * dim + bin`` produces every row's histogram (bin membership
+    via ``searchsorted`` on the exact ``np.histogram`` edges, so results are
+    bit-identical to the per-row form at any ``dim``)."""
     decoder = DECODERS[decode]
+    edges = np.histogram_bin_edges(np.empty(0, np.uint8), bins=dim, range=(0, 256))
 
     def run(batches):
         for pdf in batches:
-            feats = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                plane = decoder(payload, int(w), int(h))
-                hist, _ = np.histogram(plane, bins=dim, range=(0, 256))
-                total = hist.sum() or 1
-                feats.append((hist / total).astype(np.float32).tolist())
+            n = len(pdf)
+            if n == 0:
+                continue
+            planes = [
+                decoder(payload, int(w), int(h)).ravel()
+                for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            sizes = np.array([p.size for p in planes], dtype=np.int64)
+            flat = np.concatenate(planes) if sizes.sum() else np.empty(0, np.uint8)
+            seg = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            bins = np.clip(
+                np.searchsorted(edges, flat, side="right") - 1, 0, dim - 1
+            )
+            counts = np.bincount(seg * dim + bins, minlength=n * dim).reshape(n, dim)
+            totals = np.maximum(counts.sum(axis=1, keepdims=True), 1)
+            feats = (counts / totals).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
+                    "feature": list(feats),
                     "feat_dim": dim,
                 }
             )
@@ -72,17 +90,38 @@ def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> Data
 
 
 def resize(df: DataFrame, out_w: int, out_h: int, decode: str = "fake") -> DataFrame:
-    """Nearest-neighbour thumbnail per image (decode -> index-gather -> bytes)."""
+    """Nearest-neighbour thumbnail per image (decode -> index-gather -> bytes).
+
+    Decode stays per-item (codec-bound); the gather is batched per distinct
+    (width, height) group — one stacked fancy-index per group instead of a
+    per-row ``np.ix_``, so the Python-per-row overhead disappears for
+    homogeneous media batches (the common crawl case: a handful of standard
+    resolutions)."""
     decoder = DECODERS[decode]
 
     def run(batches):
         for pdf in batches:
-            thumbs = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                plane = decoder(payload, int(w), int(h))
+            n = len(pdf)
+            if n == 0:
+                continue
+            ws = pdf["width"].to_numpy(dtype=np.int64)
+            hs = pdf["height"].to_numpy(dtype=np.int64)
+            planes = [
+                decoder(payload, int(w), int(h))
+                for payload, w, h in zip(pdf["payload"], ws, hs)
+            ]
+            thumbs: list = [None] * n
+            shapes = np.stack([hs, ws], axis=1)
+            _, group_of = np.unique(shapes, axis=0, return_inverse=True)
+            for g in range(group_of.max() + 1):
+                idxs = np.nonzero(group_of == g)[0]
+                h, w = int(hs[idxs[0]]), int(ws[idxs[0]])
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                thumbs.append(plane[np.ix_(ys, xs)].tobytes())
+                stack = np.stack([planes[i] for i in idxs])
+                sub = stack[:, ys][:, :, xs]
+                for j, i in enumerate(idxs):
+                    thumbs[i] = sub[j].tobytes()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
