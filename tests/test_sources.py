@@ -422,3 +422,31 @@ def test_reprojected_mode_dtype_preserved_general_path():
     coarse = yg.MapProjection("epsg:4326", 0.03, -0.03)
     out = yg.ReprojectedLayer(src, coarse, "mode").read_array(0, 0, 8, 8)
     assert out.dtype == np.int16
+
+
+def test_reprojected_med_cross_crs():
+    # Mercator -> lat/lng median: the general path must warp med across CRSs
+    # (reference parity: GDAL warps all 8 methods at any factor).
+    from yirgacheffe_spark.reprojection import lnglat_to_mercator
+
+    m_step = 10000.0
+    data = RNG.integers(0, 40, (40, 40)).astype(np.float64)
+    merc = yg.MapProjection("epsg:3857", m_step, -m_step)
+    src = yg.ArrayLayer(data, yg.Area(0.0, 200000.0, 400000.0, -200000.0, merc),
+                        "m", nodata=None)
+    rl = yg.ReprojectedLayer(src, yg.MapProjection("epsg:4326", 0.5, -0.5), "med")
+    got = np.asarray(rl.read_window(0, 0, 4, 2, yg.Window(0, 0, 4, 2)))
+    area = rl.area
+    for ti in range(2):
+        for tj in range(4):
+            x0, _ = lnglat_to_mercator(area.left + tj * 0.5, 0.0)
+            x1, _ = lnglat_to_mercator(area.left + (tj + 1) * 0.5, 0.0)
+            _, y0 = lnglat_to_mercator(0.0, area.top + ti * -0.5)
+            _, y1 = lnglat_to_mercator(0.0, area.top + (ti + 1) * -0.5)
+            rows = [r for r in range(-100, 140)
+                    if y1 < 200000.0 - (r + 0.5) * m_step <= y0]
+            cols = [c for c in range(-100, 140)
+                    if x0 <= 0.0 + (c + 0.5) * m_step < x1]
+            vals = [data[r, c] if 0 <= r < 40 and 0 <= c < 40 else 0.0
+                    for r in rows for c in cols]
+            np.testing.assert_allclose(got[ti, tj], np.median(vals), rtol=1e-12)

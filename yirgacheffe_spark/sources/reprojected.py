@@ -30,7 +30,7 @@ RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", 
 # Methods the segmented (reduceat) path supports: any coarsening factor,
 # same-CRS or separable cross-CRS.  mode/med need fixed-size blocks and stay
 # on the integer-factor reshape path.
-_GENERAL_STATS = ("sum", "average", "min", "max", "rms")
+_GENERAL_STATS = ("sum", "average", "min", "max", "rms", "med", "mode")
 
 
 class _ExpressionLayer(Layer):
@@ -159,6 +159,10 @@ class ReprojectedLayer(Layer):
             acc = block.astype(np.int64) if block.dtype.kind in "iub" else block
             rows = np.add.reduceat(acc, fy_first, axis=0)
             return np.add.reduceat(rows, fx_first, axis=1)
+        if self._method in ("med", "mode"):
+            return self._med_mode_padded(
+                block, fy_first, fy_counts, fx_first, fx_counts
+            )
         if self._method == "rms":
             values = np.square(block.astype(np.float64))
         else:  # average
@@ -171,6 +175,54 @@ class ReprojectedLayer(Layer):
         if self._method == "average":
             return total / area
         return np.sqrt(total / area)  # rms
+
+    def _med_mode_padded(self, block, fy_first, fy_counts, fx_first, fx_counts):
+        """Median / mode over VARIABLE-size blocks: gather each output
+        pixel's contributing source pixels into a padded (Y, X, max_block)
+        cube (+inf pads sort to the end and never win), sort once along the
+        block axis, then index medians / run-length modes per pixel — fully
+        vectorised, no per-pixel Python.  Padding overhead is bounded by
+        (max_count/min_count)^2 per axis, ~ (ceil(f)/floor(f))^2 for scale
+        factor f.  Matches the integer-factor reshape path bit-for-bit at
+        integer factors (tie rule for mode: smallest value wins)."""
+        ysize, xsize = len(fy_counts), len(fx_counts)
+        max_fy, max_fx = int(fy_counts.max()), int(fx_counts.max())
+        ri = fy_first[:, None] + np.arange(max_fy)[None, :]
+        rvalid = np.arange(max_fy)[None, :] < fy_counts[:, None]
+        ri = np.where(rvalid, ri, 0)
+        ci = fx_first[:, None] + np.arange(max_fx)[None, :]
+        cvalid = np.arange(max_fx)[None, :] < fx_counts[:, None]
+        ci = np.where(cvalid, ci, 0)
+        gathered = block[ri[:, :, None, None], ci[None, None, :, :]].astype(np.float64)
+        valid = rvalid[:, :, None, None] & cvalid[None, None, :, :]
+        cube = np.where(valid, gathered, np.inf)
+        cube = cube.transpose(0, 2, 1, 3).reshape(ysize, xsize, max_fy * max_fx)
+        cube.sort(axis=2)
+        cnt = fy_counts[:, None] * fx_counts[None, :]
+        if self._method == "med":
+            lo = np.take_along_axis(cube, ((cnt - 1) // 2)[:, :, None], axis=2)[:, :, 0]
+            hi = np.take_along_axis(cube, (cnt // 2)[:, :, None], axis=2)[:, :, 0]
+            # np.median semantics: float64, mean of the two middles.
+            return np.mean(np.stack([lo, hi]), axis=0)
+        # mode: longest run of equal values among the leading cnt entries;
+        # ties -> smallest value (first run in sorted order with strict >).
+        out = cube[:, :, 0].copy()
+        best_count = np.zeros((ysize, xsize), dtype=np.int64)
+        change = np.concatenate(
+            [
+                np.ones((ysize, xsize, 1), dtype=bool),
+                cube[:, :, 1:] != cube[:, :, :-1],
+            ],
+            axis=2,
+        )
+        run_ids = np.cumsum(change, axis=2)
+        for j in range(cube.shape[2]):
+            candidate = cube[:, :, j]
+            counts = np.sum(run_ids == run_ids[:, :, j : j + 1], axis=2)
+            better = (counts > best_count) & np.isfinite(candidate)
+            out = np.where(better, candidate, out)
+            best_count = np.where(better, counts, best_count)
+        return out.astype(block.dtype)
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         if xsize <= 0 or ysize <= 0:

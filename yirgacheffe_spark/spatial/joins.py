@@ -71,6 +71,64 @@ def polygon_cover(polygons: list[dict], res: int) -> pd.DataFrame:
     return pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
 
 
+def _pip_broadcast(
+    spark: SparkSession,
+    pages: DataFrame,
+    pairs: list[tuple],
+    res: int,
+    poly_id_type: str = "bigint",
+) -> DataFrame:
+    """Dim-sized polygon side: rings are parsed driver-side and broadcast
+    once per worker; the bbox cover is derived driver-side too and, when
+    small, inlined as pure JVM column algebra (``cell IN (...)`` plus a
+    CASE -> array(poly_ids) explode) — no cover DataFrame, no
+    broadcast-build job, no Python stage before the verify.  (The r02
+    design computed the cover with mapInPandas and broadcast-joined it:
+    two extra jobs per call on a dim-sized input — the measured r01->r02
+    pip bench regression, 0.8s -> 1.4s.)"""
+    rings_by_id = {pid: parse_wkt_polygon(wkt) for pid, wkt in pairs}
+    cell_to_pids: dict[int, list] = {}
+    for pid, rings in rings_by_id.items():
+        pts = np.vstack(rings)
+        for c in cellindex.cells_covering_bbox(
+            pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res,
+        ):
+            cell_to_pids.setdefault(int(c), []).append(pid)
+    rings_bc = spark.sparkContext.broadcast(rings_by_id)
+
+    if len(cell_to_pids) <= 256:  # keep the CASE chain inside codegen limits
+        chain = None
+        for c, pids in cell_to_pids.items():
+            arr = F.array(*[F.lit(p) for p in pids])
+            cond = F.col("cell") == c
+            chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
+        candidates = pages.where(
+            F.col("cell").isin(list(cell_to_pids))
+        ).withColumn("poly_id", F.explode(chain))
+    else:
+        cover = spark.createDataFrame(
+            [(pid, c) for c, pids in cell_to_pids.items() for pid in pids],
+            schema=f"poly_id {poly_id_type}, cell long",
+        )
+        candidates = pages.join(F.broadcast(cover), "cell", "inner")
+
+    @pandas_udf("boolean")
+    def contains_bc(lat: pd.Series, lng: pd.Series,
+                    poly_id: pd.Series) -> pd.Series:
+        lat_v, lng_v = lat.to_numpy(), lng.to_numpy()
+        pid_v = poly_id.to_numpy()
+        out = np.zeros(len(lat_v), dtype=bool)
+        for pid in pd.unique(pid_v):
+            sel = pid_v == pid
+            # lng is x, lat is y in ring coordinates.
+            out[sel] = points_in_rings(lat_v[sel], lng_v[sel], rings_bc.value[pid])
+        return pd.Series(out)
+
+    return candidates.where(
+        contains_bc(F.col("lat"), F.col("lng"), F.col("poly_id"))
+    )
+
+
 def point_in_polygon_join_df(
     spark: SparkSession,
     pages: DataFrame,
@@ -107,41 +165,19 @@ def point_in_polygon_join_df(
             yield pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
 
     poly_id_type = dict(polygons.dtypes)["poly_id"]
+    if broadcast:
+        pairs = [
+            (r["poly_id"], r["geom_wkt"])
+            for r in polygons.select("poly_id", "geom_wkt").collect()
+        ]
+        return _pip_broadcast(spark, pages, pairs, res, poly_id_type)
+
+    # Huge polygon table: cover computed DISTRIBUTED (one Arrow batch pass),
+    # shuffle joins, geometry attached per candidate and parsed once per
+    # (polygon, Arrow batch).
     cover = polygons.select("poly_id", "geom_wkt").mapInPandas(
         cover_gen, schema=f"poly_id {poly_id_type}, cell long"
     )
-    if broadcast:
-        # Dim-sized polygon table: ship parsed rings ONCE per worker as a
-        # broadcast variable instead of a geometry join (which attaches the
-        # WKT string to every candidate row and re-parses per batch —
-        # measured 2.2x slower on the bench polygons).
-        rings_by_id = {
-            r["poly_id"]: parse_wkt_polygon(r["geom_wkt"])
-            for r in polygons.select("poly_id", "geom_wkt").collect()
-        }
-        rings_bc = spark.sparkContext.broadcast(rings_by_id)
-        candidates = pages.join(F.broadcast(cover), "cell", "inner")
-
-        @pandas_udf("boolean")
-        def contains_bc(lat: pd.Series, lng: pd.Series,
-                        poly_id: pd.Series) -> pd.Series:
-            lat_v, lng_v = lat.to_numpy(), lng.to_numpy()
-            pid_v = poly_id.to_numpy()
-            out = np.zeros(len(lat_v), dtype=bool)
-            for pid in pd.unique(pid_v):
-                sel = pid_v == pid
-                # lng is x, lat is y in ring coordinates.
-                out[sel] = points_in_rings(
-                    lat_v[sel], lng_v[sel], rings_bc.value[pid]
-                )
-            return pd.Series(out)
-
-        return candidates.where(
-            contains_bc(F.col("lat"), F.col("lng"), F.col("poly_id"))
-        )
-
-    # Huge polygon table: shuffle joins, geometry attached per candidate and
-    # parsed once per (polygon, Arrow batch).
     candidates = pages.join(cover, "cell", "inner").join(
         polygons.select("poly_id", "geom_wkt"), "poly_id", "inner"
     )
@@ -171,7 +207,15 @@ def point_in_polygon_join(
     res: int = 7,
     broadcast: bool = True,
 ) -> DataFrame:
-    """List-of-dicts convenience wrapper over ``point_in_polygon_join_df``."""
+    """List-of-dicts convenience wrapper.  The broadcast (default) path goes
+    straight to ``_pip_broadcast`` with the in-memory pairs — round-tripping
+    through createDataFrame + collect costs two driver jobs (~0.6s) for
+    nothing."""
+    if broadcast:
+        return _pip_broadcast(
+            spark, pages,
+            [(f["poly_id"], f["geom_wkt"]) for f in polygons], res,
+        )
     poly_df = spark.createDataFrame(
         pd.DataFrame(
             {"poly_id": [f["poly_id"] for f in polygons],
