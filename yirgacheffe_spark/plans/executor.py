@@ -932,7 +932,11 @@ def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
         tys, txs, parts = [], [], []
         for ty, tx, _h, _w, result in _tile_results(bc, batches):
             if stat == "sum":
-                partial = float(np.sum(result.astype(np.float64)))
+                # dtype=float64 accumulates identically to astype(float64)
+                # (same pairwise tree, exact per-element widening) without
+                # materialising a full-precision copy — at 32 cores the
+                # astype's extra memory writes were the aoh scan's floor.
+                partial = float(np.sum(result, dtype=np.float64))
             elif stat == "min":
                 partial = float(np.min(result))
             else:
@@ -1166,7 +1170,7 @@ def save(tree, path: str, and_sum: bool = False, sparse: bool = False,
                 tys = batch.column("tile_y").to_numpy()
                 txs = batch.column("tile_x").to_numpy()
                 sums = [
-                    float(np.sum(np.frombuffer(buf.as_py(), dtype=dt).astype(np.float64)))
+                    float(np.sum(np.frombuffer(buf.as_py(), dtype=dt), dtype=np.float64))
                     for buf in batch.column("payload")
                 ]
                 yield pa.RecordBatch.from_arrays(

@@ -58,6 +58,13 @@ def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> Data
     bit-identical to the per-row form at any ``dim``)."""
     decoder = DECODERS[decode]
     edges = np.histogram_bin_edges(np.empty(0, np.uint8), bins=dim, range=(0, 256))
+    # uint8 pixels: a 256-entry lookup table replaces the per-pixel binary
+    # search (searchsorted over the flat batch measured SLOWER than the
+    # per-row histogram it replaced; the LUT gather is ~20x faster and
+    # identical by construction on integer inputs).
+    lut = np.clip(
+        np.searchsorted(edges, np.arange(256), side="right") - 1, 0, dim - 1
+    ).astype(np.int32)
 
     def run(batches):
         for pdf in batches:
@@ -70,11 +77,17 @@ def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> Data
             ]
             sizes = np.array([p.size for p in planes], dtype=np.int64)
             flat = np.concatenate(planes) if sizes.sum() else np.empty(0, np.uint8)
-            seg = np.repeat(np.arange(n, dtype=np.int64), sizes)
-            bins = np.clip(
-                np.searchsorted(edges, flat, side="right") - 1, 0, dim - 1
-            )
-            counts = np.bincount(seg * dim + bins, minlength=n * dim).reshape(n, dim)
+            # int32 keys + in-place add: half the memory traffic of the
+            # int64 form (keys fit easily: n_rows_per_batch * dim << 2^31).
+            seg = np.repeat(np.arange(n, dtype=np.int32) * np.int32(dim), sizes)
+            if flat.dtype == np.uint8:
+                keys = lut[flat]
+            else:
+                keys = np.clip(
+                    np.searchsorted(edges, flat, side="right") - 1, 0, dim - 1
+                ).astype(np.int32)
+            keys += seg
+            counts = np.bincount(keys, minlength=n * dim).reshape(n, dim)
             totals = np.maximum(counts.sum(axis=1, keepdims=True), 1)
             feats = (counts / totals).astype(np.float32)
             yield pd.DataFrame(
