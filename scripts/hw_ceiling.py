@@ -52,6 +52,51 @@ def _hash_worker(args):
     return time.time() - t0
 
 
+def _decode_worker(args):
+    """Parquet zstd decode + float64 sum over assigned row groups of the
+    bench multiband raster — the exact per-task work of the engine's
+    manifest scan, with no engine in the loop.  Bounds the aoh_mask_sum
+    query's scan phase."""
+    path, rgs = args
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    pf.read_row_group(rgs[0], columns=["band", "payload"])  # warm
+    t0 = time.time()
+    total = 0.0
+    for rg in rgs:
+        t = pf.read_row_group(rg, columns=["band", "payload"])
+        bands = t.column("band").to_numpy()
+        payloads = t.column("payload")
+        for j in np.nonzero(bands == 1)[0]:
+            arr = np.frombuffer(payloads[int(j)].as_py(), dtype=np.int16)
+            total += float(np.sum(arr, dtype=np.float64))
+    return time.time() - t0
+
+
+def find_bench_mb() -> str | None:
+    import glob
+
+    hits = sorted(
+        glob.glob("/dev/shm/yg_spark_rasters/*/bench_mb16_r*/**/*.parquet",
+                  recursive=True)
+    )
+    return hits[-1] if hits else None
+
+
+def run_decode(workers: int) -> float | None:
+    import pyarrow.parquet as pq
+
+    path = find_bench_mb()
+    if path is None:
+        return None
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    chunks = [(path, list(range(i, n_rg, workers))) for i in range(workers)]
+    with mp.Pool(workers) as pool:
+        times = pool.map(_decode_worker, chunks)
+    return max(times)
+
+
 def run(kernel, workers: int, per_worker: int) -> float:
     with mp.Pool(workers) as pool:
         times = pool.map(kernel, [(s, per_worker) for s in range(workers)])
@@ -71,6 +116,14 @@ def main() -> int:
             "wall_32w": round(w32, 2),
             "speedup_8_to_32": round(w8 / w32, 2),
             "ceiling_efficiency": round(w8 / (4 * w32), 3),
+        }
+    d8, d32 = run_decode(8), run_decode(32)
+    if d8 is not None and d32 is not None:
+        out["parquet_decode"] = {
+            "wall_8w": round(d8, 2),
+            "wall_32w": round(d32, 2),
+            "speedup_8_to_32": round(d8 / d32, 2),
+            "ceiling_efficiency": round(d8 / (4 * d32), 3),
         }
     print(json.dumps(out))
     return 0

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..dtypes import DataType
 from ..grid import MapProjection, Window
-from ..reprojection import transform_point
+from ..reprojection import separable_pair, transform_point, transform_points
 from .base import Layer
 
 RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", "rms")
@@ -103,6 +103,12 @@ class ReprojectedLayer(Layer):
         x_edges = self._underlying_area.left + (px0 + np.arange(xsize + 1)) * target_proj.xstep
         y_edges = self._underlying_area.top + (py0 + np.arange(ysize + 1)) * target_proj.ystep
         if source_proj.crs != target_proj.crs:
+            if not separable_pair(target_proj.crs, source_proj.crs):
+                raise NotImplementedError(
+                    "Block-stats resampling needs an axis-separable CRS pair "
+                    "(lat/lng <-> mercator); for non-separable pairs such as "
+                    "UTM use method='nearest'"
+                )
             x_edges = np.array(
                 [transform_point(target_proj.crs, source_proj.crs, x, 0.0)[0] for x in x_edges]
             )
@@ -245,6 +251,37 @@ class ReprojectedLayer(Layer):
         if not same_crs and self._method in _GENERAL_STATS:
             return self._block_stats_general(px0, py0, xsize, ysize)
         if self._method == "nearest":
+            src_area = self._source.area
+            src_w, src_h = self._source.window.xsize, self._source.window.ysize
+            if not same_crs and not separable_pair(target_proj.crs, source_proj.crs):
+                # Non-separable pair (e.g. UTM <-> lat/lng): forward-project
+                # the FULL grid of target centers (vectorised, O(tile)) and
+                # gather with 2-D index arrays.
+                gx, gy = np.meshgrid(tx, ty)
+                sx2, sy2 = transform_points(
+                    target_proj.crs, source_proj.crs, gx.ravel(), gy.ravel()
+                )
+                cols = np.floor(
+                    (sx2 - src_area.left) / source_proj.xstep
+                ).astype(np.int64).reshape(ysize, xsize)
+                rows = np.floor(
+                    (sy2 - src_area.top) / source_proj.ystep
+                ).astype(np.int64).reshape(ysize, xsize)
+                valid = (cols >= 0) & (cols < src_w) & (rows >= 0) & (rows < src_h)
+                if not valid.any():
+                    return np.zeros((ysize, xsize), dtype=self._source.datatype.to_numpy())
+                r0 = int(rows[valid].min())
+                r1 = int(rows[valid].max()) + 1
+                c0 = int(cols[valid].min())
+                c1 = int(cols[valid].max()) + 1
+                data = np.asarray(
+                    self._source.read_window(c0, r0, c1 - c0, r1 - r0, self._source.window)
+                )
+                out = np.zeros((ysize, xsize), dtype=data.dtype)
+                rr = np.clip(rows, r0, r1 - 1) - r0
+                cc = np.clip(cols, c0, c1 - 1) - c0
+                out[valid] = data[rr, cc][valid]
+                return out
             if same_crs:
                 sx, sy = tx, ty
             else:
@@ -252,10 +289,8 @@ class ReprojectedLayer(Layer):
                 # the two axes independently.
                 sx = np.array([transform_point(target_proj.crs, source_proj.crs, x, 0.0)[0] for x in tx])
                 sy = np.array([transform_point(target_proj.crs, source_proj.crs, 0.0, y)[1] for y in ty])
-            src_area = self._source.area
             cols = np.floor((sx - src_area.left) / source_proj.xstep).astype(np.int64)
             rows = np.floor((sy - src_area.top) / source_proj.ystep).astype(np.int64)
-            src_w, src_h = self._source.window.xsize, self._source.window.ysize
             valid_c = (cols >= 0) & (cols < src_w)
             valid_r = (rows >= 0) & (rows < src_h)
             if not (valid_r.any() and valid_c.any()):
