@@ -267,3 +267,37 @@ def test_salted_is_deterministic_under_recompute(spark):
     }
     assert a == b
     assert len({s for _, s in a}) > 1  # salt actually spreads
+
+
+def test_knn_escalation_path_exact(spark):
+    """A longitude void the per-latitude-band density cannot see: bands look
+    dense (pages cluster in the west), but the eastern query's first disk is
+    empty -> the settle check fails -> the escalation scan at max_ring must
+    still produce the exact brute-force answer."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lat = rng.uniform(-30, 30, n)
+    lng = rng.uniform(-170, -60, n)  # western hemisphere only
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(n)],
+        "lat": lat, "lng": lng,
+    })
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", joins.cell_expr("lat", "lng", 5)
+    )
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": [1, 2],
+        "lat": [5.0, -5.0],
+        "lng": [120.0, 150.0],  # far east: first adaptive disk is empty
+    }))
+    out = joins.knn_join_df(spark, pts, qdf, k=4, res=5, max_ring=64).collect()
+    d = joins.haversine_m
+    for qid, qla, qln in [(1, 5.0, 120.0), (2, -5.0, 150.0)]:
+        dist = d(lat, lng, qla, qln)
+        order = np.lexsort((pdf["url"].to_numpy(), dist))[:4]
+        want = list(pdf["url"].to_numpy()[order])
+        got = [r["url"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == want, qid
