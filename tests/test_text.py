@@ -301,3 +301,50 @@ class TestMultimodalVectorized:
             ys = (np.arange(5) * h // 5).clip(0, h - 1)
             xs = (np.arange(7) * w // 7).clip(0, w - 1)
             assert got[r["media_id"]] == plane[np.ix_(ys, xs)].tobytes()
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, embeddings, spark):
+        """n_probe == n_lists probes every list, so IVF must equal the exact
+        brute-force top-k (same rounded-sim ordering and tie-break)."""
+        qs = embeddings.orderBy("vec_id").limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in ann.brute_force_topk_fast(embeddings, qs, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in ann.ivf_topk(
+                spark, embeddings, qs, k=5, n_lists=8, n_probe=8
+            ).collect()
+        }
+        assert got == want
+
+    def test_partial_probe_recall(self, embeddings, spark):
+        """At n_probe = half the lists, recall@10 must stay high on the test
+        corpus (standard IVF behaviour; exact bound is data-dependent)."""
+        qs = embeddings.orderBy("vec_id").limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = ann.brute_force_topk_fast(embeddings, qs, k=10).collect()
+        approx = ann.ivf_topk(spark, embeddings, qs, k=10, n_lists=8, n_probe=4).collect()
+        t = {}
+        for r in truth:
+            t.setdefault(r["query_id"], set()).add(r["vec_id"])
+        a = {}
+        for r in approx:
+            a.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [len(t[q] & a.get(q, set())) / len(t[q]) for q in t]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_assignment_is_deterministic(self, embeddings, spark):
+        cents = ann.ivf_train_centroids(embeddings, n_lists=8)
+        a = {r["vec_id"]: r["list_id"]
+             for r in ann.ivf_assign(embeddings, cents).select("vec_id", "list_id").collect()}
+        b = {r["vec_id"]: r["list_id"]
+             for r in ann.ivf_assign(embeddings.repartition(5), cents)
+             .select("vec_id", "list_id").collect()}
+        assert a == b
+        assert len(set(a.values())) > 1
