@@ -87,3 +87,59 @@ def test_windowed_lang_counts_schema(spark, feed_dirs):
     joined = got.join(oracle, ["win_start", "lang"], "inner")
     mism = joined.where(got["n"] != oracle["n"]).count()
     assert mism == 0
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState session assembly: in-batch gaps close sessions
+    immediately; the event-time watermark closes the rest via state timeout
+    once later files advance it."""
+    import pandas as pd
+
+    from yirgacheffe_spark.streaming import sessions
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+
+    # File 1: user 1 has two bursts separated by > gap (in-batch close);
+    # user 2 one burst.
+    write(
+        [
+            (1, t0, 1.0),
+            (1, t0 + pd.Timedelta(minutes=5), 2.0),
+            (1, t0 + pd.Timedelta(minutes=90), 4.0),
+            (2, t0 + pd.Timedelta(minutes=1), 8.0),
+        ],
+        "f1",
+    )
+    # File 2: far-future row advances the watermark (1h tolerance) past
+    # every earlier session's last+gap, so the open sessions time out.
+    write([(3, t0 + pd.Timedelta(hours=12), 0.5)], "f2")
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = (
+        sessions.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1: burst (2 events, 3.0) closed by in-batch gap, burst (1, 4.0)
+    # closed by timeout; user 2: (1, 8.0) closed by timeout.
+    assert (1, 2, 3.0) in got
+    assert (1, 1, 4.0) in got
+    assert (2, 1, 8.0) in got
