@@ -1,0 +1,207 @@
+"""Pure-stdlib GeoTIFF bridge: writer/reader round trips, windowed reads,
+LZW decode, georeferencing tags, nodata, and engine integration."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import yirgacheffe_spark as yg
+from yirgacheffe_spark.sources import geotiff as G
+
+PROJ = yg.MapProjection("epsg:4326", 0.02, -0.02)
+RNG = np.random.default_rng(17)
+
+
+def _area(w, h, left=10.0, top=50.0):
+    return yg.Area(left, top, left + w * 0.02, top - h * 0.02, PROJ)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.uint16, np.int32,
+                                   np.float32, np.float64])
+def test_roundtrip_dtypes(tmp_path, dtype):
+    data = RNG.integers(0, 100, (70, 90)).astype(dtype)
+    path = str(tmp_path / "r.tif")
+    G.write_geotiff(path, data, _area(90, 70))
+    layer = yg.read_raster(path)
+    assert layer.datatype.to_numpy() == dtype
+    np.testing.assert_array_equal(layer.read_array(0, 0, 90, 70), data)
+
+
+def test_georeferencing_roundtrip(tmp_path):
+    data = np.ones((40, 60), dtype=np.uint8)
+    path = str(tmp_path / "g.tif")
+    G.write_geotiff(path, data, _area(60, 40, left=-3.0, top=12.0))
+    layer = yg.read_raster(path)
+    a = layer.area
+    assert a.left == -3.0 and a.top == 12.0
+    assert layer.projection.crs.code == "epsg:4326"
+    assert abs(layer.projection.xstep - 0.02) < 1e-12
+
+
+def test_projected_epsg_key(tmp_path):
+    utm = yg.MapProjection("epsg:32631", 100.0, -100.0)
+    area = yg.Area(500000.0, 5000000.0, 503200.0, 4996800.0, utm)
+    path = str(tmp_path / "u.tif")
+    G.write_geotiff(path, np.zeros((32, 32), np.int16), area)
+    layer = yg.read_raster(path)
+    assert layer.projection.crs.code == "epsg:32631"
+
+
+def test_windowed_reads_match_full(tmp_path):
+    # > one 256-tile in each dimension exercises multi-block assembly.
+    data = RNG.integers(0, 9999, (300, 520)).astype(np.int32)
+    path = str(tmp_path / "w.tif")
+    G.write_geotiff(path, data, _area(520, 300))
+    layer = yg.read_raster(path)
+    whole = layer.read_array(0, 0, 520, 300)
+    np.testing.assert_array_equal(whole, data)
+    for x0, y0, w, h in [(0, 0, 10, 10), (250, 120, 200, 100), (500, 290, 20, 10)]:
+        np.testing.assert_array_equal(
+            layer.read_array(x0, y0, w, h), data[y0:y0 + h, x0:x0 + w]
+        )
+
+
+def test_nodata_to_nan(tmp_path):
+    data = np.array([[1.0, -9999.0], [3.0, 4.0]], dtype=np.float32)
+    path = str(tmp_path / "n.tif")
+    G.write_geotiff(path, data, _area(2, 2), nodata=-9999.0)
+    layer = yg.read_raster(path)
+    assert layer.nodata == -9999.0
+    got = layer.read_array(0, 0, 2, 2)
+    assert np.isnan(got[0, 1]) and got[1, 1] == 4.0
+    raw = yg.read_raster(path, ignore_nodata=True).read_array(0, 0, 2, 2)
+    assert raw[0, 1] == -9999.0
+
+
+def test_engine_expression_over_geotiff(tmp_path, spark):
+    """A GeoTIFF leaf flows through the tiled Spark engine like any layer."""
+    data = RNG.integers(0, 50, (40, 48)).astype(np.float64)
+    path = str(tmp_path / "e.tif")
+    G.write_geotiff(path, data, _area(48, 40))
+    layer = yg.read_raster(path)
+    total = (layer * 2 + 1).sum(spark=spark)
+    assert total == pytest.approx(float((data * 2 + 1).sum()))
+
+
+def test_to_geotiff_sink_roundtrip(tmp_path, spark):
+    data = RNG.integers(0, 50, (30, 30)).astype(np.float64)
+    src = yg.from_array(data, (10.0, 50.0), PROJ)
+    path = str(tmp_path / "s.tif")
+    yg.to_geotiff(src * 3, path, spark=spark)
+    back = yg.read_raster(path)
+    np.testing.assert_array_equal(back.read_array(0, 0, 30, 30), data * 3)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference TIFF-LZW encoder (tests only): MSB-first, early change."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def emit(code, nbits):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(CLEAR, nbits)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w], nbits)
+            table[wc] = next_code
+            next_code += 1
+            # Spec early change: the ENCODER widens at NextCode 511/1023/
+            # 2047; the decoder (one table entry behind) at 510/1022/2046.
+            if next_code == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+            elif next_code == 4094:
+                emit(CLEAR, nbits)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                nbits = 9
+            w = bytes([ch])
+    if w:
+        emit(table[w], nbits)
+    emit(EOI, nbits)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_roundtrip():
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 256, 5000, 40000):
+        raw = rng.integers(0, 8, n, dtype=np.uint8).tobytes()  # repetitive
+        assert G._lzw_decode(_lzw_encode(raw)) == raw  # noqa: SLF001
+
+
+def test_read_lzw_compressed_file(tmp_path):
+    """Hand-build a minimal strip-organised LZW TIFF (the GDAL default
+    layout for COMPRESS=LZW) and read it back."""
+    data = np.tile(np.arange(16, dtype=np.uint8), (8, 4))  # (8, 64)
+    payload = _lzw_encode(data.tobytes())
+    entries = [
+        (256, 3, 1, [64]), (257, 3, 1, [8]), (258, 3, 1, [8]),
+        (259, 3, 1, [5]), (262, 3, 1, [1]),
+        (273, 4, 1, None), (277, 3, 1, [1]), (278, 3, 1, [8]),
+        (279, 4, 1, [len(payload)]), (284, 3, 1, [1]), (339, 3, 1, [1]),
+        (33550, 12, 3, [0.02, 0.02, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, 10.0, 50.0, 0.0]),
+    ]
+    ifd_size = 2 + len(entries) * 12 + 4
+    pos = 8 + ifd_size
+    overflow = {}
+    for tag, ftype, count, values in entries:
+        size = {3: 2, 4: 4, 12: 8}[ftype] * count
+        if size > 4:
+            overflow[tag] = pos
+            pos += size
+    strip_off = pos
+    path = str(tmp_path / "lzw.tif")
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(struct.pack("<H", len(entries)))
+        for tag, ftype, count, values in entries:
+            if tag == 273:
+                values = [strip_off]
+            code = {3: "H", 4: "I", 12: "d"}[ftype]
+            blob = struct.pack("<" + code * count, *values)
+            f.write(struct.pack("<HHI", tag, ftype, count))
+            if len(blob) <= 4:
+                f.write(blob.ljust(4, b"\0"))
+            else:
+                f.write(struct.pack("<I", overflow[tag]))
+        f.write(struct.pack("<I", 0))
+        for tag, ftype, count, values in entries:
+            if tag in overflow:
+                code = {3: "H", 4: "I", 12: "d"}[ftype]
+                f.write(struct.pack("<" + code * count, *values))
+        f.write(payload)
+    layer = yg.read_raster(path)
+    np.testing.assert_array_equal(layer.read_array(0, 0, 64, 8), data)
+
+
+def test_mixed_format_mosaic(tmp_path, spark):
+    """GroupLayer mosaics a GeoTIFF and a parquet raster table together."""
+    top = RNG.integers(0, 9, (10, 20)).astype(np.float64)
+    bottom = RNG.integers(10, 19, (10, 20)).astype(np.float64)
+    tif = str(tmp_path / "top.tif")
+    G.write_geotiff(tif, top, _area(20, 10, left=0.0, top=0.0))
+    pq = str(tmp_path / "bottom_pq")
+    yg.write_array_as_raster_table(
+        pq, bottom, yg.Area(0.0, -10 * 0.02, 20 * 0.02, -20 * 0.02, PROJ)
+    )
+    mosaic = yg.read_rasters([tif, pq])
+    got = (mosaic + 0).sum(spark=spark)
+    assert got == pytest.approx(float(top.sum() + bottom.sum()))

@@ -14,6 +14,8 @@ Public API mirrors the reference's ``yirgacheffe`` module surface
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .dtypes import DataType
@@ -71,9 +73,36 @@ H3CellLayer = CellLayer
 
 # -- reference-parity entry points (yirgacheffe/_core.py) --------------------
 
-def read_raster(path: str, band: int = 1, ignore_nodata: bool = False) -> ParquetRasterLayer:
-    """Open a parquet raster table as a layer (GeoTIFF analog)."""
+def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
+    """Open a raster as a layer: a parquet tile table (this engine's native
+    format), or a GeoTIFF file (the reference's native format, read with the
+    pure-stdlib bridge — reference ``_layers/rasters.py:173-370``)."""
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic[:2] in (b"II", b"MM"):
+            from .sources.geotiff import GeoTIFFLayer  # pylint: disable=C0415
+
+            if band != 1:
+                raise NotImplementedError("GeoTIFF bridge reads band 1 only")
+            return GeoTIFFLayer(path, ignore_nodata=ignore_nodata)
     return ParquetRasterLayer(path, band=band, ignore_nodata=ignore_nodata)
+
+
+def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None:
+    """Materialise an expression/layer as a tiled deflate GeoTIFF file.
+
+    A single .tif is one file — an inherent gather point — so the result is
+    assembled on the driver (bounded by driver memory, like any tool that
+    writes one GeoTIFF); use ``save()`` (parquet raster table) for outputs
+    that must stay distributed."""
+    from .operators import LayerOperation  # pylint: disable=C0415
+    from .sources.geotiff import write_geotiff  # pylint: disable=C0415
+
+    root = tree if isinstance(tree, LayerOperation) else LayerOperation(tree)
+    w = root.window
+    data = root.read_array(0, 0, w.xsize, w.ysize, spark=spark)
+    write_geotiff(path, data, root.area, nodata=nodata)
 
 
 def read_rasters(paths, name: str | None = None) -> GroupLayer:
@@ -124,6 +153,6 @@ __all__ = [
     "AreaPerPixelLayer", "ParquetRasterLayer", "GroupLayer",
     "TiledGroupLayer", "VectorLayer", "CellLayer", "ReprojectedLayer",
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
-    "area_raster", "read_narrow_raster", "h3_tile",
+    "area_raster", "read_narrow_raster", "h3_tile", "to_geotiff",
     "write_array_as_raster_table", "save_multiband", "load_geojson",
 ]

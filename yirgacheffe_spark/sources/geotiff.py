@@ -1,0 +1,470 @@
+"""Pure-stdlib GeoTIFF bridge (no GDAL/rasterio/PIL in this environment).
+
+The reference's first user action is ``yg.read_raster("file.tif")``
+(``_layers/rasters.py:173-370`` wraps a GDAL dataset); this module gives the
+Spark engine the same file bridge from the public TIFF 6.0 / GeoTIFF 1.1
+specifications alone:
+
+* **Reader** — classic (II/MM) and BigTIFF; strip- and tile-organised;
+  compression none (1), LZW (5, with the TIFF early-change variant) and
+  Deflate (8 / 32946, stdlib zlib); horizontal-differencing predictor (2);
+  integer and float sample formats at 8/16/32/64 bits; georeferencing from
+  ModelPixelScaleTag + ModelTiepointTag and the EPSG code from the
+  GeoKeyDirectory; nodata from GDAL's ASCII tag 42113.  Reads are windowed:
+  only the strips/tiles intersecting the request are decoded, so per-tile
+  kernel evaluation stays O(tile).
+* **Writer** — tiled (256x256) deflate-compressed classic GeoTIFF with the
+  same geo tags, so round trips are self-consistent and outputs open in any
+  standards-reading tool.
+
+``GeoTIFFLayer`` holds only the path + parsed metadata (picklable); inside
+Spark kernels each worker process re-opens the file lazily and caches the
+handle, exactly like the parquet leaves.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Any
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..grid import Area, MapProjection, Window
+from .base import Layer
+
+# TIFF tag ids used here.
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_GEO_KEYS = 34735
+_T_GDAL_NODATA = 42113
+
+# TIFF field types -> (struct code, size)
+_FIELD = {
+    1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+    6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8), 11: ("f", 4),
+    12: ("d", 8), 16: ("Q", 8), 17: ("q", 8),
+}
+
+_GEOKEY_GEOGRAPHIC_TYPE = 2048
+_GEOKEY_PROJECTED_TYPE = 3072
+
+
+def _np_dtype(bits: int, fmt: int, endian: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
+    return np.dtype(f"{endian}{kind}{bits // 8}")
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, ClearCode 256, EOI 257, early
+    code-width change) — the one GDAL writes by default for `-co COMPRESS=LZW`."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # 256, 257 placeholders
+
+    reset()
+    bit_pos = 0
+    nbits = 9
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while bit_pos + nbits <= total_bits:
+        byte0 = bit_pos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bit_pos & 7) - nbits)) & ((1 << nbits) - 1)
+        bit_pos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # code == len(table): KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF "early change": the decoder runs one table entry behind the
+        # encoder AND the format widens one code early, so the switch
+        # happens at table length (1<<n) - 2 (510 / 1022 / 2046).
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    # Horizontal differencing: cumulative sum along rows, modulo the dtype.
+    return np.cumsum(arr, axis=1, dtype=arr.dtype)
+
+
+class _Parsed:
+    __slots__ = (
+        "tags", "endian", "dtype", "width", "height", "compression",
+        "predictor", "tile_w", "tile_h", "offsets", "counts", "is_tiled",
+        "nodata", "scale", "tiepoint", "epsg",
+    )
+
+
+def _read_tiff_header(path: str) -> _Parsed:
+    with open(path, "rb") as f:
+        data = f.read(8)
+        if data[:2] == b"II":
+            endian = "<"
+        elif data[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF file")
+        magic = struct.unpack(endian + "H", data[2:4])[0]
+        big = magic == 43
+        if not big and magic != 42:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        if big:
+            f.seek(8)
+            ifd_off = struct.unpack(endian + "Q", f.read(8))[0]
+        else:
+            ifd_off = struct.unpack(endian + "I", data[4:8])[0]
+
+        def read_ifd(off):
+            f.seek(off)
+            if big:
+                n = struct.unpack(endian + "Q", f.read(8))[0]
+                entry_size, cnt_fmt, off_fmt = 20, "Q", "Q"
+            else:
+                n = struct.unpack(endian + "H", f.read(2))[0]
+                entry_size, cnt_fmt, off_fmt = 12, "I", "I"
+            raw = f.read(n * entry_size)
+            tags = {}
+            for i in range(n):
+                e = raw[i * entry_size : (i + 1) * entry_size]
+                tag, ftype = struct.unpack(endian + "HH", e[:4])
+                count = struct.unpack(endian + cnt_fmt, e[4 : 4 + struct.calcsize(cnt_fmt)])[0]
+                if ftype not in _FIELD:
+                    continue
+                code, size = _FIELD[ftype]
+                nbytes = size * count
+                inline = e[4 + struct.calcsize(cnt_fmt) :]
+                if nbytes <= len(inline):
+                    payload = inline[:nbytes]
+                else:
+                    data_off = struct.unpack(endian + off_fmt, inline[: struct.calcsize(off_fmt)])[0]
+                    here = f.tell()
+                    f.seek(data_off)
+                    payload = f.read(nbytes)
+                    f.seek(here)
+                if ftype == 2:
+                    tags[tag] = payload.rstrip(b"\0").decode("ascii", "replace")
+                elif ftype in (5, 10):
+                    vals = struct.unpack(endian + ("I" if ftype == 5 else "i") * 2 * count, payload)
+                    tags[tag] = [vals[2 * i] / (vals[2 * i + 1] or 1) for i in range(count)]
+                else:
+                    tags[tag] = list(struct.unpack(endian + code * count, payload))
+            return tags
+
+        tags = read_ifd(ifd_off)
+
+    p = _Parsed()
+    p.tags = tags
+    p.endian = endian
+    p.width = int(tags[_T_WIDTH][0])
+    p.height = int(tags[_T_HEIGHT][0])
+    bits = int(tags.get(_T_BITS, [8])[0])
+    fmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
+    if int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0]) != 1:
+        raise NotImplementedError("Only single-band GeoTIFFs are supported")
+    if int(tags.get(_T_PLANAR, [1])[0]) != 1:
+        raise NotImplementedError("Only contiguous planar configuration")
+    p.dtype = _np_dtype(bits, fmt, endian)
+    p.compression = int(tags.get(_T_COMPRESSION, [1])[0])
+    if p.compression not in (1, 5, 8, 32946):
+        raise NotImplementedError(f"Unsupported TIFF compression {p.compression}")
+    p.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
+    if p.predictor not in (1, 2):
+        raise NotImplementedError(f"Unsupported predictor {p.predictor}")
+    if _T_TILE_OFFSETS in tags:
+        p.is_tiled = True
+        p.tile_w = int(tags[_T_TILE_WIDTH][0])
+        p.tile_h = int(tags[_T_TILE_LENGTH][0])
+        p.offsets = [int(v) for v in tags[_T_TILE_OFFSETS]]
+        p.counts = [int(v) for v in tags[_T_TILE_COUNTS]]
+    else:
+        p.is_tiled = False
+        p.tile_w = p.width
+        p.tile_h = int(tags.get(_T_ROWS_PER_STRIP, [p.height])[0])
+        p.offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
+        p.counts = [int(v) for v in tags[_T_STRIP_COUNTS]]
+    nod = tags.get(_T_GDAL_NODATA)
+    p.nodata = None
+    if nod is not None:
+        try:
+            p.nodata = float(str(nod).strip())
+        except ValueError:
+            p.nodata = None
+    p.scale = tags.get(_T_MODEL_PIXEL_SCALE)
+    p.tiepoint = tags.get(_T_MODEL_TIEPOINT)
+    p.epsg = None
+    keys = tags.get(_T_GEO_KEYS)
+    if keys:
+        for i in range(4, len(keys), 4):
+            key_id, location, _count, value = keys[i : i + 4]
+            if key_id in (_GEOKEY_GEOGRAPHIC_TYPE, _GEOKEY_PROJECTED_TYPE) and location == 0:
+                p.epsg = int(value)
+                if key_id == _GEOKEY_PROJECTED_TYPE:
+                    break  # projected code wins if both present
+    return p
+
+
+_OPEN_FILES: dict[str, Any] = {}
+
+
+def _fileobj(path: str):
+    fo = _OPEN_FILES.get(path)
+    if fo is None or fo.closed:
+        if len(_OPEN_FILES) > 64:
+            for v in _OPEN_FILES.values():
+                v.close()
+            _OPEN_FILES.clear()
+        fo = _OPEN_FILES[path] = open(path, "rb")  # noqa: SIM115
+    return fo
+
+
+class GeoTIFFLayer(Layer):
+    """A single-band GeoTIFF file as an engine layer (windowed lazy reads)."""
+
+    def __init__(self, path: str, name: str | None = None,
+                 ignore_nodata: bool = False):
+        self.path = os.path.abspath(path)
+        p = _read_tiff_header(self.path)
+        if p.scale is None or p.tiepoint is None:
+            raise ValueError(f"{path}: no GeoTIFF georeferencing tags")
+        xstep, ystep = float(p.scale[0]), -abs(float(p.scale[1]))
+        # Tiepoint maps raster (i, j, 0) -> model (x, y, 0); GDAL writes the
+        # (0, 0) corner.
+        left = float(p.tiepoint[3]) - float(p.tiepoint[0]) * xstep
+        top = float(p.tiepoint[4]) - float(p.tiepoint[1]) * ystep
+        epsg = f"epsg:{p.epsg}" if p.epsg else "epsg:4326"
+        projection = MapProjection(epsg, xstep, ystep)
+        area = Area(
+            left, top, left + p.width * xstep, top + p.height * ystep, projection
+        )
+        super().__init__(area, name if name is not None else path)
+        self._meta = p
+        self._ignore_nodata = ignore_nodata
+        self._mtime = os.stat(self.path).st_mtime
+
+    @property
+    def datatype(self) -> DataType:
+        return DataType.of_numpy(self._meta.dtype.newbyteorder("="))
+
+    @property
+    def nodata(self):
+        return self._meta.nodata
+
+    @property
+    def cse_hash(self) -> int | None:
+        return hash((self.path, self._mtime, self._ignore_nodata))
+
+    def __getstate__(self):
+        state = {s: getattr(self, s) for s in (
+            "path", "_ignore_nodata", "_mtime", "_window", "_underlying_area", "name",
+        )}
+        return state
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._meta = _read_tiff_header(self.path)
+
+    def _decode_block(self, idx: int) -> np.ndarray:
+        p = self._meta
+        f = _fileobj(self.path)
+        f.seek(p.offsets[idx])
+        raw = f.read(p.counts[idx])
+        if p.compression in (8, 32946):
+            raw = zlib.decompress(raw)
+        elif p.compression == 5:
+            raw = _lzw_decode(raw)
+        if p.is_tiled:
+            h, w = p.tile_h, p.tile_w
+        else:
+            h = min(p.tile_h, p.height - idx * p.tile_h)
+            w = p.width
+        n = h * w * p.dtype.itemsize
+        arr = np.frombuffer(raw[:n], dtype=p.dtype).reshape(h, w)
+        if p.predictor == 2:
+            arr = _undo_predictor(arr)
+        return arr
+
+    def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int,
+                    window: Window) -> Any:
+        p = self._meta
+        x0 = window.xoff + xoff
+        y0 = window.yoff + yoff
+        out = np.zeros((ysize, xsize), dtype=p.dtype.newbyteorder("=")
+                       if p.dtype.byteorder in ("<", ">") else p.dtype)
+        ix0, ix1 = max(x0, 0), min(x0 + xsize, p.width)
+        iy0, iy1 = max(y0, 0), min(y0 + ysize, p.height)
+        if ix0 < ix1 and iy0 < iy1:
+            tiles_x = -(-p.width // p.tile_w) if p.is_tiled else 1
+            for by in range(iy0 // p.tile_h, (iy1 - 1) // p.tile_h + 1):
+                for bx in range(ix0 // p.tile_w, (ix1 - 1) // p.tile_w + 1):
+                    idx = by * tiles_x + bx
+                    block = self._decode_block(idx)
+                    gy0, gx0 = by * p.tile_h, bx * p.tile_w
+                    sy0 = max(iy0, gy0)
+                    sy1 = min(iy1, gy0 + block.shape[0])
+                    sx0 = max(ix0, gx0)
+                    sx1 = min(ix1, gx0 + block.shape[1])
+                    out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = block[
+                        sy0 - gy0 : sy1 - gy0, sx0 - gx0 : sx1 - gx0
+                    ]
+        if not self._ignore_nodata and p.nodata is not None and out.dtype.kind == "f":
+            out = np.where(out == p.nodata, np.nan, out)
+        return out
+
+    def read_array(self, x: int, y: int, width: int, height: int, spark=None) -> np.ndarray:
+        return np.asarray(self.read_window(x, y, width, height, self.window))
+
+
+def _epsg_of(projection: MapProjection) -> int | None:
+    code = projection.crs.code
+    if code.startswith("epsg:"):
+        try:
+            return int(code.split(":", 1)[1])
+        except ValueError:
+            return None
+    return None
+
+
+def write_geotiff(path: str, data: np.ndarray, area: Area,
+                  nodata: float | None = None, tile_size: int = 256) -> None:
+    """Write a 2-D numpy array as a tiled, deflate-compressed classic
+    GeoTIFF with ModelPixelScale/Tiepoint + GeoKey georeferencing."""
+    projection = area.projection
+    assert projection is not None
+    data = np.ascontiguousarray(data)
+    if data.dtype == np.bool_:
+        data = data.astype(np.uint8)
+    height, width = data.shape
+    s = tile_size
+    tiles_x, tiles_y = -(-width // s), -(-height // s)
+    fmt = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
+    bits = data.dtype.itemsize * 8
+
+    payloads = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = np.zeros((s, s), dtype=data.dtype)
+            block = data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s]
+            tile[: block.shape[0], : block.shape[1]] = block
+            payloads.append(zlib.compress(tile.astype(data.dtype.newbyteorder("<")).tobytes(), 6))
+
+    epsg = _epsg_of(projection)
+    is_geo = projection.crs.is_geographic
+    geo_keys = [1, 1, 0, 2,
+                1024, 0, 1, 2 if is_geo else 1,  # GTModelType
+                1025, 0, 1, 1]  # RasterPixelIsArea
+    if epsg is not None:
+        geo_keys += [
+            (_GEOKEY_GEOGRAPHIC_TYPE if is_geo else _GEOKEY_PROJECTED_TYPE),
+            0, 1, epsg,
+        ]
+        geo_keys[3] += 1
+    scale = (abs(projection.xstep), abs(projection.ystep), 0.0)
+    tiepoint = (0.0, 0.0, 0.0, area.left, area.top, 0.0)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((_T_WIDTH, 3, 1, [width]))
+    entries.append((_T_HEIGHT, 3, 1, [height]))
+    entries.append((_T_BITS, 3, 1, [bits]))
+    entries.append((_T_COMPRESSION, 3, 1, [8]))
+    entries.append((_T_PHOTOMETRIC, 3, 1, [1]))
+    entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [1]))
+    entries.append((_T_PLANAR, 3, 1, [1]))
+    entries.append((_T_TILE_WIDTH, 3, 1, [s]))
+    entries.append((_T_TILE_LENGTH, 3, 1, [s]))
+    entries.append((_T_TILE_OFFSETS, 4, len(payloads), None))  # patched below
+    entries.append((_T_TILE_COUNTS, 4, len(payloads), [len(b) for b in payloads]))
+    entries.append((_T_SAMPLE_FORMAT, 3, 1, [fmt]))
+    entries.append((_T_MODEL_PIXEL_SCALE, 12, 3, list(scale)))
+    entries.append((_T_MODEL_TIEPOINT, 12, 6, list(tiepoint)))
+    entries.append((_T_GEO_KEYS, 3, len(geo_keys), geo_keys))
+    if nodata is not None:
+        nod = (f"{nodata:.18g}" + "\0").encode("ascii")
+        entries.append((_T_GDAL_NODATA, 2, len(nod), nod))
+    entries.sort(key=lambda e: e[0])
+
+    # Layout: header(8) + IFD + out-of-line tag data + tile payloads.
+    ifd_size = 2 + len(entries) * 12 + 4
+    pos = 8 + ifd_size
+    overflow = {}
+    for tag, ftype, count, values in entries:
+        code, size = _FIELD[ftype]
+        nbytes = size * count if ftype != 2 else count
+        if nbytes > 4:
+            overflow[tag] = pos
+            pos += nbytes + (nbytes & 1)
+    tile_offsets = []
+    for b in payloads:
+        tile_offsets.append(pos)
+        pos += len(b) + (len(b) & 1)
+
+    def pack_values(ftype, values):
+        if ftype == 2:
+            return bytes(values)
+        code, _ = _FIELD[ftype]
+        return struct.pack("<" + code * len(values), *values)
+
+    with open(path + ".part", "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(struct.pack("<H", len(entries)))
+        for tag, ftype, count, values in entries:
+            if tag == _T_TILE_OFFSETS:
+                values = tile_offsets
+            payload = pack_values(ftype, values)
+            f.write(struct.pack("<HHI", tag, ftype, count))
+            if len(payload) <= 4:
+                f.write(payload.ljust(4, b"\0"))
+            else:
+                f.write(struct.pack("<I", overflow[tag]))
+        f.write(struct.pack("<I", 0))  # no next IFD
+        for tag, ftype, count, values in entries:
+            if tag in overflow:
+                if tag == _T_TILE_OFFSETS:
+                    values = tile_offsets
+                payload = pack_values(ftype, values)
+                f.write(payload)
+                if len(payload) & 1:
+                    f.write(b"\0")
+        for b in payloads:
+            f.write(b)
+            if len(b) & 1:
+                f.write(b"\0")
+    os.replace(path + ".part", path)

@@ -47,11 +47,13 @@ class GroupLayer(Layer):
 
     @classmethod
     def layer_from_files(cls, paths: Sequence[str], name: str | None = None) -> "GroupLayer":
-        from .parquet import ParquetRasterLayer  # pylint: disable=C0415
-
         if paths is None:
             raise ValueError("paths argument is None")
-        layers = [ParquetRasterLayer(p) for p in paths]
+        # Route through read_raster so mosaics mix parquet tile tables and
+        # GeoTIFF files freely (format sniffed per path).
+        import yirgacheffe_spark as yg  # pylint: disable=C0415
+
+        layers = [yg.read_raster(p) for p in paths]
         if not layers:
             raise GroupLayerEmpty("No files found")
         return cls(layers, name)
