@@ -205,3 +205,73 @@ def test_mixed_format_mosaic(tmp_path, spark):
     mosaic = yg.read_rasters([tif, pq])
     got = (mosaic + 0).sum(spark=spark)
     assert got == pytest.approx(float(top.sum() + bottom.sum()))
+
+
+def _write_multiband_tiff(path, bands, planar, area):
+    """Minimal multi-band strip TIFF writer (tests only): chunky (planar=1,
+    pixel-interleaved) or planar (=2, per-band strips), uncompressed."""
+    n_bands = len(bands)
+    h, w = bands[0].shape
+    dt = bands[0].dtype
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    if planar == 1:
+        payloads = [np.stack(bands, axis=2).astype(dt.newbyteorder("<")).tobytes()]
+    else:
+        payloads = [b.astype(dt.newbyteorder("<")).tobytes() for b in bands]
+    entries = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]),
+        (258, 3, n_bands, [dt.itemsize * 8] * n_bands),
+        (259, 3, 1, [1]), (262, 3, 1, [1]),
+        (273, 4, len(payloads), None),
+        (277, 3, 1, [n_bands]), (278, 3, 1, [h]),
+        (279, 4, len(payloads), [len(b) for b in payloads]),
+        (284, 3, 1, [planar]), (339, 3, n_bands, [fmt] * n_bands),
+        (33550, 12, 3, [0.02, 0.02, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, area.left, area.top, 0.0]),
+    ]
+    ifd_size = 2 + len(entries) * 12 + 4
+    pos = 8 + ifd_size
+    overflow = {}
+    for tag, ftype, count, values in entries:
+        size = {3: 2, 4: 4, 12: 8}[ftype] * count
+        if size > 4:
+            overflow[tag] = pos
+            pos += size
+    strip_offs = []
+    for b in payloads:
+        strip_offs.append(pos)
+        pos += len(b)
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(struct.pack("<H", len(entries)))
+        for tag, ftype, count, values in entries:
+            if tag == 273:
+                values = strip_offs
+            code = {3: "H", 4: "I", 12: "d"}[ftype]
+            blob = struct.pack("<" + code * count, *values)
+            f.write(struct.pack("<HHI", tag, ftype, count))
+            if len(blob) <= 4:
+                f.write(blob.ljust(4, b"\0"))
+            else:
+                f.write(struct.pack("<I", overflow[tag]))
+        f.write(struct.pack("<I", 0))
+        for tag, ftype, count, values in entries:
+            if tag in overflow:
+                if tag == 273:
+                    values = strip_offs
+                code = {3: "H", 4: "I", 12: "d"}[ftype]
+                f.write(struct.pack("<" + code * count, *values))
+        for b in payloads:
+            f.write(b)
+
+
+@pytest.mark.parametrize("planar", [1, 2])
+def test_multiband_read(tmp_path, planar):
+    bands = [RNG.integers(0, 99, (6, 9)).astype(np.int16) for _ in range(3)]
+    path = str(tmp_path / f"mb{planar}.tif")
+    _write_multiband_tiff(path, bands, planar, _area(9, 6))
+    for b in range(3):
+        layer = yg.read_raster(path, band=b + 1)
+        np.testing.assert_array_equal(layer.read_array(0, 0, 9, 6), bands[b])
+    with pytest.raises(ValueError, match="band"):
+        yg.read_raster(path, band=4)

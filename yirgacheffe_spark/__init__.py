@@ -83,9 +83,7 @@ def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
         if magic[:2] in (b"II", b"MM"):
             from .sources.geotiff import GeoTIFFLayer  # pylint: disable=C0415
 
-            if band != 1:
-                raise NotImplementedError("GeoTIFF bridge reads band 1 only")
-            return GeoTIFFLayer(path, ignore_nodata=ignore_nodata)
+            return GeoTIFFLayer(path, band=band, ignore_nodata=ignore_nodata)
     return ParquetRasterLayer(path, band=band, ignore_nodata=ignore_nodata)
 
 

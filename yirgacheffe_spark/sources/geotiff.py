@@ -120,16 +120,11 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _undo_predictor(arr: np.ndarray) -> np.ndarray:
-    # Horizontal differencing: cumulative sum along rows, modulo the dtype.
-    return np.cumsum(arr, axis=1, dtype=arr.dtype)
-
-
 class _Parsed:
     __slots__ = (
         "tags", "endian", "dtype", "width", "height", "compression",
         "predictor", "tile_w", "tile_h", "offsets", "counts", "is_tiled",
-        "nodata", "scale", "tiepoint", "epsg",
+        "nodata", "scale", "tiepoint", "epsg", "samples", "planar",
     )
 
 
@@ -197,10 +192,10 @@ def _read_tiff_header(path: str) -> _Parsed:
     p.height = int(tags[_T_HEIGHT][0])
     bits = int(tags.get(_T_BITS, [8])[0])
     fmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
-    if int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0]) != 1:
-        raise NotImplementedError("Only single-band GeoTIFFs are supported")
-    if int(tags.get(_T_PLANAR, [1])[0]) != 1:
-        raise NotImplementedError("Only contiguous planar configuration")
+    p.samples = int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0])
+    p.planar = int(tags.get(_T_PLANAR, [1])[0])
+    if p.planar not in (1, 2):
+        raise NotImplementedError(f"Unsupported planar configuration {p.planar}")
     p.dtype = _np_dtype(bits, fmt, endian)
     p.compression = int(tags.get(_T_COMPRESSION, [1])[0])
     if p.compression not in (1, 5, 8, 32946):
@@ -256,12 +251,22 @@ def _fileobj(path: str):
 
 
 class GeoTIFFLayer(Layer):
-    """A single-band GeoTIFF file as an engine layer (windowed lazy reads)."""
+    """One band of a GeoTIFF file as an engine layer (windowed lazy reads).
+
+    Both sample layouts are read: chunky (PlanarConfiguration=1, samples
+    interleaved per pixel — the band is sliced out of each decoded block)
+    and planar (=2, per-band planes at block-index offset
+    ``(band-1) * blocks_per_band``)."""
 
     def __init__(self, path: str, name: str | None = None,
-                 ignore_nodata: bool = False):
+                 ignore_nodata: bool = False, band: int = 1):
         self.path = os.path.abspath(path)
+        self.band = int(band)
         p = _read_tiff_header(self.path)
+        if not 1 <= self.band <= p.samples:
+            raise ValueError(
+                f"{path}: band {band} out of range (file has {p.samples})"
+            )
         if p.scale is None or p.tiepoint is None:
             raise ValueError(f"{path}: no GeoTIFF georeferencing tags")
         xstep, ystep = float(p.scale[0]), -abs(float(p.scale[1]))
@@ -289,11 +294,12 @@ class GeoTIFFLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.path, self._mtime, self._ignore_nodata))
+        return hash((self.path, self.band, self._mtime, self._ignore_nodata))
 
     def __getstate__(self):
         state = {s: getattr(self, s) for s in (
-            "path", "_ignore_nodata", "_mtime", "_window", "_underlying_area", "name",
+            "path", "band", "_ignore_nodata", "_mtime", "_window",
+            "_underlying_area", "name",
         )}
         return state
 
@@ -304,9 +310,16 @@ class GeoTIFFLayer(Layer):
 
     def _decode_block(self, idx: int) -> np.ndarray:
         p = self._meta
+        if p.planar == 2:
+            blocks_per_band = len(p.offsets) // p.samples
+            file_idx = (self.band - 1) * blocks_per_band + idx
+            samples_in_block = 1
+        else:
+            file_idx = idx
+            samples_in_block = p.samples
         f = _fileobj(self.path)
-        f.seek(p.offsets[idx])
-        raw = f.read(p.counts[idx])
+        f.seek(p.offsets[file_idx])
+        raw = f.read(p.counts[file_idx])
         if p.compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif p.compression == 5:
@@ -316,10 +329,16 @@ class GeoTIFFLayer(Layer):
         else:
             h = min(p.tile_h, p.height - idx * p.tile_h)
             w = p.width
-        n = h * w * p.dtype.itemsize
-        arr = np.frombuffer(raw[:n], dtype=p.dtype).reshape(h, w)
+        n = h * w * samples_in_block * p.dtype.itemsize
+        arr = np.frombuffer(raw[:n], dtype=p.dtype).reshape(h, w, samples_in_block)
         if p.predictor == 2:
-            arr = _undo_predictor(arr)
+            # Horizontal differencing runs between the SAME sample of
+            # adjacent pixels — cumsum along width per sample plane.
+            arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+        if samples_in_block > 1:
+            arr = arr[:, :, self.band - 1]
+        else:
+            arr = arr[:, :, 0]
         return arr
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int,
