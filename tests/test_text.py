@@ -348,3 +348,60 @@ class TestIVF:
              .select("vec_id", "list_id").collect()}
         assert a == b
         assert len(set(a.values())) > 1
+
+
+class TestConnectedComponents:
+    def _union_find(self, pairs, ids):
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # normalize to min-of-component
+        return {i: find(i) for i in ids}
+
+    def test_matches_union_find_random_graph(self, spark):
+        import random
+
+        rng = random.Random(9)
+        ids = list(range(200))
+        pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(150)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pdf).collect()
+        }
+        touched = sorted({x for p in pairs for x in p})
+        want = self._union_find(pairs, touched)
+        assert got == {i: want[i] for i in touched}
+
+    def test_long_chain_converges(self, spark):
+        # A 300-node path graph is the worst case for naive propagation;
+        # pointer jumping must close it within the iteration budget.
+        pairs = [(i, i + 1) for i in range(300)]
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = dedup.connected_components(pdf).collect()
+        assert all(r["component"] == 0 for r in got)
+        assert len(got) == 301
+
+    def test_keep_cluster_representative(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+        )
+        # clusters {0,1,2} (via chain), {5,6}; 3,4,7 untouched
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_keep_cluster_representative(docs, pairs).collect()
+        )
+        assert kept == [0, 3, 4, 5, 7]

@@ -511,3 +511,91 @@ def simhash_near_dups(hashes: DataFrame, id_col: str = "doc_id",
     return cands.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
+                         id_col_b: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: (id, component) where the
+    component label is the smallest id reachable through the pair graph.
+
+    Training-data dedup needs transitive closure — A~B and B~C must
+    collapse to ONE kept document, which per-pair filtering cannot do.
+
+    Algorithm: alternating large-star / small-star label propagation (the
+    standard MapReduce connected-components construction; converges in
+    O(log^2 n) rounds on any graph, each round two shuffles keyed by id —
+    no driver state, no unbounded frontier).  Iteration stops when an
+    AGGREGATE fixpoint check (sum + count of labels) is stable, costing one
+    tiny job per round instead of a full subtract/anti-join.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Undirected edge set, both orientations.
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # Propagate: every node adopts the smallest component label among
+        # itself and its neighbours.
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "comp_b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp_b").alias("comp_n"))
+        )
+        labels = (
+            labels.join(neigh.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("comp_n"), F.col("comp"))).alias("comp"),
+            )
+            # Pointer jumping: adopt the label OF the current label, halving
+            # tree depth each round (this is what makes convergence log-fast
+            # on long chains).
+            .alias("l")
+            .join(
+                labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp_of_comp")
+                ).alias("r"),
+                "comp",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("comp_of_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (SUM of xxhash64 longs overflows).
+        sig = labels.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(id, comp))").alias("s"),
+        ).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_keep_cluster_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every document whose near-dup COMPONENT contains a smaller id —
+    the transitive version of pairwise dedup (keeps exactly one row per
+    duplicate cluster plus every unpaired row)."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
