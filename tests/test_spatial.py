@@ -301,3 +301,32 @@ def test_knn_escalation_path_exact(spark):
         got = [r["url"] for r in sorted(
             (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
         assert got == want, qid
+
+
+def test_zonal_sum_matches_per_polygon_loop(spark):
+    """zonal_sum (one pass, all polygons) must equal the reference-style
+    per-polygon loop (expr * read_shape(poly)).sum() exactly."""
+    import yirgacheffe_spark as yg
+
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 9, (20, 30)).astype(np.float64)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.from_array(data, (0.0, 0.0), proj)
+    polys = [
+        {"poly_id": 1, "geom_wkt":
+            "POLYGON ((0.021 -0.021, 0.119 -0.021, 0.119 -0.079, 0.021 -0.079, 0.021 -0.021))"},
+        {"poly_id": 2, "geom_wkt":
+            "POLYGON ((0.151 -0.101, 0.289 -0.101, 0.289 -0.189, 0.151 -0.189, 0.151 -0.101))"},
+        # overlapping the first
+        {"poly_id": 3, "geom_wkt":
+            "POLYGON ((0.051 -0.051, 0.201 -0.051, 0.201 -0.121, 0.051 -0.121, 0.051 -0.051))"},
+    ]
+    expr = layer * 2 + 1
+    got = {
+        r["poly_id"]: r["zsum"]
+        for r in yg.zonal_sum(expr, polys, spark=spark).collect()
+    }
+    for f in polys:
+        mask = yg.read_shape([f], proj, burn_value=1)
+        want = (expr * mask).sum(spark=spark)
+        assert got[f["poly_id"]] == want, f["poly_id"]

@@ -60,7 +60,7 @@ from .sources import (
 )
 from .sources.parquet import write_array_as_raster_table
 from .sources.vector import load_geojson
-from .plans.executor import save_multiband
+from .plans.executor import save_multiband, zonal_sum
 
 # Familiar aliases for users coming from the reference API.
 
@@ -152,5 +152,6 @@ __all__ = [
     "TiledGroupLayer", "VectorLayer", "CellLayer", "ReprojectedLayer",
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
     "area_raster", "read_narrow_raster", "h3_tile", "to_geotiff",
-    "write_array_as_raster_table", "save_multiband", "load_geojson",
+    "write_array_as_raster_table", "save_multiband", "zonal_sum",
+    "load_geojson",
 ]

@@ -916,6 +916,90 @@ def tiles_dataframe(tree, spark: SparkSession | None = None,
     return df.mapInArrow(compute, schema=TILE_SCHEMA)
 
 
+ZONAL_SCHEMA = "poly_id long, ty int, tx int, partial double"
+_PA_ZONAL = pa.schema(
+    [("poly_id", pa.int64()), ("ty", pa.int32()), ("tx", pa.int32()),
+     ("partial", pa.float64())]
+)
+
+
+def zonal_sum(tree, polygons, spark: SparkSession | None = None,
+              all_touched: bool = True) -> DataFrame:
+    """Per-polygon sum of the expression in ONE distributed pass:
+    ``(poly_id, zsum)`` — the Spark-first reformulation of the reference's
+    per-species loop (``expr * read_shape(poly)).sum()`` once per polygon
+    re-scans the raster N times; this scans it once).
+
+    The polygon set (list of dicts with ``poly_id``/``geom_wkt``, or a
+    DataFrame with those columns) is parsed driver-side and broadcast; each
+    kernel burns only the polygons whose bbox intersects its tile into a
+    tile-local mask and emits float64 partials.  The final combine uses the
+    engine's deterministic ordered fold per polygon (array_sort on (ty, tx)
+    structs), so results are bit-stable under any partitioning.
+    """
+    from ..sources.vector import parse_wkt_polygon, rasterize_rings  # pylint: disable=C0415
+
+    spark = get_spark(spark)
+    if isinstance(polygons, DataFrame):
+        polygons = [
+            {"poly_id": r["poly_id"], "geom_wkt": r["geom_wkt"]}
+            for r in polygons.select("poly_id", "geom_wkt").collect()
+        ]
+    parsed = []
+    for f in polygons:
+        rings = parse_wkt_polygon(f["geom_wkt"])
+        pts = np.vstack(rings)
+        parsed.append((
+            int(f["poly_id"]), rings,
+            (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()),
+        ))
+    spark2, root, payload, bc, df = _build(tree, spark)
+    polys_bc = spark2.sparkContext.broadcast(parsed)
+
+    def compute(batches):
+        pl = bc.value
+        area, proj = pl["area"], pl["projection"]
+        ty_size, tx_size = pl["ty_size"], pl["tx_size"]
+        xstep, ystep = proj.xstep, proj.ystep
+        out_rows = []
+        for ty, tx, h, w, result in _tile_results(bc, batches):
+            left = area.left + (tx * tx_size) * xstep
+            top = area.top + (ty * ty_size) * ystep
+            right = left + w * xstep
+            bottom = top + h * ystep
+            mask = None
+            for pid, rings, (bx0, by0, bx1, by1) in polys_bc.value:
+                if bx1 < left or bx0 >= right or by1 < bottom or by0 >= top:
+                    continue
+                if mask is None:
+                    mask = np.zeros((h, w), dtype=np.float64)
+                else:
+                    mask[:] = 0.0
+                rasterize_rings(rings, 1.0, mask, left, top, xstep, ystep,
+                                all_touched=all_touched)
+                partial = float(np.sum(result * mask, dtype=np.float64))
+                out_rows.append((pid, ty, tx, partial))
+        if out_rows:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in out_rows], pa.int64()),
+                    pa.array([r[1] for r in out_rows], pa.int32()),
+                    pa.array([r[2] for r in out_rows], pa.int32()),
+                    pa.array([r[3] for r in out_rows], pa.float64()),
+                ],
+                schema=_PA_ZONAL,
+            )
+
+    partials = df.mapInArrow(compute, schema=ZONAL_SCHEMA)
+    return partials.groupBy("poly_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ty", "tx", "partial"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["partial"],
+        ).alias("zsum")
+    )
+
+
 def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
     """Whole-layer reduction: per-tile partials inside the kernel, combined
     deterministically (sum: float64 promotion per tile, then ordered add —
