@@ -330,3 +330,23 @@ def test_zonal_sum_matches_per_polygon_loop(spark):
         mask = yg.read_shape([f], proj, burn_value=1)
         want = (expr * mask).sum(spark=spark)
         assert got[f["poly_id"]] == want, f["poly_id"]
+
+
+def test_zonal_stats_full_columns(spark):
+    import yirgacheffe_spark as yg
+
+    rng = np.random.default_rng(31)
+    data = rng.integers(1, 9, (16, 24)).astype(np.float64)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.from_array(data, (0.0, 0.0), proj)
+    f = {"poly_id": 7, "geom_wkt":
+         "POLYGON ((0.033 -0.033, 0.177 -0.033, 0.177 -0.117, 0.033 -0.117, 0.033 -0.033))"}
+    row = yg.zonal_stats(layer, [f], spark=spark).collect()[0]
+    mask = np.zeros_like(data)
+    from yirgacheffe_spark.sources.vector import parse_wkt_polygon, rasterize_rings
+    rasterize_rings(parse_wkt_polygon(f["geom_wkt"]), 1.0, mask, 0.0, 0.0, 0.01, -0.01)
+    sel = mask > 0
+    assert row["n_pixels"] == int(sel.sum())
+    assert row["zsum"] == float(data[sel].sum())
+    assert row["zmin"] == data[sel].min() and row["zmax"] == data[sel].max()
+    assert row["zmean"] == pytest.approx(data[sel].mean())

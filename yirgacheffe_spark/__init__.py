@@ -60,7 +60,7 @@ from .sources import (
 )
 from .sources.parquet import write_array_as_raster_table
 from .sources.vector import load_geojson
-from .plans.executor import save_multiband, zonal_sum
+from .plans.executor import save_multiband, zonal_stats, zonal_sum
 
 # Familiar aliases for users coming from the reference API.
 
@@ -153,5 +153,6 @@ __all__ = [
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
     "area_raster", "read_narrow_raster", "h3_tile", "to_geotiff",
     "write_array_as_raster_table", "save_multiband", "zonal_sum",
+    "zonal_stats",
     "load_geojson",
 ]

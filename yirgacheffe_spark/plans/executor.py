@@ -916,19 +916,29 @@ def tiles_dataframe(tree, spark: SparkSession | None = None,
     return df.mapInArrow(compute, schema=TILE_SCHEMA)
 
 
-ZONAL_SCHEMA = "poly_id long, ty int, tx int, partial double"
+ZONAL_SCHEMA = ("poly_id long, ty int, tx int, partial double, pcount long, "
+                "pmin double, pmax double")
 _PA_ZONAL = pa.schema(
     [("poly_id", pa.int64()), ("ty", pa.int32()), ("tx", pa.int32()),
-     ("partial", pa.float64())]
+     ("partial", pa.float64()), ("pcount", pa.int64()),
+     ("pmin", pa.float64()), ("pmax", pa.float64())]
 )
 
 
 def zonal_sum(tree, polygons, spark: SparkSession | None = None,
               all_touched: bool = True) -> DataFrame:
-    """Per-polygon sum of the expression in ONE distributed pass:
-    ``(poly_id, zsum)`` — the Spark-first reformulation of the reference's
-    per-species loop (``expr * read_shape(poly)).sum()`` once per polygon
-    re-scans the raster N times; this scans it once).
+    """(poly_id, zsum) — see ``zonal_stats`` (this is its sum column)."""
+    return zonal_stats(tree, polygons, spark=spark, all_touched=all_touched
+                       ).select("poly_id", "zsum")
+
+
+def zonal_stats(tree, polygons, spark: SparkSession | None = None,
+                all_touched: bool = True) -> DataFrame:
+    """Per-polygon statistics of the expression in ONE distributed pass:
+    ``(poly_id, zsum, n_pixels, zmin, zmax, zmean)`` — the Spark-first
+    reformulation of the reference's per-species loop
+    (``(expr * read_shape(poly)).sum()`` once per polygon re-scans the
+    raster N times; this scans it once for every polygon and statistic).
 
     The polygon set (list of dicts with ``poly_id``/``geom_wkt``, or a
     DataFrame with those columns) is parsed driver-side and broadcast; each
@@ -984,8 +994,16 @@ def zonal_sum(tree, polygons, spark: SparkSession | None = None,
                     mask[:] = 0.0
                 rasterize_rings(rings, 1.0, mask, left, top, xstep, ystep,
                                 all_touched=all_touched)
-                partial = float(np.sum(result * mask, dtype=np.float64))
-                out_rows.append((pid, ty, tx, partial))
+                sel = mask > 0
+                n = int(np.count_nonzero(sel))
+                if n == 0:
+                    continue  # bbox touched the tile but no pixel center did
+                vals = np.asarray(result)[sel]
+                out_rows.append((
+                    pid, ty, tx,
+                    float(np.sum(vals, dtype=np.float64)), n,
+                    float(vals.min()), float(vals.max()),
+                ))
         if out_rows:
             yield pa.RecordBatch.from_arrays(
                 [
@@ -993,18 +1011,25 @@ def zonal_sum(tree, polygons, spark: SparkSession | None = None,
                     pa.array([r[1] for r in out_rows], pa.int32()),
                     pa.array([r[2] for r in out_rows], pa.int32()),
                     pa.array([r[3] for r in out_rows], pa.float64()),
+                    pa.array([r[4] for r in out_rows], pa.int64()),
+                    pa.array([r[5] for r in out_rows], pa.float64()),
+                    pa.array([r[6] for r in out_rows], pa.float64()),
                 ],
                 schema=_PA_ZONAL,
             )
 
     partials = df.mapInArrow(compute, schema=ZONAL_SCHEMA)
-    return partials.groupBy("poly_id").agg(
+    out = partials.groupBy("poly_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("ty", "tx", "partial"))),
             F.lit(0.0),
             lambda acc, s: acc + s["partial"],
-        ).alias("zsum")
+        ).alias("zsum"),
+        F.sum("pcount").alias("n_pixels"),
+        F.min("pmin").alias("zmin"),
+        F.max("pmax").alias("zmax"),
     )
+    return out.withColumn("zmean", F.col("zsum") / F.col("n_pixels"))
 
 
 def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
