@@ -275,3 +275,52 @@ def test_multiband_read(tmp_path, planar):
         np.testing.assert_array_equal(layer.read_array(0, 0, 9, 6), bands[b])
     with pytest.raises(ValueError, match="band"):
         yg.read_raster(path, band=4)
+
+
+def test_read_bigtiff(tmp_path):
+    """Hand-build a minimal BigTIFF (magic 43, 8-byte offsets, one strip,
+    uncompressed) and read it back — covers the 64-bit header branch."""
+    data = np.arange(48, dtype=np.uint8).reshape(4, 12)
+    payload = data.tobytes()
+    entries = [  # (tag, type, count, values); type 16 = LONG8
+        (256, 3, 1, [12]), (257, 3, 1, [4]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]),
+        (273, 16, 1, None), (277, 3, 1, [1]), (278, 3, 1, [4]),
+        (279, 16, 1, [len(payload)]), (284, 3, 1, [1]), (339, 3, 1, [1]),
+        (33550, 12, 3, [0.02, 0.02, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, 10.0, 50.0, 0.0]),
+    ]
+    # BigTIFF IFD: 8-byte count + 20-byte entries + 8-byte next pointer.
+    ifd_off = 16
+    ifd_size = 8 + len(entries) * 20 + 8
+    pos = ifd_off + ifd_size
+    overflow = {}
+    for tag, ftype, count, values in entries:
+        size = {3: 2, 12: 8, 16: 8}[ftype] * count
+        if size > 8:
+            overflow[tag] = pos
+            pos += size
+    strip_off = pos
+    path = str(tmp_path / "big.tif")
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off))
+        f.write(struct.pack("<Q", len(entries)))
+        for tag, ftype, count, values in entries:
+            if tag == 273:
+                values = [strip_off]
+            code = {3: "H", 12: "d", 16: "Q"}[ftype]
+            blob = struct.pack("<" + code * count, *values)
+            f.write(struct.pack("<HHQ", tag, ftype, count))
+            if len(blob) <= 8:
+                f.write(blob.ljust(8, b"\0"))
+            else:
+                f.write(struct.pack("<Q", overflow[tag]))
+        f.write(struct.pack("<Q", 0))
+        for tag, ftype, count, values in entries:
+            if tag in overflow:
+                code = {3: "H", 12: "d", 16: "Q"}[ftype]
+                f.write(struct.pack("<" + code * count, *values))
+        f.write(payload)
+    layer = yg.read_raster(path)
+    np.testing.assert_array_equal(layer.read_array(0, 0, 12, 4), data)
+    assert layer.area.left == 10.0 and layer.area.top == 50.0

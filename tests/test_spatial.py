@@ -350,3 +350,31 @@ def test_zonal_stats_full_columns(spark):
     assert row["zsum"] == float(data[sel].sum())
     assert row["zmin"] == data[sel].min() and row["zmax"] == data[sel].max()
     assert row["zmean"] == pytest.approx(data[sel].mean())
+
+
+def test_knn_initial_ring_override_matches_default(spark):
+    """Forcing a (too-small) uniform initial_ring must not change results:
+    the exact settle verification escalates whatever the prediction was."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(n)],
+        "lat": rng.uniform(-60, 60, n),
+        "lng": rng.uniform(-180, 180, n),
+    })
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", joins.cell_expr("lat", "lng", 5)
+    )
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": [1, 2, 3],
+        "lat": [10.5, -30.5, 55.5],
+        "lng": [20.5, -120.5, 170.5],
+    }))
+    base = {(r["query_id"], r["rank"]): r["url"] for r in
+            joins.knn_join_df(spark, pts, qdf, k=5, res=5, max_ring=64).collect()}
+    forced = {(r["query_id"], r["rank"]): r["url"] for r in
+              joins.knn_join_df(spark, pts, qdf, k=5, res=5, max_ring=64,
+                                initial_ring=1).collect()}
+    assert base == forced and len(base) == 15
