@@ -126,3 +126,27 @@ def test_interleaved_multiband_single_scan(spark, tmp_path):
     plan = expr.to_dataframe(spark=spark)._jdf.queryExecution().executedPlan().toString()
     payload_side = plan.split("Union")[0]  # the piece-rows branch
     assert "Exchange hashpartitioning" not in payload_side
+
+
+def test_show_writes_valid_png(spark, tmp_path):
+    """show(path=...) renders the computation as a spec-valid grayscale PNG
+    (signature, IHDR dims, zlib IDAT round-trips to the stretched pixels)."""
+    import struct
+    import zlib
+
+    data = np.arange(35, dtype=np.float64).reshape(5, 7)
+    layer = yg.from_array(data, (0.0, 0.0), yg.MapProjection("epsg:4326", 0.02, -0.02))
+    out = str(tmp_path / "v.png")
+    (layer * 2).show(path=out, spark=spark)
+    blob = open(out, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert blob[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", blob[16:24])
+    assert (w, h) == (7, 5)
+    idat_start = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_start - 8: idat_start - 4])[0]
+    raw = zlib.decompress(blob[idat_start: idat_start + idat_len])
+    rows = [raw[r * 8 + 1: r * 8 + 8] for r in range(5)]  # strip filter bytes
+    img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(5, 7)
+    want = np.clip((data * 2 - 0.0) * (255.0 / (68.0 - 0.0)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)

@@ -436,18 +436,31 @@ class LayerMathMixin:
     def to_dataframe(self, spark=None):
         return LayerOperation(self).to_dataframe(spark=spark)
 
-    def show(self, ax=None, max_pixels: int | None = 1000, spark=None, **kwargs):
-        """Render with matplotlib (downsampled), if matplotlib is installed."""
-        try:
-            import matplotlib.pyplot as plt  # pylint: disable=C0415
-        except ImportError as exc:  # pragma: no cover - env without matplotlib
-            raise NotImplementedError("show() requires matplotlib") from exc
+    def show(self, ax=None, max_pixels: int | None = 1000, spark=None,
+             path: str | None = None, **kwargs):
+        """Render the computation: with matplotlib when available, else (or
+        when ``path`` is given) as a grayscale PNG written with the
+        pure-stdlib encoder — this environment has no plotting stack, and a
+        min-max-stretched PNG is what the reference's ``show`` amounts to
+        for single-band data."""
         root = LayerOperation(self) if not isinstance(self, LayerOperation) else self
         window = root.window
         data = root.read_array(0, 0, window.xsize, window.ysize, spark=spark)
         if max_pixels:
             step = max(max(window.xsize, window.ysize) // max_pixels, 1)
             data = data[::step, ::step]
+        if path is not None:
+            from ..png import write_png_grayscale  # pylint: disable=C0415
+
+            write_png_grayscale(path, data)
+            return path
+        try:
+            import matplotlib.pyplot as plt  # pylint: disable=C0415
+        except ImportError as exc:
+            raise NotImplementedError(
+                "show() needs matplotlib for interactive display; pass "
+                "path='out.png' to render with the built-in PNG writer"
+            ) from exc
         if ax is None:
             ax = plt.gca()
         area = root.area
