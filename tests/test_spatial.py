@@ -378,3 +378,23 @@ def test_knn_initial_ring_override_matches_default(spark):
               joins.knn_join_df(spark, pts, qdf, k=5, res=5, max_ring=64,
                                 initial_ring=1).collect()}
     assert base == forced and len(base) == 15
+
+
+def test_zonal_stats_dataframe_polygon_side(spark):
+    import yirgacheffe_spark as yg
+
+    data = np.arange(100, dtype=np.float64).reshape(10, 10)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.from_array(data, (0.0, 0.0), proj)
+    polys = spark.createDataFrame(
+        [(4, "POLYGON ((0.013 -0.013, 0.057 -0.013, 0.057 -0.047, 0.013 -0.047, 0.013 -0.013))")],
+        "poly_id long, geom_wkt string",
+    )
+    df_row = yg.zonal_stats(layer, polys, spark=spark).collect()[0]
+    list_row = yg.zonal_stats(
+        layer,
+        [{"poly_id": 4, "geom_wkt": polys.collect()[0]["geom_wkt"]}],
+        spark=spark,
+    ).collect()[0]
+    assert df_row.asDict() == list_row.asDict()
+    assert df_row["poly_id"] == 4 and df_row["n_pixels"] > 0
