@@ -398,3 +398,14 @@ def test_zonal_stats_dataframe_polygon_side(spark):
     ).collect()[0]
     assert df_row.asDict() == list_row.asDict()
     assert df_row["poly_id"] == 4 and df_row["n_pixels"] > 0
+
+
+def test_pip_empty_polygon_list_returns_empty(spark):
+    """Zero polygons (or zero covered cells) short-circuits to an empty,
+    correctly-typed result instead of crashing on an empty CASE chain."""
+    from yirgacheffe_spark.spatial import joins, pages
+
+    pg = pages.enriched_pages(spark, 50, res=7)
+    out = joins.point_in_polygon_join(spark, pg, [], res=7)
+    assert out.count() == 0
+    assert dict(out.dtypes)["poly_id"] == "bigint"

@@ -143,3 +143,94 @@ def test_stateful_sessionization(spark, tmp_path):
     assert (1, 2, 3.0) in got
     assert (1, 1, 4.0) in got
     assert (2, 1, 8.0) in got
+
+
+def test_sessionization_late_within_watermark_no_split(spark, tmp_path):
+    """An out-of-order event that is late but inside the watermark must merge
+    into the existing session without rewinding its end: the gap test runs
+    against the running max event time, so a later batch [11:10, 12:40] with
+    state last=12:00 and a 30-minute gap yields ONE session ending 12:00 and
+    a fresh session at 12:40 — not a spurious split at 11:10."""
+    import pandas as pd
+
+    from yirgacheffe_spark.streaming import sessions
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    day = pd.Timestamp("2026-01-01")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+
+    t = lambda hhmm: day + pd.Timedelta(hours=int(hhmm[:2]), minutes=int(hhmm[2:]))
+    write([(1, t("1155"), 1.0), (1, t("1200"), 1.0)])
+    # 11:10 is older than state's last (12:00) but newer than the watermark
+    # (11:00): in-session late event.  12:40 is 40min past 12:00: new session.
+    write([(1, t("1110"), 4.0), (1, t("1240"), 8.0)])
+    # Far-future row advances the watermark past everything: timeouts flush.
+    write([(2, day + pd.Timedelta(days=1), 0.5)])
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = (
+        sessions.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).where("user_id = 1").collect()
+    got = {
+        (r["n_events"], r["total_value"],
+         str(r["session_start"])[11:16], str(r["session_end"])[11:16])
+        for r in rows
+    }
+    # Merged session: 3 events, start widened to 11:10, end stays 12:00.
+    assert (3, 6.0, "11:10", "12:00") in got, got
+    assert (1, 8.0, "12:40", "12:40") in got, got
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_sessionization_key_schema_follows_source(spark, tmp_path):
+    """A string key column with a non-default name keeps its name and type in
+    the output schema (previously hardcoded 'user_id long')."""
+    import pandas as pd
+
+    from yirgacheffe_spark.streaming import sessions
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    day = pd.Timestamp("2026-01-01")
+
+    pdf = pd.DataFrame(
+        [("a.example", day, 1.0), ("a.example", day + pd.Timedelta(minutes=5), 2.0),
+         ("zz.example", day + pd.Timedelta(days=2), 0.1)],
+        columns=["host", "ts", "value"],
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = spark.readStream.schema(
+        "host string, ts timestamp, value double"
+    ).parquet(feed)
+    df = sessions.sessionize_stream(stream, gap_minutes=30, key_col="host")
+    assert dict(df.dtypes)["host"] == "string"
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["host"] == "string"
+    assert {(r["host"], r["n_events"]) for r in got.collect()} >= {("a.example", 2)}

@@ -206,14 +206,20 @@ class ReprojectedLayer(Layer):
         cube.sort(axis=2)
         cnt = fy_counts[:, None] * fx_counts[None, :]
         if self._method == "med":
-            lo = np.take_along_axis(cube, ((cnt - 1) // 2)[:, :, None], axis=2)[:, :, 0]
+            lo_i = np.maximum((cnt - 1) // 2, 0)
+            lo = np.take_along_axis(cube, lo_i[:, :, None], axis=2)[:, :, 0]
             hi = np.take_along_axis(cube, (cnt // 2)[:, :, None], axis=2)[:, :, 0]
-            # np.median semantics: float64, mean of the two middles.
-            return np.mean(np.stack([lo, hi]), axis=0)
+            # np.median semantics: float64, mean of the two middles.  A
+            # zero-count segment (degenerate boundary) gets a defined 0.0
+            # instead of the inf pad.
+            return np.where(cnt > 0, np.mean(np.stack([lo, hi]), axis=0), 0.0)
         # mode: longest run of equal values among the leading cnt entries;
-        # ties -> smallest value (first run in sorted order with strict >).
-        out = cube[:, :, 0].copy()
-        best_count = np.zeros((ysize, xsize), dtype=np.int64)
+        # ties -> smallest value (first run in sorted order).  Run lengths
+        # come straight from the change-point indices — each slot's run
+        # length is (next run start) - (own run start), computed with two
+        # accumulates along the block axis: O(K) per pixel, not the O(K^2)
+        # per-slot recount of the previous revision.
+        kdim = cube.shape[2]
         change = np.concatenate(
             [
                 np.ones((ysize, xsize, 1), dtype=bool),
@@ -221,13 +227,22 @@ class ReprojectedLayer(Layer):
             ],
             axis=2,
         )
-        run_ids = np.cumsum(change, axis=2)
-        for j in range(cube.shape[2]):
-            candidate = cube[:, :, j]
-            counts = np.sum(run_ids == run_ids[:, :, j : j + 1], axis=2)
-            better = (counts > best_count) & np.isfinite(candidate)
-            out = np.where(better, candidate, out)
-            best_count = np.where(better, counts, best_count)
+        idx = np.arange(kdim, dtype=np.int64)[None, None, :]
+        run_start = np.maximum.accumulate(np.where(change, idx, 0), axis=2)
+        nxt = np.where(change, idx, kdim)
+        nxt = np.concatenate(
+            [nxt[:, :, 1:], np.full((ysize, xsize, 1), kdim, dtype=np.int64)],
+            axis=2,
+        )
+        next_start = np.minimum.accumulate(nxt[:, :, ::-1], axis=2)[:, :, ::-1]
+        run_len = np.where(np.isfinite(cube), next_start - run_start, 0)
+        # argmax takes the FIRST maximal slot: sorted order makes that the
+        # smallest value among tied runs — same tie rule as the reshape path.
+        best_j = np.argmax(run_len, axis=2)
+        out = np.take_along_axis(cube, best_j[:, :, None], axis=2)[:, :, 0]
+        # All-pad pixels (cnt == 0) have no finite run: define the fill as 0
+        # before the integer astype (inf -> int is undefined).
+        out = np.where(np.take_along_axis(run_len, best_j[:, :, None], axis=2)[:, :, 0] > 0, out, 0.0)
         return out.astype(block.dtype)
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:

@@ -94,6 +94,13 @@ def _pip_broadcast(
             pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res,
         ):
             cell_to_pids.setdefault(int(c), []).append(pid)
+    if not cell_to_pids:
+        # No polygons (or none covering any cell): empty result with the
+        # same shape as the join output — an empty CASE chain would
+        # otherwise feed F.explode(None) and crash.
+        return pages.where(F.lit(False)).withColumn(
+            "poly_id", F.lit(None).cast(poly_id_type)
+        )
     rings_bc = spark.sparkContext.broadcast(rings_by_id)
 
     if len(cell_to_pids) <= 256:  # keep the CASE chain inside codegen limits

@@ -22,13 +22,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = (
-    "user_id long, session_start timestamp, session_end timestamp, "
-    "n_events long, total_value double"
-)
 # State travels as epoch milliseconds (longs): timestamp columns in state
 # structs are tz-fragile across restore.
 _STATE_SCHEMA = "start_ms long, last_ms long, n_events long, total_value double"
+
+
+def session_schema(events: DataFrame, key_col: str = "user_id") -> str:
+    """Output schema for ``sessionize_stream`` — the key column keeps its
+    source name AND type (a string/int key must not be silently relabelled
+    ``user_id long``)."""
+    key_type = dict(events.dtypes)[key_col]
+    return (
+        f"`{key_col}` {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long, total_value double"
+    )
 
 
 def sessionize_stream(
@@ -39,23 +46,34 @@ def sessionize_stream(
     key_col: str = "user_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """Append-mode stream of CLOSED sessions per ``key_col``."""
+    """Append-mode stream of CLOSED sessions per ``key_col``.
+
+    Out-of-order events that are late but still inside the watermark are
+    merged monotonically: an event older than the session's running max
+    never rewinds ``last_ms`` (which would split the session spuriously and
+    emit a ``session_end`` earlier than an already-counted event) — the gap
+    test always runs against the running max event time, and such a late
+    event can only widen ``session_start`` downwards.
+    """
     gap_ms = gap_minutes * 60 * 1000
 
+    def _emit(key_val, closed):
+        return pd.DataFrame(
+            {
+                key_col: [key_val] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                "n_events": [c[2] for c in closed],
+                "total_value": [c[3] for c in closed],
+            }
+        )
+
     def assemble(key, pdf_iter, state: GroupState):
-        (user_id,) = key
+        (key_val,) = key
         if state.hasTimedOut:
             start_ms, last_ms, n, total = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+            yield _emit(key_val, [(start_ms, last_ms, n, total)])
             return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True)
@@ -73,11 +91,18 @@ def sessionize_stream(
         for t, v in zip(ts_ms, vals):
             t = int(t)
             if n and t - last_ms > gap_ms:
+                # Strictly beyond the running max + gap: a genuinely new
+                # session (a late event can never land here since
+                # t <= last_ms for it).
                 closed.append((start_ms, last_ms, n, total))
-                start_ms, n, total = t, 0, 0.0
+                start_ms, last_ms, n, total = t, t, 0, 0.0
             if n == 0:
-                start_ms = t
-            last_ms, n, total = t, n + 1, total + float(v)
+                start_ms = last_ms = t
+            # Merge monotonically: last_ms never moves backwards; a late
+            # in-session event may only extend the session's start earlier.
+            start_ms = min(start_ms, t)
+            last_ms = max(last_ms, t)
+            n, total = n + 1, total + float(v)
 
         state.update((int(start_ms), int(last_ms), int(n), float(total)))
         # Close the open session once the watermark passes last + gap; the
@@ -85,22 +110,14 @@ def sessionize_stream(
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
-                    "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
-                    "n_events": [c[2] for c in closed],
-                    "total_value": [c[3] for c in closed],
-                }
-            )
+            yield _emit(key_val, closed)
 
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             assemble,
-            SESSION_SCHEMA,
+            session_schema(events, key_col),
             _STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
