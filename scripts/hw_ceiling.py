@@ -52,6 +52,25 @@ def _hash_worker(args):
     return time.time() - t0
 
 
+def _hashagg_worker(args):
+    """Hash-aggregate (count by mostly-unique int64 key) — the per-task work
+    of the LSH candidate stage's bucket-count aggregation, no engine in the
+    loop.  Random-access hashmap builds are memory-system bound on one box;
+    this bounds what the candidates stage can scale at all."""
+    seed, n_keys = args
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+
+    keys = rng.integers(0, 1 << 62, n_keys, dtype=np.int64)
+    s = pd.Series(keys)
+    s.value_counts()  # warm
+    t0 = time.time()
+    for _ in range(4):
+        vc = s.value_counts()
+        (vc.to_numpy() > 1).sum()
+    return time.time() - t0
+
+
 def _decode_worker(args):
     """Parquet zstd decode + float64 sum over assigned row groups of the
     bench multiband raster — the exact per-task work of the engine's
@@ -108,6 +127,7 @@ def main() -> int:
     for name, kernel, total in (
         ("aoh_numpy", _aoh_worker, TOTAL_TILES),
         ("hash_pandas", _hash_worker, TOTAL_DOCS),
+        ("hash_agg", _hashagg_worker, TOTAL_DOCS),
     ):
         w8 = run(kernel, 8, total // 8)
         w32 = run(kernel, 32, total // 32)

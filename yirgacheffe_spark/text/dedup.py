@@ -64,10 +64,11 @@ def _minhash_params(num_perm: int, seed: int = 42):
 _FNV = np.uint64(1099511628211)
 
 
-def _mix64(z: np.ndarray, salt: int) -> np.ndarray:
-    """splitmix64 finalizer (vectorised, uint64 wraparound intended)."""
+def _mix64(z: np.ndarray, salt) -> np.ndarray:
+    """splitmix64 finalizer (vectorised, uint64 wraparound intended).
+    ``salt`` may be a scalar or an array broadcastable against ``z``."""
     with np.errstate(over="ignore"):
-        z = z + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)
+        z = z + np.asarray(salt, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
@@ -75,7 +76,11 @@ def _mix64(z: np.ndarray, salt: int) -> np.ndarray:
 
 def _fold_buckets(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
     """(n, num_perm) signature matrix -> (n, bands) LSH bucket ids, FNV-fold
-    + splitmix finalize per band (vectorised)."""
+    + splitmix finalize per band (vectorised).  The finalizer is salted with
+    the BAND INDEX, so a bucket id is globally unique across bands and the
+    candidate join keys on one long column instead of (band, bucket) — a
+    narrower shuffle and a single-column hash aggregate, which is the
+    measured scaling bottleneck of the candidate stage."""
     n, num_perm = sig_matrix.shape
     r = num_perm // bands
     folded = sig_matrix.astype(np.uint64).reshape(n, bands, r)
@@ -83,7 +88,8 @@ def _fold_buckets(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
         acc = np.zeros((n, bands), dtype=np.uint64)
         for k in range(r):
             acc = acc * _FNV + folded[:, :, k]
-    return _mix64(acc, 3).astype(np.int64)
+    salts = 3 + np.arange(bands, dtype=np.uint64)[None, :]
+    return _mix64(acc, salts).astype(np.int64)
 
 
 def _flat_shingle_hashes(texts: pd.Series, shingle_n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -211,31 +217,36 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
       blowup; at that size the members are exact dups better handled by
       exact_dedup first — standard LSH practice).
     """
+    # Band identity is folded INTO the bucket value (band-salted finalizer in
+    # `_fold_buckets`; band index mixed into the hash on the compat path), so
+    # every stage below keys on ONE long column: the 2-col (band, bucket)
+    # grouping was the measured scaling pin of this operator (a hash
+    # aggregate over ~n_docs*bands mostly-unique keys is memory-system
+    # bound; narrowing the key and the shuffled row is the lever available).
     if "buckets" in sigs.columns:
-        banded = sigs.select(
-            F.col(id_col), F.posexplode("buckets").alias("band", "bucket")
-        )
+        banded = sigs.select(F.col(id_col), F.explode("buckets").alias("bucket"))
     else:  # derive buckets from the signature (compat path, JVM-side hash)
         banded = sigs.select(
             F.col(id_col),
-            F.posexplode(
+            F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
                     lambda b: F.xxhash64(
+                        b,
                         F.slice(
                             F.col("sig"),
                             b * (F.size("sig") / bands).cast("int") + 1,
                             (F.size("sig") / bands).cast("int"),
-                        )
+                        ),
                     ),
                 )
-            ).alias("band", "bucket"),
+            ).alias("bucket"),
         )
     hot = (
-        banded.groupBy("band", "bucket")
+        banded.groupBy("bucket")
         .agg(F.count("*").alias("c"))
         .where((F.col("c") > 1) & (F.col("c") <= max_bucket))
-        .select("band", "bucket")
+        .select("bucket")
     )
     if broadcast_hot:
         # Explicit hint: AQE's size estimate for the post-agg hot set is
@@ -246,8 +257,8 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
         # where most documents are duplicates.
         hot = F.broadcast(hot)
     return (
-        banded.join(hot, ["band", "bucket"])
-        .groupBy("band", "bucket")
+        banded.join(hot, ["bucket"])
+        .groupBy("bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .select(
             F.explode(
@@ -264,13 +275,13 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def _run_pairs_stream(batch_iter, max_bucket: int):
-    """Stream Arrow batches of (key_band, key_bucket, id[, extra...]) rows
-    sorted within the partition; yield pair tuples for every key run of
-    2..max_bucket members.  Run detection is vectorised; only the (rare)
-    multi-member runs are expanded, so per-row Python never happens."""
+    """Stream Arrow batches of (key, id[, extra...]) rows sorted within the
+    partition; yield pair tuples for every key run of 2..max_bucket members.
+    Run detection is vectorised; only the (rare) multi-member runs are
+    expanded, so per-row Python never happens."""
     import pandas as pd  # pylint: disable=C0415
 
-    carry = None  # (band, bucket, ids) of the run left open by the last batch
+    carry = None  # (key, ids) of the run left open by the last batch
 
     def expand(members, out_a, out_b):
         if 1 < len(members) <= max_bucket:
@@ -281,27 +292,26 @@ def _run_pairs_stream(batch_iter, max_bucket: int):
     for pdf in batch_iter:
         if not len(pdf):
             continue
-        bands = pdf.iloc[:, 0].to_numpy()
-        buckets = pdf.iloc[:, 1].to_numpy()
-        ids = pdf.iloc[:, 2].to_numpy()
+        keys = pdf.iloc[:, 0].to_numpy()
+        ids = pdf.iloc[:, 1].to_numpy()
         new_run = np.ones(len(pdf), dtype=bool)
-        new_run[1:] = (bands[1:] != bands[:-1]) | (buckets[1:] != buckets[:-1])
+        new_run[1:] = keys[1:] != keys[:-1]
         starts = np.nonzero(new_run)[0]
         ends = np.append(starts[1:], len(pdf))
         out_a, out_b = [], []
         for k, (s, e) in enumerate(zip(starts, ends)):
             members = ids[s:e]
             if k == 0 and carry is not None:
-                if carry[0] == bands[0] and carry[1] == buckets[0]:
-                    members = np.concatenate([carry[2], members])
+                if carry[0] == keys[0]:
+                    members = np.concatenate([carry[1], members])
                 else:  # the carried run ended at the batch boundary
-                    expand(carry[2], out_a, out_b)
+                    expand(carry[1], out_a, out_b)
                 carry = None
             if e == len(pdf):
                 # the batch's final run may continue into the next batch —
                 # hold it (capped: runs beyond max_bucket are dropped anyway,
                 # so a mega-bucket cannot buffer unboundedly)
-                carry = (bands[-1], buckets[-1], members[: max_bucket + 1])
+                carry = (keys[-1], members[: max_bucket + 1])
             else:
                 expand(members, out_a, out_b)
         if out_a:
@@ -310,7 +320,7 @@ def _run_pairs_stream(batch_iter, max_bucket: int):
             )
     if carry is not None:
         out_a, out_b = [], []
-        expand(carry[2], out_a, out_b)
+        expand(carry[1], out_a, out_b)
         if out_a:
             yield pd.DataFrame({"id_a": out_a[0], "id_b": out_b[0]})
 
@@ -346,12 +356,10 @@ def minhash_lsh_candidates_fused(sigs: DataFrame, id_col: str = "doc_id",
         except (ValueError, TypeError):
             n_parts = spark.sparkContext.defaultParallelism
     id_type = dict(sigs.dtypes)[id_col]
-    banded = sigs.select(
-        F.col(id_col), F.posexplode("buckets").alias("band", "bucket")
-    )
-    shuffled = banded.repartition(n_parts, "band", "bucket").sortWithinPartitions(
-        "band", "bucket", id_col
-    ).select("band", "bucket", id_col)
+    banded = sigs.select(F.col(id_col), F.explode("buckets").alias("bucket"))
+    shuffled = banded.repartition(n_parts, "bucket").sortWithinPartitions(
+        "bucket", id_col
+    ).select("bucket", id_col)
 
     def gen(batches):
         yield from _run_pairs_stream(batches, max_bucket)
