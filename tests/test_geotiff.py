@@ -324,3 +324,40 @@ def test_read_bigtiff(tmp_path):
     layer = yg.read_raster(path)
     np.testing.assert_array_equal(layer.read_array(0, 0, 12, 4), data)
     assert layer.area.left == 10.0 and layer.area.top == 50.0
+
+
+def test_to_geotiff_streams_byte_identical(tmp_path, spark):
+    """The streaming sink (range-partitioned tiles -> toLocalIterator ->
+    TiffStreamWriter with patched offset arrays) produces byte-identical
+    output to a fully-buffered write of the same pixels.  600x520 spans a
+    3x3 file-tile grid assembled from 4-row engine strips, so the rolling
+    buffer shifts many times and never holds the raster."""
+    h, w = 600, 520
+    data = (RNG.integers(0, 1000, (h, w))).astype(np.int32)
+    src = yg.from_array(data, (10.0, 50.0), PROJ)
+    p_stream = str(tmp_path / "stream.tif")
+    yg.to_geotiff(src, p_stream, spark=spark)
+
+    p_buf = str(tmp_path / "buffered.tif")
+    G.write_geotiff(p_buf, data, _area(w, h))
+    with open(p_stream, "rb") as f1, open(p_buf, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    # An arithmetic expression streams too (engine promotion widens the
+    # dtype, so values rather than bytes are compared here).
+    p_expr = str(tmp_path / "expr.tif")
+    yg.to_geotiff(src + 1, p_expr, spark=spark)
+    got = yg.read_raster(p_expr).read_array(0, 0, w, h)
+    np.testing.assert_array_equal(got, (data + 1).astype(np.int64))
+
+
+def test_stream_writer_single_tile_inline_patch(tmp_path):
+    """A single-tile file keeps its offset/count arrays inline in the IFD
+    value slots — the patch must land there, not in an overflow region."""
+    data = RNG.integers(0, 9, (40, 30)).astype(np.uint8)
+    path = str(tmp_path / "one.tif")
+    wtr = G.TiffStreamWriter(path, 30, 40, data.dtype, _area(30, 40))
+    wtr.write_tile(data)
+    wtr.close()
+    got = yg.read_raster(path).read_array(0, 0, 30, 40)
+    np.testing.assert_array_equal(got, data)

@@ -90,17 +90,85 @@ def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
 def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None:
     """Materialise an expression/layer as a tiled deflate GeoTIFF file.
 
-    A single .tif is one file — an inherent gather point — so the result is
-    assembled on the driver (bounded by driver memory, like any tool that
-    writes one GeoTIFF); use ``save()`` (parquet raster table) for outputs
-    that must stay distributed."""
+    A single .tif is one file — an inherent gather point — but the gather is
+    STREAMED: result tiles are range-partitioned and sorted by (tile_y,
+    tile_x), the driver pulls one partition at a time via
+    ``toLocalIterator()``, assembles rolling strips, and appends file tiles
+    through ``TiffStreamWriter`` (offset arrays patched at close).  Driver
+    memory is O(raster_width x strip_height), never O(raster) — the same
+    bound as the reference's strip-by-strip GDAL writes
+    (``_operators/__init__.py:1092-1111``).  Use ``save()`` (parquet raster
+    table) for outputs that must stay distributed."""
+    import numpy as _np  # pylint: disable=C0415
+
+    from . import constants as _c  # pylint: disable=C0415
     from .operators import LayerOperation  # pylint: disable=C0415
-    from .sources.geotiff import write_geotiff  # pylint: disable=C0415
+    from .plans import executor  # pylint: disable=C0415
+    from .sources.geotiff import TiffStreamWriter  # pylint: disable=C0415
 
     root = tree if isinstance(tree, LayerOperation) else LayerOperation(tree)
     w = root.window
-    data = root.read_array(0, 0, w.xsize, w.ysize, spark=spark)
-    write_geotiff(path, data, root.area, nodata=nodata)
+    out_dtype = root.datatype.to_numpy()
+    file_tile = 256
+    writer = TiffStreamWriter(
+        path, w.xsize, w.ysize, out_dtype, root.area, nodata=nodata,
+        tile_size=file_tile,
+    )
+    spark_s = executor.get_spark(spark)
+    tiles = executor.tiles_dataframe(root, spark_s)
+    n_engine_rows = -(-w.ysize // _c.TILE_YSIZE)
+    # One range partition per engine tile row caps what toLocalIterator
+    # materialises on the driver at a single strip.
+    n_parts = max(1, min(n_engine_rows, 4096))
+    ordered = tiles.repartitionByRange(
+        n_parts, "tile_y", "tile_x"
+    ).sortWithinPartitions("tile_y", "tile_x")
+
+    # Rolling strip assembly: engine tiles (TILE_YSIZE tall, row-major order)
+    # fill a strip buffer; once the iterator advances past an engine tile
+    # row, every raster row above it is final, so complete file-tile rows
+    # are compressed, appended, and the buffer shifts down.
+    buf_rows = _c.TILE_YSIZE + file_tile
+    buf = _np.zeros((buf_rows, w.xsize), dtype=out_dtype)
+    buf_y0 = 0  # absolute raster row of buf[0]
+    emitted = 0  # absolute raster row up to which file tiles are written
+
+    def _flush(complete: int, final: bool = False) -> None:
+        """Emit file-tile rows fully below raster row ``complete`` (all of
+        them when ``final``), then slide the buffer.  Rows the engine never
+        emitted (sparse gaps) read as zeros."""
+        nonlocal buf_y0, emitted
+        while (emitted + file_tile <= complete) or (final and emitted < w.ysize):
+            h = min(file_tile, w.ysize - emitted)
+            strip = _np.zeros((h, w.xsize), dtype=out_dtype)
+            lo, hi = max(emitted, buf_y0), min(emitted + h, buf_y0 + buf_rows)
+            if lo < hi:
+                strip[lo - emitted : hi - emitted] = buf[lo - buf_y0 : hi - buf_y0]
+            for fx in range(writer.tiles_x):
+                writer.write_tile(strip[:, fx * file_tile : (fx + 1) * file_tile])
+            emitted += h
+        if emitted > buf_y0:
+            shift = emitted - buf_y0
+            if shift >= buf_rows:
+                buf[:] = 0
+            else:
+                buf[: buf_rows - shift] = buf[shift:]
+                buf[buf_rows - shift :] = 0
+            buf_y0 = emitted
+
+    cur_ty = None
+    for row in ordered.toLocalIterator():
+        if cur_ty is not None and row["tile_y"] != cur_ty:
+            _flush(row["tile_y"] * _c.TILE_YSIZE)
+        cur_ty = row["tile_y"]
+        tile = _np.frombuffer(row["payload"], dtype=out_dtype).reshape(
+            row["ysize"], row["xsize"]
+        )
+        y0 = row["tile_y"] * _c.TILE_YSIZE
+        x0 = row["tile_x"] * _c.TILE_XSIZE
+        buf[y0 - buf_y0 : y0 - buf_y0 + row["ysize"], x0 : x0 + row["xsize"]] = tile
+    _flush(w.ysize, final=True)
+    writer.close()
 
 
 def read_rasters(paths, name: str | None = None) -> GroupLayer:

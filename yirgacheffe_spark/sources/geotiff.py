@@ -382,93 +382,110 @@ def _epsg_of(projection: MapProjection) -> int | None:
     return None
 
 
-def write_geotiff(path: str, data: np.ndarray, area: Area,
-                  nodata: float | None = None, tile_size: int = 256) -> None:
-    """Write a 2-D numpy array as a tiled, deflate-compressed classic
-    GeoTIFF with ModelPixelScale/Tiepoint + GeoKey georeferencing."""
-    projection = area.projection
-    assert projection is not None
-    data = np.ascontiguousarray(data)
-    if data.dtype == np.bool_:
-        data = data.astype(np.uint8)
-    height, width = data.shape
-    s = tile_size
-    tiles_x, tiles_y = -(-width // s), -(-height // s)
-    fmt = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
-    bits = data.dtype.itemsize * 8
+def _pack_values(ftype, values):
+    if ftype == 2:
+        return bytes(values)
+    code, _ = _FIELD[ftype]
+    return struct.pack("<" + code * len(values), *values)
 
-    payloads = []
-    for ty in range(tiles_y):
-        for tx in range(tiles_x):
-            tile = np.zeros((s, s), dtype=data.dtype)
-            block = data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s]
-            tile[: block.shape[0], : block.shape[1]] = block
-            payloads.append(zlib.compress(tile.astype(data.dtype.newbyteorder("<")).tobytes(), 6))
 
-    epsg = _epsg_of(projection)
-    is_geo = projection.crs.is_geographic
-    geo_keys = [1, 1, 0, 2,
-                1024, 0, 1, 2 if is_geo else 1,  # GTModelType
-                1025, 0, 1, 1]  # RasterPixelIsArea
-    if epsg is not None:
-        geo_keys += [
-            (_GEOKEY_GEOGRAPHIC_TYPE if is_geo else _GEOKEY_PROJECTED_TYPE),
-            0, 1, epsg,
-        ]
-        geo_keys[3] += 1
-    scale = (abs(projection.xstep), abs(projection.ystep), 0.0)
-    tiepoint = (0.0, 0.0, 0.0, area.left, area.top, 0.0)
+class TiffStreamWriter:
+    """Streaming tiled-GeoTIFF writer: the header and IFD are written up
+    front with the tile offset/byte-count arrays reserved, compressed tile
+    payloads append in row-major order, and ``close()`` seeks back to patch
+    the two arrays — driver memory is O(one tile), and the finished file is
+    byte-identical to a fully-buffered write of the same pixels (same
+    layout, same deflate settings).
 
-    entries = []  # (tag, type, count, values)
-    entries.append((_T_WIDTH, 3, 1, [width]))
-    entries.append((_T_HEIGHT, 3, 1, [height]))
-    entries.append((_T_BITS, 3, 1, [bits]))
-    entries.append((_T_COMPRESSION, 3, 1, [8]))
-    entries.append((_T_PHOTOMETRIC, 3, 1, [1]))
-    entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [1]))
-    entries.append((_T_PLANAR, 3, 1, [1]))
-    entries.append((_T_TILE_WIDTH, 3, 1, [s]))
-    entries.append((_T_TILE_LENGTH, 3, 1, [s]))
-    entries.append((_T_TILE_OFFSETS, 4, len(payloads), None))  # patched below
-    entries.append((_T_TILE_COUNTS, 4, len(payloads), [len(b) for b in payloads]))
-    entries.append((_T_SAMPLE_FORMAT, 3, 1, [fmt]))
-    entries.append((_T_MODEL_PIXEL_SCALE, 12, 3, list(scale)))
-    entries.append((_T_MODEL_TIEPOINT, 12, 6, list(tiepoint)))
-    entries.append((_T_GEO_KEYS, 3, len(geo_keys), geo_keys))
-    if nodata is not None:
-        nod = (f"{nodata:.18g}" + "\0").encode("ascii")
-        entries.append((_T_GDAL_NODATA, 2, len(nod), nod))
-    entries.sort(key=lambda e: e[0])
+    The reference writes one GeoTIFF strip-by-strip with bounded memory
+    (``_operators/__init__.py:1092-1111``); this is the tiled-format
+    equivalent for the Spark sink."""
 
-    # Layout: header(8) + IFD + out-of-line tag data + tile payloads.
-    ifd_size = 2 + len(entries) * 12 + 4
-    pos = 8 + ifd_size
-    overflow = {}
-    for tag, ftype, count, values in entries:
-        code, size = _FIELD[ftype]
-        nbytes = size * count if ftype != 2 else count
-        if nbytes > 4:
-            overflow[tag] = pos
-            pos += nbytes + (nbytes & 1)
-    tile_offsets = []
-    for b in payloads:
-        tile_offsets.append(pos)
-        pos += len(b) + (len(b) & 1)
+    def __init__(self, path: str, width: int, height: int, dtype,
+                 area: Area, nodata: float | None = None,
+                 tile_size: int = 256) -> None:
+        projection = area.projection
+        assert projection is not None
+        dtype = np.dtype(dtype)
+        if dtype == np.bool_:
+            dtype = np.dtype(np.uint8)
+        self.dtype = dtype
+        self.tile_size = tile_size
+        s = tile_size
+        self.tiles_x, self.tiles_y = -(-width // s), -(-height // s)
+        n_tiles = self.tiles_x * self.tiles_y
+        fmt = {"u": 1, "i": 2, "f": 3}[dtype.kind]
+        bits = dtype.itemsize * 8
 
-    def pack_values(ftype, values):
-        if ftype == 2:
-            return bytes(values)
-        code, _ = _FIELD[ftype]
-        return struct.pack("<" + code * len(values), *values)
+        epsg = _epsg_of(projection)
+        is_geo = projection.crs.is_geographic
+        geo_keys = [1, 1, 0, 2,
+                    1024, 0, 1, 2 if is_geo else 1,  # GTModelType
+                    1025, 0, 1, 1]  # RasterPixelIsArea
+        if epsg is not None:
+            geo_keys += [
+                (_GEOKEY_GEOGRAPHIC_TYPE if is_geo else _GEOKEY_PROJECTED_TYPE),
+                0, 1, epsg,
+            ]
+            geo_keys[3] += 1
+        scale = (abs(projection.xstep), abs(projection.ystep), 0.0)
+        tiepoint = (0.0, 0.0, 0.0, area.left, area.top, 0.0)
 
-    with open(path + ".part", "wb") as f:
+        entries = []  # (tag, type, count, values); None values patch at close
+        entries.append((_T_WIDTH, 3, 1, [width]))
+        entries.append((_T_HEIGHT, 3, 1, [height]))
+        entries.append((_T_BITS, 3, 1, [bits]))
+        entries.append((_T_COMPRESSION, 3, 1, [8]))
+        entries.append((_T_PHOTOMETRIC, 3, 1, [1]))
+        entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [1]))
+        entries.append((_T_PLANAR, 3, 1, [1]))
+        entries.append((_T_TILE_WIDTH, 3, 1, [s]))
+        entries.append((_T_TILE_LENGTH, 3, 1, [s]))
+        entries.append((_T_TILE_OFFSETS, 4, n_tiles, None))
+        entries.append((_T_TILE_COUNTS, 4, n_tiles, None))
+        entries.append((_T_SAMPLE_FORMAT, 3, 1, [fmt]))
+        entries.append((_T_MODEL_PIXEL_SCALE, 12, 3, list(scale)))
+        entries.append((_T_MODEL_TIEPOINT, 12, 6, list(tiepoint)))
+        entries.append((_T_GEO_KEYS, 3, len(geo_keys), geo_keys))
+        if nodata is not None:
+            nod = (f"{nodata:.18g}" + "\0").encode("ascii")
+            entries.append((_T_GDAL_NODATA, 2, len(nod), nod))
+        entries.sort(key=lambda e: e[0])
+
+        # Layout: header(8) + IFD + out-of-line tag data + tile payloads.
+        ifd_size = 2 + len(entries) * 12 + 4
+        pos = 8 + ifd_size
+        overflow = {}
+        for tag, ftype, count, values in entries:
+            _, size = _FIELD[ftype]
+            nbytes = size * count if ftype != 2 else count
+            if nbytes > 4:
+                overflow[tag] = pos
+                pos += nbytes + (nbytes & 1)
+
+        self._path = path
+        self._n_tiles = n_tiles
+        self._offsets: list[int] = []
+        self._lengths: list[int] = []
+        # Where the offsets/counts arrays live for the close() patch: the
+        # overflow region, or (single-tile file) inline in the IFD entry's
+        # value slot.
+        self._patch_pos: dict[int, int] = {}
+        self._f = open(path + ".part", "wb")
+        f = self._f
         f.write(b"II" + struct.pack("<HI", 42, 8))
         f.write(struct.pack("<H", len(entries)))
         for tag, ftype, count, values in entries:
-            if tag == _T_TILE_OFFSETS:
-                values = tile_offsets
-            payload = pack_values(ftype, values)
             f.write(struct.pack("<HHI", tag, ftype, count))
+            if values is None:  # reserved array, patched at close
+                if tag in overflow:
+                    f.write(struct.pack("<I", overflow[tag]))
+                    self._patch_pos[tag] = overflow[tag]
+                else:
+                    self._patch_pos[tag] = f.tell()
+                    f.write(b"\0\0\0\0")
+                continue
+            payload = _pack_values(ftype, values)
             if len(payload) <= 4:
                 f.write(payload.ljust(4, b"\0"))
             else:
@@ -476,14 +493,58 @@ def write_geotiff(path: str, data: np.ndarray, area: Area,
         f.write(struct.pack("<I", 0))  # no next IFD
         for tag, ftype, count, values in entries:
             if tag in overflow:
-                if tag == _T_TILE_OFFSETS:
-                    values = tile_offsets
-                payload = pack_values(ftype, values)
+                if values is None:
+                    f.write(b"\0" * (4 * count))
+                    continue
+                payload = _pack_values(ftype, values)
                 f.write(payload)
                 if len(payload) & 1:
                     f.write(b"\0")
-        for b in payloads:
-            f.write(b)
-            if len(b) & 1:
-                f.write(b"\0")
-    os.replace(path + ".part", path)
+        assert f.tell() == pos
+
+    def write_tile(self, block: np.ndarray) -> None:
+        """Append the next tile (row-major order).  ``block`` may be smaller
+        than tile_size at the right/bottom edges; it is zero-padded."""
+        if len(self._offsets) >= self._n_tiles:
+            raise ValueError("more tiles written than the grid holds")
+        s = self.tile_size
+        tile = np.zeros((s, s), dtype=self.dtype)
+        tile[: block.shape[0], : block.shape[1]] = block
+        payload = zlib.compress(
+            tile.astype(self.dtype.newbyteorder("<")).tobytes(), 6
+        )
+        self._offsets.append(self._f.tell())
+        self._lengths.append(len(payload))
+        self._f.write(payload)
+        if len(payload) & 1:
+            self._f.write(b"\0")
+
+    def close(self) -> None:
+        if len(self._offsets) != self._n_tiles:
+            raise ValueError(
+                f"wrote {len(self._offsets)} tiles, grid holds {self._n_tiles}"
+            )
+        f = self._f
+        f.seek(self._patch_pos[_T_TILE_OFFSETS])
+        f.write(struct.pack("<" + "I" * self._n_tiles, *self._offsets))
+        f.seek(self._patch_pos[_T_TILE_COUNTS])
+        f.write(struct.pack("<" + "I" * self._n_tiles, *self._lengths))
+        f.close()
+        os.replace(self._path + ".part", self._path)
+
+
+def write_geotiff(path: str, data: np.ndarray, area: Area,
+                  nodata: float | None = None, tile_size: int = 256) -> None:
+    """Write a 2-D numpy array as a tiled, deflate-compressed classic
+    GeoTIFF with ModelPixelScale/Tiepoint + GeoKey georeferencing."""
+    data = np.ascontiguousarray(data)
+    if data.dtype == np.bool_:
+        data = data.astype(np.uint8)
+    height, width = data.shape
+    w = TiffStreamWriter(path, width, height, data.dtype, area,
+                         nodata=nodata, tile_size=tile_size)
+    s = tile_size
+    for ty in range(w.tiles_y):
+        for tx in range(w.tiles_x):
+            w.write_tile(data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s])
+    w.close()
