@@ -422,8 +422,27 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 # -- SimHash ------------------------------------------------------------------
 
+def _md5_word_hashes(words_flat: list[str]) -> np.ndarray:
+    """uint64 word hashes: the first 8 bytes of MD5, little-endian — exactly
+    DuckDB's ``md5_number_upper``, so the SimHash pipeline has an exact SQL
+    oracle (the pandas hash used elsewhere is library-internal and not
+    expressible there).  Hashing runs once per UNIQUE word per batch."""
+    import hashlib  # pylint: disable=C0415
+
+    codes, uniques = pd.factorize(pd.Series(words_flat, dtype=object))
+    hashed = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+            for w in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    return hashed[codes]
+
+
 def simhash_column(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word hashes."""
+    """(id, simhash: long) — 64-bit SimHash over MD5 word hashes."""
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -440,7 +459,7 @@ def simhash_column(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         total = int(lens.sum())
         if total == 0:
             return pd.Series(out)
-        wh = _hash64(list(chain.from_iterable(words)))
+        wh = _md5_word_hashes(list(chain.from_iterable(words)))
         shifts = np.arange(64, dtype=np.uint64)
         signs = (
             2 * ((wh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) - 1
