@@ -409,3 +409,47 @@ def test_pip_empty_polygon_list_returns_empty(spark):
     out = joins.point_in_polygon_join(spark, pg, [], res=7)
     assert out.count() == 0
     assert dict(out.dtypes)["poly_id"] == "bigint"
+
+
+def test_zonal_stats_distributed_matches_broadcast_at_10k_polygons(spark):
+    """broadcast=False (distributed cover + cogrouped burn) is bit-identical
+    to the broadcast path across 10^4 polygons — the huge-zonal-table path
+    where nothing polygon-sized touches the driver."""
+    import pandas as pd
+
+    import yirgacheffe_spark as yg
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 100, (64, 64)).astype(np.float64)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.from_array(data, (0.0, 0.0), proj)
+
+    # 10^4 small polygons scattered over (and slightly past) the raster.
+    # Every edge sits at pixel-fraction 0.31 — strictly OFF pixel
+    # boundaries, the documented ALL_TOUCHED stability requirement (an
+    # on-boundary edge is assigned by float tie-break, which legitimately
+    # differs between per-tile window origins).
+    n = 10_000
+    x0 = (rng.integers(-2, 66, n) + 0.31) * 0.01
+    y0 = -(rng.integers(-2, 66, n) + 0.31) * 0.01
+    w = rng.integers(1, 8, n) * 0.01
+    h = rng.integers(1, 8, n) * 0.01
+    wkts = [
+        f"POLYGON (({x0[i]} {y0[i]}, {x0[i]+w[i]} {y0[i]}, "
+        f"{x0[i]+w[i]} {y0[i]-h[i]}, {x0[i]} {y0[i]-h[i]}, {x0[i]} {y0[i]}))"
+        for i in range(n)
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": np.arange(n, dtype=np.int64), "geom_wkt": wkts})
+    )
+
+    dist = {
+        r["poly_id"]: (r["zsum"], r["n_pixels"], r["zmin"], r["zmax"], r["zmean"])
+        for r in yg.zonal_stats(layer, polys, spark=spark, broadcast=False).collect()
+    }
+    bcast = {
+        r["poly_id"]: (r["zsum"], r["n_pixels"], r["zmin"], r["zmax"], r["zmean"])
+        for r in yg.zonal_stats(layer, polys, spark=spark).collect()
+    }
+    assert dist == bcast
+    assert len(dist) > 9000  # nearly every polygon overlaps some pixel

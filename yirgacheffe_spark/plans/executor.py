@@ -932,8 +932,121 @@ def zonal_sum(tree, polygons, spark: SparkSession | None = None,
                        ).select("poly_id", "zsum")
 
 
+def _zonal_fold(partials: DataFrame) -> DataFrame:
+    """Combine per-(polygon, tile) partials with the engine's deterministic
+    ordered fold (array_sort on (ty, tx)), bit-stable under partitioning."""
+    out = partials.groupBy("poly_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ty", "tx", "partial"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["partial"],
+        ).alias("zsum"),
+        F.sum("pcount").alias("n_pixels"),
+        F.min("pmin").alias("zmin"),
+        F.max("pmax").alias("zmax"),
+    )
+    return out.withColumn("zmean", F.col("zsum") / F.col("n_pixels"))
+
+
+def _zonal_stats_distributed(tree, polygons: DataFrame,
+                             spark: SparkSession | None,
+                             all_touched: bool) -> DataFrame:
+    """Huge-polygon-table zonal statistics: nothing polygon-sized ever
+    touches the driver.
+
+    Plan: polygon bboxes are computed DISTRIBUTED (one Arrow pass parsing
+    WKT) and exploded to conservative (tile_y, tile_x, poly_id, geom_wkt)
+    cover rows; the raster's result tiles and the cover are COGROUPED on
+    the tile key (each side shuffles once — the raster payload shuffle is
+    the unavoidable cost of a non-broadcastable polygon side), and each
+    group burns its covering polygons into tile-local masks emitting the
+    same partials as the broadcast path; the final combine is the shared
+    deterministic ordered fold, so both paths are bit-identical."""
+    import pandas as pd  # pylint: disable=C0415
+
+    from ..sources.vector import parse_wkt_polygon, rasterize_rings  # pylint: disable=C0415
+
+    spark = get_spark(spark)
+    root = _as_root(tree)
+    payload = _plan_payload(root)
+    area, proj = payload["area"], payload["projection"]
+    ty_size, tx_size = payload["ty_size"], payload["tx_size"]
+    out_dtype = payload["out_dtype"]
+    xstep, ystep = proj.xstep, proj.ystep
+    window = root.window
+    n_ty, n_tx = -(-window.ysize // ty_size), -(-window.xsize // tx_size)
+    left0, top0 = area.left, area.top
+
+    def cover_gen(batches):
+        for pdf in batches:
+            rows = {"tile_y": [], "tile_x": [], "poly_id": [], "geom_wkt": []}
+            for pid, wkt in zip(pdf["poly_id"], pdf["geom_wkt"]):
+                pts = np.vstack(parse_wkt_polygon(wkt))
+                bx0, by0 = pts[:, 0].min(), pts[:, 1].min()
+                bx1, by1 = pts[:, 0].max(), pts[:, 1].max()
+                # Conservative pixel range (1px margin covers ALL_TOUCHED
+                # edge pixels; empty burns are skipped later).
+                c0 = int(np.floor((bx0 - left0) / xstep)) - 1
+                c1 = int(np.floor((bx1 - left0) / xstep)) + 1
+                r0 = int(np.floor((by1 - top0) / ystep)) - 1
+                r1 = int(np.floor((by0 - top0) / ystep)) + 1
+                tx0, tx1 = max(0, c0 // tx_size), min(n_tx - 1, c1 // tx_size)
+                ty0, ty1 = max(0, r0 // ty_size), min(n_ty - 1, r1 // ty_size)
+                if tx1 < tx0 or ty1 < ty0:
+                    continue
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        rows["tile_y"].append(ty)
+                        rows["tile_x"].append(tx)
+                        rows["poly_id"].append(int(pid))
+                        rows["geom_wkt"].append(wkt)
+            yield pd.DataFrame(rows)
+
+    cover = polygons.select("poly_id", "geom_wkt").mapInPandas(
+        cover_gen, schema="tile_y int, tile_x int, poly_id long, geom_wkt string"
+    )
+    tiles = tiles_dataframe(root, spark).select(
+        "tile_y", "tile_x", "ysize", "xsize", "payload"
+    )
+
+    def burn(tiles_pdf: pd.DataFrame, cover_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["poly_id", "ty", "tx", "partial", "pcount", "pmin", "pmax"]
+        if not len(tiles_pdf) or not len(cover_pdf):
+            return pd.DataFrame({c: [] for c in cols})
+        out_rows = []
+        for _, trow in tiles_pdf.iterrows():
+            ty, tx = int(trow["tile_y"]), int(trow["tile_x"])
+            h, w = int(trow["ysize"]), int(trow["xsize"])
+            result = np.frombuffer(trow["payload"], dtype=out_dtype).reshape(h, w)
+            tleft = left0 + (tx * tx_size) * xstep
+            ttop = top0 + (ty * ty_size) * ystep
+            mask = np.zeros((h, w), dtype=np.float64)
+            for pid, wkt in zip(cover_pdf["poly_id"], cover_pdf["geom_wkt"]):
+                mask[:] = 0.0
+                rasterize_rings(parse_wkt_polygon(wkt), 1.0, mask, tleft, ttop,
+                                xstep, ystep, all_touched=all_touched)
+                sel = mask > 0
+                n = int(np.count_nonzero(sel))
+                if n == 0:
+                    continue
+                vals = result[sel]
+                out_rows.append((
+                    int(pid), ty, tx,
+                    float(np.sum(vals, dtype=np.float64)), n,
+                    float(vals.min()), float(vals.max()),
+                ))
+        return pd.DataFrame(out_rows, columns=cols)
+
+    partials = (
+        tiles.groupBy("tile_y", "tile_x")
+        .cogroup(cover.groupBy("tile_y", "tile_x"))
+        .applyInPandas(burn, schema=ZONAL_SCHEMA)
+    )
+    return _zonal_fold(partials)
+
+
 def zonal_stats(tree, polygons, spark: SparkSession | None = None,
-                all_touched: bool = True) -> DataFrame:
+                all_touched: bool = True, broadcast: bool = True) -> DataFrame:
     """Per-polygon statistics of the expression in ONE distributed pass:
     ``(poly_id, zsum, n_pixels, zmin, zmax, zmean)`` — the Spark-first
     reformulation of the reference's per-species loop
@@ -947,6 +1060,13 @@ def zonal_stats(tree, polygons, spark: SparkSession | None = None,
     engine's deterministic ordered fold per polygon (array_sort on (ty, tx)
     structs), so results are bit-stable under any partitioning.
 
+    The default path holds the parsed polygon set on the driver and in
+    every executor — right for dim-sized zonal tables (species ranges,
+    admin regions; up to ~10^5 small polygons).  For polygon tables beyond
+    broadcast size, pass a DataFrame with ``broadcast=False``: covers are
+    generated distributed and cogrouped with the result tiles, nothing
+    polygon-sized touches the driver, and the output is bit-identical.
+
     Measured (bench raster ~29M px, 10 polygons, local[32]): 0.82s vs the
     loop's 8.55s — 10.4x, growing linearly with polygon count.  Results are
     bit-identical to the loop; note ALL_TOUCHED edge pixels are only stable
@@ -958,6 +1078,10 @@ def zonal_stats(tree, polygons, spark: SparkSession | None = None,
 
     spark = get_spark(spark)
     if isinstance(polygons, DataFrame):
+        if not broadcast:
+            # Huge polygon tables: distributed cover + cogroup, nothing
+            # polygon-sized on the driver (see _zonal_stats_distributed).
+            return _zonal_stats_distributed(tree, polygons, spark, all_touched)
         polygons = [
             {"poly_id": r["poly_id"], "geom_wkt": r["geom_wkt"]}
             for r in polygons.select("poly_id", "geom_wkt").collect()
@@ -1019,17 +1143,7 @@ def zonal_stats(tree, polygons, spark: SparkSession | None = None,
             )
 
     partials = df.mapInArrow(compute, schema=ZONAL_SCHEMA)
-    out = partials.groupBy("poly_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("ty", "tx", "partial"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["partial"],
-        ).alias("zsum"),
-        F.sum("pcount").alias("n_pixels"),
-        F.min("pmin").alias("zmin"),
-        F.max("pmax").alias("zmax"),
-    )
-    return out.withColumn("zmean", F.col("zsum") / F.col("n_pixels"))
+    return _zonal_fold(partials)
 
 
 def aggregate(tree, stat: str, spark: SparkSession | None = None) -> float:
