@@ -540,3 +540,162 @@ class TestUTM:
                                  "average")
         with pytest.raises(NotImplementedError, match="separable"):
             rl.read_window(0, 0, 4, 4, yg.Window(0, 0, 4, 4))
+
+
+class TestNationalGridsAndPolar:
+    """Round-trip + anchor + scale invariants for the widened CRS registry:
+    OSGB (epsg:27700, Airy 1830 + single-Helmert OSGB36), Lambert-93
+    (epsg:2154, LCC 2SP on GRS80), polar stereographic (epsg:3413/3031),
+    ETRS89 UTM (epsg:258xx), and ellipsoidal Mercator (epsg:3395)."""
+
+    def _crs(self, code):
+        import yirgacheffe_spark as yg
+
+        return yg.MapProjection(code, 1.0, -1.0).crs
+
+    def test_false_origin_anchors(self):
+        from yirgacheffe_spark import reprojection as R
+
+        # Grid coordinates of (lat0, lon0) must be the false origin exactly.
+        tm = R._projection_for(self._crs("epsg:27700"))
+        # 27700's origin is in OSGB36 datum terms: bypass the datum shift.
+        tm_nohelm = R._TM(R._ELL_AIRY1830, -2.0, 49.0, 0.9996012717,
+                          400_000.0, -100_000.0)
+        e, n = tm_nohelm.forward(np.array([-2.0]), np.array([49.0]))
+        assert abs(e[0] - 400_000.0) < 1e-6 and abs(n[0] + 100_000.0) < 1e-6
+
+        lcc = R._projection_for(self._crs("epsg:2154"))
+        e, n = lcc.forward(np.array([3.0]), np.array([46.5]))
+        assert abs(e[0] - 700_000.0) < 1e-6 and abs(n[0] - 6_600_000.0) < 1e-6
+
+        ps = R._projection_for(self._crs("epsg:3413"))
+        e, n = ps.forward(np.array([-45.0]), np.array([90.0]))
+        assert abs(e[0]) < 1e-6 and abs(n[0]) < 1e-6
+
+    def test_os_worked_example(self):
+        """Ordnance Survey's published TM worked example ('A guide to
+        coordinate systems in Great Britain'): OSGB36 geodetic
+        52d39'27.2531\"N 1d43'4.5177\"E -> E 651409.903 N 313177.270."""
+        from yirgacheffe_spark import reprojection as R
+
+        tm = R._TM(R._ELL_AIRY1830, -2.0, 49.0, 0.9996012717,
+                   400_000.0, -100_000.0)
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lng = 1 + 43 / 60 + 4.5177 / 3600
+        e, n = tm.forward(np.array([lng]), np.array([lat]))
+        assert abs(e[0] - 651409.903) < 2e-3, e
+        assert abs(n[0] - 313177.270) < 2e-3, n
+
+    def test_round_trips(self):
+        from yirgacheffe_spark.reprojection import transform_points
+
+        rng = np.random.default_rng(5)
+        cases = {
+            "epsg:27700": (rng.uniform(-6, 1.5, 50), rng.uniform(50, 58, 50)),
+            "epsg:2154": (rng.uniform(-4, 8, 50), rng.uniform(42, 51, 50)),
+            "epsg:3413": (rng.uniform(-180, 180, 50), rng.uniform(60, 89, 50)),
+            "epsg:3031": (rng.uniform(-180, 180, 50), rng.uniform(-89, -60, 50)),
+            "epsg:25832": (rng.uniform(6, 12, 50), rng.uniform(40, 60, 50)),
+            "epsg:3395": (rng.uniform(-179, 179, 50), rng.uniform(-80, 80, 50)),
+        }
+        import yirgacheffe_spark as yg
+
+        wgs = yg.MapProjection("epsg:4326", 1.0, -1.0).crs
+        for code, (lng, lat) in cases.items():
+            crs = yg.MapProjection(code, 1.0, -1.0).crs
+            x, y = transform_points(wgs, crs, lng, lat)
+            lng2, lat2 = transform_points(crs, wgs, x, y)
+            # Datum-shifted CRSs (27700) round-trip to ~1 mm, not exactly:
+            # the 2-D Helmert convention drops ellipsoidal height on each
+            # leg (PROJ behaves identically); everything else is sub-nm.
+            tol = 5e-8 if code == "epsg:27700" else 1e-9
+            np.testing.assert_allclose(lng2, lng, atol=tol, err_msg=code)
+            np.testing.assert_allclose(lat2, lat, atol=tol, err_msg=code)
+
+    def test_scale_at_standard_parallels(self):
+        """Conformal projections have unit scale on their standard
+        parallels (k0 on a TM central meridian): measured numerically
+        against the ellipsoid's meridian arc."""
+        from yirgacheffe_spark import reprojection as R
+
+        def meridian_scale(proj, ell, lng, lat):
+            d = 1e-5
+            x1, y1 = proj.forward(np.array([lng]), np.array([lat - d / 2]))
+            x2, y2 = proj.forward(np.array([lng]), np.array([lat + d / 2]))
+            grid = float(np.hypot(x2 - x1, y2 - y1)[0])
+            s = math.sin(math.radians(lat))
+            m_rad = ell.a * (1 - ell.e2) / (1 - ell.e2 * s * s) ** 1.5
+            return grid / (m_rad * math.radians(d))
+
+        import math
+
+        lcc = R._projection_for(self._crs("epsg:2154"))
+        for sp in (44.0, 49.0):
+            assert abs(meridian_scale(lcc, R._ELL_GRS80, 3.0, sp) - 1.0) < 1e-7
+
+        ps = R._projection_for(self._crs("epsg:3413"))
+        assert abs(meridian_scale(ps, R._ELL_WGS84, -45.0, 70.0) - 1.0) < 1e-7
+        ps_s = R._projection_for(self._crs("epsg:3031"))
+        assert abs(meridian_scale(ps_s, R._ELL_WGS84, 0.0, -71.0) - 1.0) < 1e-7
+
+        tm = R._TM(R._ELL_AIRY1830, -2.0, 49.0, 0.9996012717, 400_000.0,
+                   -100_000.0)
+        assert abs(meridian_scale(tm, R._ELL_AIRY1830, -2.0, 52.0)
+                   - 0.9996012717) < 1e-7
+
+    def test_helmert_exact_inverse_and_magnitude(self):
+        from yirgacheffe_spark import reprojection as R
+
+        lng = np.array([-0.1278]); lat = np.array([51.5074])
+        l2, p2 = R._datum_wgs84_to_local(R._ELL_AIRY1830, R._HELMERT_OSGB36, lng, lat)
+        l3, p3 = R._datum_local_to_wgs84(R._ELL_AIRY1830, R._HELMERT_OSGB36, l2, p2)
+        # ~1 mm asymmetry from the 2-D convention (height dropped per leg);
+        # the XYZ-level Helmert inverse itself is exact (checked below).
+        np.testing.assert_allclose(l3, lng, atol=1e-7)
+        np.testing.assert_allclose(p3, lat, atol=1e-7)
+        xyz = R._geodetic_to_geocentric(R._ELL_WGS84, lng, lat)
+        np.testing.assert_allclose(
+            R._HELMERT_OSGB36.inverse(R._HELMERT_OSGB36.apply(xyz)), xyz,
+            atol=1e-9)
+        # The OSGB36<->WGS84 shift is ~100+ m over Britain — the datum shift
+        # must actually move the point (guards against a silent no-op).
+        moved = (abs(float((l2 - lng)[0])) * 111_000 * 0.62
+                 + abs(float((p2 - lat)[0])) * 111_000)
+        assert 20 < moved < 400
+
+    def test_separability(self):
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark.reprojection import separable_pair
+
+        wgs = yg.MapProjection("epsg:4326", 1.0, -1.0).crs
+        assert separable_pair(wgs, yg.MapProjection("epsg:3395", 1.0, -1.0).crs)
+        assert not separable_pair(wgs, yg.MapProjection("epsg:27700", 1.0, -1.0).crs)
+        assert not separable_pair(wgs, yg.MapProjection("epsg:3413", 1.0, -1.0).crs)
+
+    def test_engine_reproject_from_27700(self, spark):
+        """A raster stored on the British grid reprojects to lat/lng through
+        the engine's non-separable 2-D gather and agrees with a direct
+        numpy gather through the same transform."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark.reprojection import transform_points
+
+        rng = np.random.default_rng(8)
+        data = rng.integers(0, 100, (40, 40)).astype(np.int32)
+        bng = yg.MapProjection("epsg:27700", 1000.0, -1000.0)
+        src = yg.from_array(data, (400000.0, 200000.0), bng)
+        tgt = yg.MapProjection("epsg:4326", 0.005, -0.005)
+        rl = yg.ReprojectedLayer(src, tgt, "nearest")
+        w = rl.window
+        got = rl.read_array(0, 0, w.xsize, w.ysize)
+        # independent gather
+        area = rl.area
+        tx = area.left + (np.arange(w.xsize) + 0.5) * 0.005
+        ty = area.top - (np.arange(w.ysize) + 0.5) * 0.005
+        gx, gy = np.meshgrid(tx, ty)
+        sx, sy = transform_points(tgt.crs, bng.crs, gx.ravel(), gy.ravel())
+        cols = np.floor((sx - 400000.0) / 1000.0).astype(int).reshape(gy.shape)
+        rows = np.floor((sy - 200000.0) / -1000.0).astype(int).reshape(gy.shape)
+        valid = (cols >= 0) & (cols < 40) & (rows >= 0) & (rows < 40)
+        want = np.zeros_like(got)
+        want[valid] = data[rows[valid], cols[valid]]
+        np.testing.assert_array_equal(got, want)

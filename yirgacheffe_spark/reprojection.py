@@ -46,24 +46,111 @@ def mercator_to_lnglat(x, y):
     return lng, lat
 
 
-# -- Transverse Mercator (UTM zones) ----------------------------------------
+# -- Ellipsoids and datum shifts ---------------------------------------------
+#
+# All constants are the published EPSG/geodesy values; datum shifts are the
+# standard 7-parameter position-vector Helmert transforms.  A single-Helmert
+# OSGB36 shift is the published approximation (±~3 m vs the OSTN15 grid GDAL
+# ships) — documented, deterministic, and exactly invertible here because the
+# inverse solves the same linear map rather than negating the parameters.
+
+
+class _Ellipsoid:
+    def __init__(self, a: float, inv_f: float):
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.b = a * (1.0 - self.f)
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = math.sqrt(self.e2)
+
+
+_ELL_WGS84 = _Ellipsoid(6378137.0, 298.257223563)
+_ELL_GRS80 = _Ellipsoid(6378137.0, 298.257222101)
+_ELL_AIRY1830 = _Ellipsoid(6377563.396, 299.3249646)
+
+
+class _Helmert:
+    """Position-vector 7-parameter transform FROM WGS84 TO the local datum
+    (tx/ty/tz metres, rx/ry/rz arc-seconds, scale ppm).  ``inverse`` solves
+    the exact linear map, so round trips are exact."""
+
+    def __init__(self, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
+        arc = math.pi / (180.0 * 3600.0)
+        rx, ry, rz = rx_as * arc, ry_as * arc, rz_as * arc
+        self.t = np.array([tx, ty, tz], dtype=np.float64)
+        self.m = (1.0 + s_ppm * 1e-6) * np.array(
+            [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+        )
+        self.m_inv = np.linalg.inv(self.m)
+
+    def apply(self, xyz: np.ndarray) -> np.ndarray:
+        return self.m @ xyz + self.t[:, None]
+
+    def inverse(self, xyz: np.ndarray) -> np.ndarray:
+        return self.m_inv @ (xyz - self.t[:, None])
+
+
+# WGS84 -> OSGB36 (the published single-Helmert approximation).
+_HELMERT_OSGB36 = _Helmert(-446.448, 125.157, -542.060,
+                           -0.1502, -0.2470, -0.8421, 20.4894)
+
+
+def _geodetic_to_geocentric(ell: _Ellipsoid, lng, lat):
+    phi, lam = np.radians(lat), np.radians(lng)
+    s, c = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    return np.stack([nu * c * np.cos(lam), nu * c * np.sin(lam),
+                     nu * (1.0 - ell.e2) * s])
+
+
+def _geocentric_to_geodetic(ell: _Ellipsoid, xyz: np.ndarray):
+    x, y, z = xyz
+    lam = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1.0 - ell.e2))  # first guess
+    for _ in range(10):  # linear convergence (factor ~ e2): 10 -> sub-nm
+        s = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+        phi = np.arctan2(z + ell.e2 * nu * s, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _datum_wgs84_to_local(ell: _Ellipsoid, helmert: "_Helmert | None", lng, lat):
+    if helmert is None:
+        return lng, lat
+    xyz = _geodetic_to_geocentric(_ELL_WGS84, lng, lat)
+    return _geocentric_to_geodetic(ell, helmert.apply(xyz))
+
+
+def _datum_local_to_wgs84(ell: _Ellipsoid, helmert: "_Helmert | None", lng, lat):
+    if helmert is None:
+        return lng, lat
+    xyz = _geodetic_to_geocentric(ell, lng, lat)
+    return _geocentric_to_geodetic(_ELL_WGS84, helmert.inverse(xyz))
+
+
+# -- Transverse Mercator ------------------------------------------------------
 #
 # Krueger series, 4th order in the third flattening n — the standard public
 # formulas (Karney 2011, "Transverse Mercator with an accuracy of a few
 # nanometers"; the coefficients below are the widely published 4th-order
-# truncation, sub-mm over a UTM zone).  Covers epsg:32601-32660 (north) and
-# epsg:32701-32760 (south).
+# truncation, sub-mm over a zone's width).  Parameterised by ellipsoid and
+# false origin, so one implementation covers UTM (epsg:326xx/327xx), the
+# ETRS89 zones (epsg:258xx), and national TM grids like OSGB (epsg:27700).
 
 _UTM_K0 = 0.9996
 _UTM_E0 = 500_000.0
 _UTM_N0_SOUTH = 10_000_000.0
 
+_TM_SERIES_CACHE: dict = {}
 
-def _utm_constants():
-    a, b = WGS84_A_B
-    f = (a - b) / a
-    n = f / (2 - f)
-    big_a = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+
+def _tm_series(ell: _Ellipsoid):
+    key = (ell.a, ell.f)
+    if key in _TM_SERIES_CACHE:
+        return _TM_SERIES_CACHE[key]
+    n = ell.f / (2 - ell.f)
+    big_a = ell.a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
     alpha = (
         n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
         13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
@@ -83,10 +170,239 @@ def _utm_constants():
         4279 * n**4 / 630,
     )
     c = 2 * math.sqrt(n) / (1 + n)
-    return big_a, alpha, beta, delta, c
+    out = (big_a, alpha, beta, delta, c)
+    _TM_SERIES_CACHE[key] = out
+    return out
 
 
-_UTM_A, _UTM_ALPHA, _UTM_BETA, _UTM_DELTA, _UTM_C = _utm_constants()
+class _TM:
+    """Transverse Mercator on any ellipsoid with a false origin at
+    (lat0, lon0) and optional datum shift from WGS84."""
+
+    separable = False
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, lat0: float, k0: float,
+                 e0: float, n0: float, helmert: "_Helmert | None" = None):
+        self.ell, self.lon0, self.k0 = ell, lon0, k0
+        self.e0, self.helmert = e0, helmert
+        big_a, alpha, _, _, c = _tm_series(ell)
+        # Northing of lat0 on the central meridian (lam = 0): subtracting it
+        # anchors the grid's false origin.
+        if lat0 != 0.0:
+            # Meridian arc of lat0 via the same series at lam = 0 (eta = 0).
+            s0 = math.sin(math.radians(lat0))
+            t0 = math.sinh(math.atanh(s0) - c * math.atanh(c * s0))
+            xi0 = math.atan2(t0, 1.0)
+            xi = xi0
+            for j, aj in enumerate(alpha, start=1):
+                xi += aj * math.sin(2 * j * xi0)
+            self.n0 = n0 - k0 * big_a * xi
+        else:
+            self.n0 = n0
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        lng, lat = _datum_wgs84_to_local(self.ell, self.helmert, lng, lat)
+        big_a, alpha, _, _, c = _tm_series(self.ell)
+        lam = np.radians((lng - self.lon0 + 180.0) % 360.0 - 180.0)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - c * np.arctanh(c * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
+        xi, eta = xi_p.copy(), eta_p.copy()
+        for j, aj in enumerate(alpha, start=1):
+            xi += aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return self.e0 + self.k0 * big_a * eta, self.n0 + self.k0 * big_a * xi
+
+    def inverse(self, easting, northing):
+        easting = np.asarray(easting, dtype=np.float64)
+        northing = np.asarray(northing, dtype=np.float64)
+        big_a, _, beta, delta, _ = _tm_series(self.ell)
+        xi = (northing - self.n0) / (self.k0 * big_a)
+        eta = (easting - self.e0) / (self.k0 * big_a)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, bj in enumerate(beta, start=1):
+            xi_p -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for j, dj in enumerate(delta, start=1):
+            phi += dj * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        lng, lat = self.lon0 + np.degrees(lam), np.degrees(phi)
+        return _datum_local_to_wgs84(self.ell, self.helmert, lng, lat)
+
+
+# -- Polar stereographic (Snyder 1987, ellipsoidal, variant B) ---------------
+
+
+class _PolarStereo:
+    separable = False
+
+    def __init__(self, ell: _Ellipsoid, lat_ts: float, lon0: float,
+                 south: bool, e0: float = 0.0, n0: float = 0.0):
+        self.ell, self.lon0, self.south = ell, lon0, south
+        self.e0, self.n0 = e0, n0
+        e = ell.e
+        phi_f = math.radians(abs(lat_ts))
+        sf = math.sin(phi_f)
+        self._m_f = math.cos(phi_f) / math.sqrt(1 - ell.e2 * sf * sf)
+        self._t_f = math.tan(math.pi / 4 - phi_f / 2) / (
+            (1 - e * sf) / (1 + e * sf)
+        ) ** (e / 2)
+
+    def _t_of(self, phi):
+        e = self.ell.e
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        if self.south:
+            lng, lat = -lng, -lat
+            lon0 = -self.lon0
+        else:
+            lon0 = self.lon0
+        phi = np.radians(lat)
+        rho = self.ell.a * self._m_f * self._t_of(phi) / self._t_f
+        dlam = np.radians((lng - lon0 + 180.0) % 360.0 - 180.0)
+        x = rho * np.sin(dlam)
+        y = -rho * np.cos(dlam)
+        if self.south:
+            x, y = -x, -y
+        return self.e0 + x, self.n0 + y
+
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, dtype=np.float64) - self.e0
+        y = np.asarray(northing, dtype=np.float64) - self.n0
+        if self.south:
+            x, y = -x, -y
+        rho = np.hypot(x, y)
+        t = rho * self._t_f / (self.ell.a * self._m_f)
+        chi = np.pi / 2 - 2 * np.arctan(t)
+        e2 = self.ell.e2
+        # Standard chi -> phi series (Snyder 3-5).
+        phi = (
+            chi
+            + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360) * np.sin(2 * chi)
+            + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520) * np.sin(4 * chi)
+            + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+            + (4279 * e2**4 / 161280) * np.sin(8 * chi)
+        )
+        dlam = np.arctan2(x, -y)
+        lng = self.lon0 + np.degrees(dlam)
+        lat = np.degrees(phi)
+        if self.south:
+            lng, lat = self.lon0 - np.degrees(dlam), -lat
+        return (lng + 180.0) % 360.0 - 180.0, lat
+
+
+# -- Lambert Conformal Conic, 2 standard parallels (Snyder 1987) -------------
+
+
+class _LCC2SP:
+    separable = False
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 sp1: float, sp2: float, e0: float, n0: float,
+                 helmert: "_Helmert | None" = None):
+        self.ell, self.lon0 = ell, lon0
+        self.e0, self.n0, self.helmert = e0, n0, helmert
+        e, e2 = ell.e, ell.e2
+
+        def m_of(phi):
+            s = math.sin(phi)
+            return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+        def t_of(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+
+        p1, p2, p0 = (math.radians(v) for v in (sp1, sp2, lat0))
+        self.n = (math.log(m_of(p1)) - math.log(m_of(p2))) / (
+            math.log(t_of(p1)) - math.log(t_of(p2))
+        )
+        self.f_cone = m_of(p1) / (self.n * t_of(p1) ** self.n)
+        self.rho0 = ell.a * self.f_cone * t_of(p0) ** self.n
+
+    def _t_of(self, phi):
+        e = self.ell.e
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        lng, lat = _datum_wgs84_to_local(self.ell, self.helmert, lng, lat)
+        phi = np.radians(lat)
+        rho = self.ell.a * self.f_cone * self._t_of(phi) ** self.n
+        theta = self.n * np.radians((lng - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.e0 + rho * np.sin(theta)
+        y = self.n0 + self.rho0 - rho * np.cos(theta)
+        return x, y
+
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, dtype=np.float64) - self.e0
+        yy = self.rho0 - (np.asarray(northing, dtype=np.float64) - self.n0)
+        rho = np.sign(self.n) * np.hypot(x, yy)
+        theta = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * yy)
+        t = (rho / (self.ell.a * self.f_cone)) ** (1.0 / self.n)
+        chi = np.pi / 2 - 2 * np.arctan(t)
+        e2 = self.ell.e2
+        phi = (
+            chi
+            + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360) * np.sin(2 * chi)
+            + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520) * np.sin(4 * chi)
+            + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+            + (4279 * e2**4 / 161280) * np.sin(8 * chi)
+        )
+        lng = self.lon0 + np.degrees(theta / self.n)
+        lat = np.degrees(phi)
+        return _datum_local_to_wgs84(self.ell, self.helmert, lng, lat)
+
+
+# -- Ellipsoidal Mercator (epsg:3395 World Mercator) -------------------------
+
+
+class _EllipsoidalMercator:
+    separable = True  # x depends only on lng, y only on lat
+
+    def __init__(self, ell: _Ellipsoid):
+        self.ell = ell
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.clip(np.asarray(lat, dtype=np.float64), -89.9, 89.9)
+        e = self.ell.e
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        x = self.ell.a * np.radians(lng)
+        y = self.ell.a * (
+            np.arctanh(s) - e * np.arctanh(e * s)
+        )
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lng = np.degrees(x / self.ell.a)
+        e = self.ell.e
+        psi = y / self.ell.a
+        # Invert the isometric latitude by Newton iteration (quadratic
+        # convergence; 6 iterations reach double-precision roundoff).
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(6):
+            s = np.sin(phi)
+            f = np.arctanh(s) - e * np.arctanh(e * s) - psi
+            df = (1.0 / (1.0 - s * s) - e * e / (1.0 - e * e * s * s)) * np.cos(phi)
+            phi = phi - f / df
+        return lng, np.degrees(phi)
 
 
 def utm_zone_lon0(zone: int) -> float:
@@ -95,7 +411,7 @@ def utm_zone_lon0(zone: int) -> float:
 
 def _parse_utm(crs: "CRS") -> tuple[int, bool] | None:
     code = crs.code
-    if not code.startswith("epsg:32"):
+    if not (code.startswith("epsg:32") or code.startswith("epsg:258")):
         return None
     try:
         num = int(code.split(":", 1)[1])
@@ -108,41 +424,57 @@ def _parse_utm(crs: "CRS") -> tuple[int, bool] | None:
     return None
 
 
+# The projected-CRS registry.  Entries are constructed lazily (cached) so an
+# import never pays for projections it does not use.
+_PROJ_CACHE: dict = {}
+
+
+def _projection_for(crs: "CRS"):
+    code = crs.code
+    if code in _PROJ_CACHE:
+        return _PROJ_CACHE[code]
+    proj = None
+    utm = _parse_utm(crs)
+    if utm is not None:
+        zone, south = utm
+        proj = _TM(_ELL_WGS84, utm_zone_lon0(zone), 0.0, _UTM_K0, _UTM_E0,
+                   _UTM_N0_SOUTH if south else 0.0)
+    elif code.startswith("epsg:258"):
+        try:
+            num = int(code.split(":", 1)[1])
+        except ValueError:
+            num = -1
+        if 25828 <= num <= 25838:  # ETRS89 / UTM zones (GRS80; datum ~ WGS84)
+            proj = _TM(_ELL_GRS80, utm_zone_lon0(num - 25800), 0.0, _UTM_K0,
+                       _UTM_E0, 0.0)
+    elif code == "epsg:27700":  # British National Grid (Airy 1830 + OSGB36)
+        proj = _TM(_ELL_AIRY1830, -2.0, 49.0, 0.9996012717, 400_000.0,
+                   -100_000.0, helmert=_HELMERT_OSGB36)
+    elif code == "epsg:2154":  # RGF93 / Lambert-93 (GRS80; datum ~ WGS84)
+        proj = _LCC2SP(_ELL_GRS80, 46.5, 3.0, 49.0, 44.0, 700_000.0, 6_600_000.0)
+    elif code == "epsg:3413":  # NSIDC Sea Ice Polar Stereographic North
+        proj = _PolarStereo(_ELL_WGS84, 70.0, -45.0, south=False)
+    elif code == "epsg:3031":  # Antarctic Polar Stereographic
+        proj = _PolarStereo(_ELL_WGS84, -71.0, 0.0, south=True)
+    elif code == "epsg:3395":  # WGS84 World (ellipsoidal) Mercator
+        proj = _EllipsoidalMercator(_ELL_WGS84)
+    if proj is not None:
+        _PROJ_CACHE[code] = proj
+    return proj
+
+
 def utm_forward(lng, lat, zone: int, south: bool):
     """Vectorised WGS84 lat/lng (degrees) -> UTM easting/northing."""
-    lng = np.asarray(lng, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
-    lam = np.radians((lng - utm_zone_lon0(zone) + 180.0) % 360.0 - 180.0)
-    phi = np.radians(lat)
-    s = np.sin(phi)
-    t = np.sinh(np.arctanh(s) - _UTM_C * np.arctanh(_UTM_C * s))
-    xi_p = np.arctan2(t, np.cos(lam))
-    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
-    xi, eta = xi_p.copy(), eta_p.copy()
-    for j, aj in enumerate(_UTM_ALPHA, start=1):
-        xi += aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-        eta += aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    easting = _UTM_E0 + _UTM_K0 * _UTM_A * eta
-    northing = (_UTM_N0_SOUTH if south else 0.0) + _UTM_K0 * _UTM_A * xi
-    return easting, northing
+    proj = _TM(_ELL_WGS84, utm_zone_lon0(zone), 0.0, _UTM_K0, _UTM_E0,
+               _UTM_N0_SOUTH if south else 0.0)
+    return proj.forward(lng, lat)
 
 
 def utm_inverse(easting, northing, zone: int, south: bool):
     """Vectorised UTM easting/northing -> WGS84 lng/lat (degrees)."""
-    easting = np.asarray(easting, dtype=np.float64)
-    northing = np.asarray(northing, dtype=np.float64)
-    xi = (northing - (_UTM_N0_SOUTH if south else 0.0)) / (_UTM_K0 * _UTM_A)
-    eta = (easting - _UTM_E0) / (_UTM_K0 * _UTM_A)
-    xi_p, eta_p = xi.copy(), eta.copy()
-    for j, bj in enumerate(_UTM_BETA, start=1):
-        xi_p -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-        eta_p -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
-    phi = chi.copy()
-    for j, dj in enumerate(_UTM_DELTA, start=1):
-        phi += dj * np.sin(2 * j * chi)
-    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return utm_zone_lon0(zone) + np.degrees(lam), np.degrees(phi)
+    proj = _TM(_ELL_WGS84, utm_zone_lon0(zone), 0.0, _UTM_K0, _UTM_E0,
+               _UTM_N0_SOUTH if south else 0.0)
+    return proj.inverse(easting, northing)
 
 
 def _to_geographic(crs: "CRS", x, y):
@@ -150,9 +482,9 @@ def _to_geographic(crs: "CRS", x, y):
         return x, y
     if _is_mercator(crs):
         return mercator_to_lnglat(x, y)
-    utm = _parse_utm(crs)
-    if utm is not None:
-        return utm_inverse(x, y, *utm)
+    proj = _projection_for(crs)
+    if proj is not None:
+        return proj.inverse(x, y)
     raise NotImplementedError(f"No transform registered for {crs.code}")
 
 
@@ -161,9 +493,9 @@ def _from_geographic(crs: "CRS", lng, lat):
         return lng, lat
     if _is_mercator(crs):
         return lnglat_to_mercator(lng, lat)
-    utm = _parse_utm(crs)
-    if utm is not None:
-        return utm_forward(lng, lat, *utm)
+    proj = _projection_for(crs)
+    if proj is not None:
+        return proj.forward(lng, lat)
     raise NotImplementedError(f"No transform registered for {crs.code}")
 
 
@@ -178,12 +510,17 @@ def transform_points(src: "CRS", dst: "CRS", xs, ys):
 def separable_pair(src: "CRS", dst: "CRS") -> bool:
     """True when x depends only on x and y only on y across the pair —
     the precondition of the per-axis reprojection machinery.  Geographic
-    and (Web-)Mercator are mutually separable; Transverse Mercator is not
-    (easting depends on latitude through convergence)."""
+    and Mercator variants (spherical 3857 and ellipsoidal 3395) are
+    mutually separable; Transverse Mercator / polar stereographic / LCC
+    are not (easting depends on latitude through convergence)."""
     if src == dst:
         return True
+
     def axis_aligned(crs):
-        return crs.is_geographic or _is_mercator(crs)
+        if crs.is_geographic or _is_mercator(crs):
+            return True
+        proj = _projection_for(crs)
+        return proj is not None and proj.separable
     return axis_aligned(src) and axis_aligned(dst)
 
 
