@@ -38,6 +38,14 @@ from yirgacheffe_spark.text import ann, dedup, multimodal, quality
 
 RES = 5  # cell resolution used by the spatial oracle queries
 
+# Ellipsoidal-Mercator constants for the epsg:3395 oracle leg — taken from
+# the SAME Python objects the engine computes with, so the SQL literals are
+# bit-identical doubles.
+from yirgacheffe_spark.reprojection import _ELL_WGS84 as _MERC_ELL  # noqa: E402
+
+MERC_A = _MERC_ELL.a
+MERC_E = _MERC_ELL.e
+
 PIP_POLYGONS = [
     {"poly_id": 1, "geom_wkt": "POLYGON ((0 10, 40 10, 40 50, 0 50, 0 10))"},
     {"poly_id": 2, "geom_wkt": "POLYGON ((-120 -40, -60 -40, -60 0, -120 0, -120 -40))"},
@@ -385,6 +393,19 @@ def q_doc_simhash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_doc_dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters: SimHash pairs (complete pigeonhole
+    banding + exact MD5 word hash, see q_doc_simhash_pairs) fed through the
+    distributed connected-components operator (large/small-star label
+    propagation).  Oracle: a DuckDB RECURSIVE reachability CTE over the
+    same pair SQL — component = smallest reachable id, both engines."""
+    docs = _docs(spark, sf_dir)
+    prs = dedup.simhash_near_dups(
+        dedup.simhash_column(docs), max_hamming=7, chunks=8
+    )
+    return dedup.connected_components(prs).select("id", "component")
+
+
 def q_doc_jaccard_pairs(spark, sf_dir):
     """Exact word-3-gram Jaccard on deterministic candidate pairs (adjacent
     doc ids) — the LSH verifier in isolation, with an exact SQL oracle."""
@@ -658,12 +679,28 @@ def q_layer_reproject_nearest_sum(spark, sf_dir):
     coarsening) over an expression (as_area re-scope -> as_projection),
     exercising the preimage-window gather.  Target centers never land on
     pixel boundaries ((6j+3)/4 is never integral), so the SQL mirror
-    floor((6j+3)/4) is float-safe."""
+    floor((6j+3)/4) is float-safe.
+
+    Second column: the same qty pixels framed on the ellipsoidal World
+    Mercator grid (epsg:3395, 5 km pixels) warped to lat/lng through the
+    separable cross-CRS nearest path — the oracle mirrors the closed-form
+    forward transform x = a*rad(lng), y = a*(atanh(sin p) - e*atanh(e sin p))
+    term-for-term, gating the new CRS's math end-to-end."""
     r = harness.lineitem_rasters(sf_dir)
     clipped = r["qty"].as_area(yg.Area(0.0, 0.0, 2.4, -1.2, harness.PROJ))
     coarse = yg.MapProjection("epsg:4326", 0.015, -0.015)
     total = clipped.as_projection(coarse, "nearest").sum(spark=spark)
-    return scalar_df(spark, total, "sum_value")
+
+    vals = r["qty"].read_array(0, 0, 240, 120)
+    merc = yg.MapProjection("epsg:3395", 5000.0, -5000.0)
+    src = yg.from_array(vals, (0.0, 10_000_000.0), merc)
+    tgt = yg.MapProjection("epsg:4326", 0.03, -0.03)
+    warped = yg.ReprojectedLayer(src, tgt, "nearest").as_area(
+        yg.Area(0.6, 66.0, 9.6, 64.5, tgt)
+    )
+    total_3395 = warped.sum(spark=spark)
+    out = scalar_df(spark, total, "sum_value")
+    return out.withColumn("sum_value_3395", F.lit(float(total_3395)))
 
 
 def q_layer_tiled_mosaic_sum(spark, sf_dir):
@@ -901,7 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_lang_stats": q_doc_lang_stats,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_dedup_components": q_doc_dedup_components,
         "lineage_resume": q_lineage_resume,
         "streaming_ingest": q_streaming_ingest,
         "ann_topk_multi": q_ann_topk_multi,
@@ -969,11 +1006,30 @@ def oracle_sql() -> dict[str, str]:
                            THEN price ELSE 0 END) AS sum_value FROM px""",
         "layer_reproject_sum": PX_CTE + "SELECT SUM(qty) AS sum_value FROM px",
         "layer_reproject_nearest_sum": PX_CTE
-        + """SELECT CAST(SUM(COALESCE(qty, 0)) AS DOUBLE) AS sum_value
-             FROM (SELECT (6 * r.range + 3) // 4 AS si,
-                          (6 * c.range + 3) // 4 AS sj
-                   FROM range(0, 80) r, range(0, 160) c) t
-             LEFT JOIN px ON px.i = t.si * 256 + t.sj""",
+        + f"""SELECT
+               (SELECT CAST(SUM(COALESCE(qty, 0)) AS DOUBLE)
+                FROM (SELECT (6 * r.range + 3) // 4 AS si,
+                             (6 * c.range + 3) // 4 AS sj
+                      FROM range(0, 80) r, range(0, 160) c) t
+                LEFT JOIN px ON px.i = t.si * 256 + t.sj) AS sum_value,
+               -- epsg:3395 leg: term-for-term mirror of the ellipsoidal
+               -- Mercator forward (a*rad(lng); a*(atanh(s)-e*atanh(e*s)))
+               (SELECT CAST(SUM(COALESCE(qty, 0)) AS DOUBLE)
+                FROM (
+                  SELECT CAST(floor({MERC_A!r} * radians(0.6 + (c.range + 0.5) * 0.03)
+                                    / 5000.0) AS BIGINT) AS si,
+                         CAST(floor((10000000.0 - {MERC_A!r} * (
+                             0.5 * ln((1 + sin(radians(66.0 - (r.range + 0.5) * 0.03)))
+                                    / (1 - sin(radians(66.0 - (r.range + 0.5) * 0.03))))
+                             - {MERC_E!r} * 0.5 * ln(
+                                 (1 + {MERC_E!r} * sin(radians(66.0 - (r.range + 0.5) * 0.03)))
+                               / (1 - {MERC_E!r} * sin(radians(66.0 - (r.range + 0.5) * 0.03))))
+                         )) / 5000.0) AS BIGINT) AS sj
+                  FROM range(0, 50) r, range(0, 300) c
+                ) t
+                LEFT JOIN px ON px.i = t.sj * 256 + t.si
+                WHERE t.si >= 0 AND t.si < 240 AND t.sj >= 0 AND t.sj < 120
+               ) AS sum_value_3395""",
         # Pad correction 1 = round(ln(1)*1000) + 0^2 + 2^0 at zero pixels.
         "layer_math_sum": PX_CTE
         + f"""SELECT SUM(round(ln(qty + 1) * 1000) + pow(qty, 2) + pow(2, qty % 8))
@@ -1070,28 +1126,47 @@ def oracle_sql() -> dict[str, str]:
         # (precision is exact by construction; recall engineered > 1 - 1e-6
         # per pair at this threshold), so it shares the brute-force oracle.
         "emb_cosine_near_dup_lsh": ann.cosine_near_dup_pairs_sql(0.42),
-        "doc_jaccard_pairs": """
-            WITH d AS (
-                SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-            ), sh AS (
+        "doc_dedup_components": """
+            WITH RECURSIVE  d AS (
                 SELECT doc_id,
-                       CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
-                                generate_series(1, len(w) - 2),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                            WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-                            ELSE [] END AS s
-                FROM d
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-                FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), wh AS (
+                SELECT doc_id, md5_number_upper(uw) AS h
+                FROM d, unnest(w) AS t(uw)
+            ), votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM wh, range(64) AS r(b)
+                GROUP BY doc_id, b
+            ), code_u AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0
+                                THEN (1::HUGEINT << b::INTEGER) ELSE 0 END) AS cu
+                FROM votes GROUP BY doc_id
+            ), codes AS (
+                SELECT d.doc_id,
+                       CAST(CASE WHEN COALESCE(cu, 0) >= 9223372036854775808
+                                 THEN COALESCE(cu, 0) - 18446744073709551616
+                                 ELSE COALESCE(cu, 0) END AS BIGINT) AS sh
+                FROM d LEFT JOIN code_u USING (doc_id)
+            ),
+            prs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM codes a JOIN codes b ON b.doc_id > a.doc_id
+                WHERE bit_count(xor(a.sh, b.sh)) <= 7
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs
+            ),
+            reach(id, comp) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b
             )
-            SELECT id_a, id_b,
-                   round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0
-                              THEN 1.0
-                              ELSE len(list_intersect(sa, sb)) * 1.0
-                                   / len(list_distinct(list_concat(sa, sb)))
-                         END, 6) AS jaccard
-            FROM p
+            SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -438,14 +438,24 @@ def ivf_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Group by query via ONE factorize + stable argsort: per-group
+            # slices are contiguous, so total work is O(batch), not the
+            # O(n_queries x batch) of a boolean mask per query id.
+            codes, uniq = pd.factorize(pdf[query_id_col])
+            grp_order = np.argsort(codes, kind="stable")
+            codes_sorted = codes[grp_order]
+            bounds = np.searchsorted(codes_sorted, np.arange(len(uniq) + 1))
+            mat_all = np.stack(pdf[vec_col].to_numpy()[grp_order]).astype(np.float64)
+            mat_all /= np.maximum(
+                np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12
+            )
+            ids_all = pdf[id_col].to_numpy()[grp_order]
             out_q, out_id, out_s = [], [], []
-            for qid in pdf[query_id_col].unique():
-                sel = pdf[pdf[query_id_col] == qid]
-                mat = np.stack(sel[vec_col].to_numpy()).astype(np.float64)
-                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                sims = np.round(mat @ qvecs[qid], 6)
-                ids = sel[id_col].to_numpy()
-                k_eff = min(k, len(ids))
+            for gi, qid in enumerate(uniq):
+                s, e = bounds[gi], bounds[gi + 1]
+                sims = np.round(mat_all[s:e] @ qvecs[qid], 6)
+                ids = ids_all[s:e]
+                k_eff = min(k, e - s)
                 order = np.lexsort((ids, -sims))[:k_eff]
                 out_q.extend([qid] * k_eff)
                 out_id.extend(ids[order])
