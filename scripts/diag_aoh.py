@@ -8,6 +8,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-stage worker timing (decode vs kernel) — must be set before the
+# session starts so Python workers inherit it.
+import glob
+import tempfile
+
+TIMING_PREFIX = os.path.join(tempfile.mkdtemp(prefix="yg_stage_"), "t")
+os.environ["YG_STAGE_TIMING"] = TIMING_PREFIX
+
 from pyspark.sql import SparkSession
 
 spark = (
@@ -36,7 +44,20 @@ def q_aoh():
     )
     return expr.sum(spark=spark)
 
+def stage_totals():
+    dec = ker = 0.0
+    for f in glob.glob(TIMING_PREFIX + ".*"):
+        with open(f) as fp:
+            for line in fp:
+                d, k = line.split()
+                dec += float(d); ker += float(k)
+        os.unlink(f)
+    return dec, ker
+
 for i in range(3):
     t0 = time.time()
     v = q_aoh()
-    print(f"cpus={CPUS} run{i}: {time.time()-t0:.2f}s  value={v}")
+    wall = time.time() - t0
+    dec, ker = stage_totals()
+    print(f"cpus={CPUS} run{i}: wall={wall:.2f}s decode_cpu={dec:.2f}s "
+          f"kernel_cpu={ker:.2f}s value={v}")

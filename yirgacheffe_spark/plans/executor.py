@@ -718,6 +718,22 @@ def _assemble_slot(meta: dict, pieces, y0: int, x0: int, h: int, w: int):
 
 _PQ_FILE_CACHE: dict[str, Any] = {}
 
+# Per-stage worker timing for scaling diagnosis (scripts/diag_aoh.py): when
+# YG_STAGE_TIMING names a path prefix, each Python worker appends its
+# accumulated decode/kernel seconds there per partition.  Zero overhead when
+# unset (one dict lookup per partition).
+_STAGE_TIMING_PREFIX = os.environ.get("YG_STAGE_TIMING", "")
+
+
+def _stage_timing_dump(acc: dict) -> None:
+    if not _STAGE_TIMING_PREFIX:
+        return
+    try:
+        with open(f"{_STAGE_TIMING_PREFIX}.{os.getpid()}", "a", encoding="utf-8") as fp:
+            fp.write(f"{acc['decode']:.6f} {acc['kernel']:.6f}\n")
+    except OSError:
+        pass
+
 
 def _manifest_pieces(batch: pa.RecordBatch, man: dict, payload: dict,
                      groups: dict, retained: list) -> None:
@@ -823,9 +839,17 @@ def _tile_results(bc, batch_iter: Iterator[pa.RecordBatch]):
     groups: dict[tuple, list[list]] = {}
     retained = []  # keeps Arrow buffers alive until evaluation
     man = payload.get("manifest")
+    timing = {"decode": 0.0, "kernel": 0.0} if _STAGE_TIMING_PREFIX else None
+    if timing is not None:
+        import time as _time  # pylint: disable=C0415
     for batch in batch_iter:
         retained.append(batch)
         if man is not None:
+            if timing is not None:
+                t0 = _time.time()
+                _manifest_pieces(batch, man, payload, groups, retained)
+                timing["decode"] += _time.time() - t0
+                continue
             _manifest_pieces(batch, man, payload, groups, retained)
             continue
         ty_col = batch.column(batch.schema.get_field_index("ty")).to_numpy()
@@ -874,8 +898,16 @@ def _tile_results(bc, batch_iter: Iterator[pa.RecordBatch]):
                             memoryview(h_p[j].as_buffer()),
                         )
                     )
-    for (ty, tx), slots_acc in groups.items():
-        yield evaluate(ty, tx, slots_acc)
+    if timing is None:
+        for (ty, tx), slots_acc in groups.items():
+            yield evaluate(ty, tx, slots_acc)
+    else:
+        for (ty, tx), slots_acc in groups.items():
+            t0 = _time.time()
+            out = evaluate(ty, tx, slots_acc)
+            timing["kernel"] += _time.time() - t0
+            yield out
+        _stage_timing_dump(timing)
 
 
 def tiles_dataframe(tree, spark: SparkSession | None = None,
