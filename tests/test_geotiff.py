@@ -361,3 +361,35 @@ def test_stream_writer_single_tile_inline_patch(tmp_path):
     wtr.close()
     got = yg.read_raster(path).read_array(0, 0, 30, 40)
     np.testing.assert_array_equal(got, data)
+
+
+def test_to_geotiff_multiband_planar_roundtrip(tmp_path, spark):
+    """A list of expressions writes as bands 1..N of ONE planar GeoTIFF
+    (PlanarConfiguration=2, band-major tile planes) that the reader opens
+    band by band — closing the reference's multiband file-output parity
+    (_core.py:314-414)."""
+    h, w = 70, 90
+    chans = [RNG.integers(0, 500, (h, w)).astype(np.int32) for _ in range(3)]
+    layers = [yg.from_array(c, (10.0, 50.0), PROJ) for c in chans]
+    path = str(tmp_path / "mb.tif")
+    yg.to_geotiff(layers, path, spark=spark)
+    for b, want in enumerate(chans, start=1):
+        got = yg.read_raster(path, band=b).read_array(0, 0, w, h)
+        np.testing.assert_array_equal(got, want, err_msg=f"band {b}")
+    # Single-band writes stay bit-stable: n_bands=1 keeps the old layout.
+    p1 = str(tmp_path / "single.tif")
+    yg.to_geotiff(layers[0], p1, spark=spark)
+    p2 = str(tmp_path / "single2.tif")
+    G.write_geotiff(p2, chans[0], _area(w, h))
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_to_geotiff_multiband_mismatched_bands_raise(tmp_path, spark):
+    a = yg.from_array(np.zeros((4, 4), np.int16), (0.0, 0.0), PROJ)
+    b = yg.from_array(np.zeros((4, 5), np.int16), (0.0, 0.0), PROJ)
+    with pytest.raises(ValueError, match="extent"):
+        yg.to_geotiff([a, b], str(tmp_path / "x.tif"), spark=spark)
+    c = yg.from_array(np.zeros((4, 4), np.float32), (0.0, 0.0), PROJ)
+    with pytest.raises(ValueError, match="datatype"):
+        yg.to_geotiff([a, c], str(tmp_path / "y.tif"), spark=spark)

@@ -88,7 +88,8 @@ def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
 
 
 def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None:
-    """Materialise an expression/layer as a tiled deflate GeoTIFF file.
+    """Materialise an expression/layer (or a LIST of them, as bands 1..N of
+    a planar multiband file) as a tiled deflate GeoTIFF.
 
     A single .tif is one file — an inherent gather point — but the gather is
     STREAMED: result tiles are range-partitioned and sorted by (tile_y,
@@ -97,24 +98,42 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None
     through ``TiffStreamWriter`` (offset arrays patched at close).  Driver
     memory is O(raster_width x strip_height), never O(raster) — the same
     bound as the reference's strip-by-strip GDAL writes
-    (``_operators/__init__.py:1092-1111``).  Use ``save()`` (parquet raster
-    table) for outputs that must stay distributed."""
-    import numpy as _np  # pylint: disable=C0415
-
-    from . import constants as _c  # pylint: disable=C0415
+    (``_operators/__init__.py:1092-1111``; multiband file writes mirror
+    ``_core.py:314-414``).  Use ``save()`` (parquet raster table) for
+    outputs that must stay distributed."""
     from .operators import LayerOperation  # pylint: disable=C0415
     from .plans import executor  # pylint: disable=C0415
     from .sources.geotiff import TiffStreamWriter  # pylint: disable=C0415
 
-    root = tree if isinstance(tree, LayerOperation) else LayerOperation(tree)
-    w = root.window
-    out_dtype = root.datatype.to_numpy()
+    trees = tree if isinstance(tree, (list, tuple)) else [tree]
+    roots = [
+        t if isinstance(t, LayerOperation) else LayerOperation(t) for t in trees
+    ]
+    if len({r.window for r in roots}) != 1:
+        raise ValueError("All bands must share the same extent/window")
+    if len({r.datatype for r in roots}) != 1:
+        raise ValueError("All bands must share one datatype (use astype)")
+    w = roots[0].window
+    out_dtype = roots[0].datatype.to_numpy()
     file_tile = 256
     writer = TiffStreamWriter(
-        path, w.xsize, w.ysize, out_dtype, root.area, nodata=nodata,
-        tile_size=file_tile,
+        path, w.xsize, w.ysize, out_dtype, roots[0].area, nodata=nodata,
+        tile_size=file_tile, n_bands=len(roots),
     )
     spark_s = executor.get_spark(spark)
+    for root in roots:
+        _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile)
+    writer.close()
+
+
+def _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile) -> None:
+    """Stream one band's result tiles into ``writer`` (row-major order)."""
+    import numpy as _np  # pylint: disable=C0415
+
+    from . import constants as _c  # pylint: disable=C0415
+    from .plans import executor  # pylint: disable=C0415
+
+    w = root.window
     tiles = executor.tiles_dataframe(root, spark_s)
     n_engine_rows = -(-w.ysize // _c.TILE_YSIZE)
     # One range partition per engine tile row caps what toLocalIterator
@@ -168,7 +187,6 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None
         x0 = row["tile_x"] * _c.TILE_XSIZE
         buf[y0 - buf_y0 : y0 - buf_y0 + row["ysize"], x0 : x0 + row["xsize"]] = tile
     _flush(w.ysize, final=True)
-    writer.close()
 
 
 def read_rasters(paths, name: str | None = None) -> GroupLayer:

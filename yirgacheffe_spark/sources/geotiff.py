@@ -403,7 +403,7 @@ class TiffStreamWriter:
 
     def __init__(self, path: str, width: int, height: int, dtype,
                  area: Area, nodata: float | None = None,
-                 tile_size: int = 256) -> None:
+                 tile_size: int = 256, n_bands: int = 1) -> None:
         projection = area.projection
         assert projection is not None
         dtype = np.dtype(dtype)
@@ -411,9 +411,14 @@ class TiffStreamWriter:
             dtype = np.dtype(np.uint8)
         self.dtype = dtype
         self.tile_size = tile_size
+        self.n_bands = n_bands
         s = tile_size
         self.tiles_x, self.tiles_y = -(-width // s), -(-height // s)
-        n_tiles = self.tiles_x * self.tiles_y
+        # Multiband files use the PLANAR layout (PlanarConfiguration=2):
+        # per-band planes of tiles, band-major — exactly the block-index
+        # arithmetic the reader implements.  write_tile order is band 1's
+        # tiles row-major, then band 2's, ...
+        n_tiles = self.tiles_x * self.tiles_y * n_bands
         fmt = {"u": 1, "i": 2, "f": 3}[dtype.kind]
         bits = dtype.itemsize * 8
 
@@ -434,16 +439,16 @@ class TiffStreamWriter:
         entries = []  # (tag, type, count, values); None values patch at close
         entries.append((_T_WIDTH, 3, 1, [width]))
         entries.append((_T_HEIGHT, 3, 1, [height]))
-        entries.append((_T_BITS, 3, 1, [bits]))
+        entries.append((_T_BITS, 3, n_bands, [bits] * n_bands))
         entries.append((_T_COMPRESSION, 3, 1, [8]))
         entries.append((_T_PHOTOMETRIC, 3, 1, [1]))
-        entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [1]))
-        entries.append((_T_PLANAR, 3, 1, [1]))
+        entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [n_bands]))
+        entries.append((_T_PLANAR, 3, 1, [1 if n_bands == 1 else 2]))
         entries.append((_T_TILE_WIDTH, 3, 1, [s]))
         entries.append((_T_TILE_LENGTH, 3, 1, [s]))
         entries.append((_T_TILE_OFFSETS, 4, n_tiles, None))
         entries.append((_T_TILE_COUNTS, 4, n_tiles, None))
-        entries.append((_T_SAMPLE_FORMAT, 3, 1, [fmt]))
+        entries.append((_T_SAMPLE_FORMAT, 3, n_bands, [fmt] * n_bands))
         entries.append((_T_MODEL_PIXEL_SCALE, 12, 3, list(scale)))
         entries.append((_T_MODEL_TIEPOINT, 12, 6, list(tiepoint)))
         entries.append((_T_GEO_KEYS, 3, len(geo_keys), geo_keys))
