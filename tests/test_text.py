@@ -405,3 +405,184 @@ class TestConnectedComponents:
             for r in dedup.dedup_keep_cluster_representative(docs, pairs).collect()
         )
         assert kept == [0, 3, 4, 5, 7]
+
+
+class TestSampling:
+    """Deterministic content-keyed sampling: membership is a pure function
+    of (key, seed) — stable under repartitioning — and mirrors the DuckDB
+    md5 hex-prefix expression exactly."""
+
+    def _docs(self, spark, n=400):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": [("en", "de", "fr")[i % 3] for i in range(n)],
+            "n_tokens": (np.arange(n) * 37 % 900 + 10).astype(np.int64),
+        }))
+
+    def test_salted_sample_deterministic_and_partition_invariant(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in sampling.salted_sample(docs, 0.3, "doc_id", seed=7).collect()}
+        b = {r["doc_id"] for r in sampling.salted_sample(
+            docs.repartition(13), 0.3, "doc_id", seed=7).collect()}
+        assert a == b
+        assert 0.15 < len(a) / 400 < 0.45  # expected-fraction, not exact
+        c = {r["doc_id"] for r in sampling.salted_sample(docs, 0.3, "doc_id", seed=8).collect()}
+        assert a != c  # the seed matters
+
+    def test_salted_sample_matches_duckdb_md5(self, spark):
+        import duckdb
+
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, 300)
+        got = {r["doc_id"] for r in sampling.salted_sample(docs, 0.25, "doc_id", seed=3).collect()}
+        want = {
+            r[0] for r in duckdb.connect().execute(
+                """SELECT i FROM range(300) t(i)
+                   WHERE ('0x' || substr(md5(i || ' ' || 3), 1, 16))::UBIGINT
+                         / 18446744073709551616.0 < 0.25"""
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_stratified_and_split(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark)
+        out = sampling.stratified_sample(
+            docs, "lang", {"en": 1.0, "de": 0.2}, "doc_id", seed=1
+        ).collect()
+        langs = {r["lang"] for r in out}
+        assert "fr" not in langs  # unlisted strata drop
+        n_en = sum(1 for r in out if r["lang"] == "en")
+        assert n_en == 134  # fraction 1.0 keeps every en row
+
+        train, test = sampling.train_test_split(docs, 0.2, "doc_id", seed=5)
+        tr = {r["doc_id"] for r in train.collect()}
+        te = {r["doc_id"] for r in test.collect()}
+        assert tr.isdisjoint(te) and len(tr) + len(te) == 400
+
+    def test_pack_sequences_budget_and_coverage(self, spark):
+        from pyspark.sql import functions as F
+
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, 500)
+        packed = sampling.pack_sequences(docs, token_budget=1000, partitions=4)
+        rows = packed.collect()
+        assert len(rows) == 500
+        assert len({r["doc_id"] for r in rows}) == 500  # every doc exactly once
+        per_bin = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("t")).collect()
+        assert all(r["t"] <= 1000 for r in per_bin)
+        # determinism under different input layouts
+        again = sampling.pack_sequences(
+            docs.repartition(11), token_budget=1000, partitions=4
+        ).collect()
+        assert {(r["doc_id"], r["bin_id"]) for r in again} == {
+            (r["doc_id"], r["bin_id"]) for r in rows
+        }
+
+    def test_pack_oversized_doc_gets_own_bin(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import sampling
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3], "n_tokens": [5000, 10, 20]}))
+        rows = sampling.pack_sequences(docs, token_budget=100, partitions=1).collect()
+        by_id = {r["doc_id"]: r["bin_id"] for r in rows}
+        assert by_id[1] not in (by_id[2], by_id[3])
+        assert by_id[2] == by_id[3]  # the two small docs co-pack
+
+
+class TestNgramLM:
+    """n-gram LM training + scoring vs a plain-python oracle."""
+
+    def _corpus(self, spark):
+        import pandas as pd
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "the cat ate the fish",
+            "a dog and a cat",
+        ]
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+
+    @staticmethod
+    def _py_grams(text, n):
+        w = text.lower().split()
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    def test_train_counts_match_python(self, spark):
+        from collections import Counter
+
+        from yirgacheffe_spark.text import lm
+
+        corpus = self._corpus(spark)
+        got = {r["gram"]: r["count"] for r in
+               lm.train_ngram_counts(corpus, n=2).collect()}
+        want = Counter()
+        for t in [r["text"] for r in corpus.collect()]:
+            want.update(self._py_grams(t, 2))
+        assert got == dict(want)
+
+    def test_scores_match_python(self, spark):
+        import math
+        from collections import Counter
+
+        from yirgacheffe_spark.text import lm
+
+        corpus = self._corpus(spark)
+        model = lm.train_ngram_counts(corpus, n=2)
+        got = {r["doc_id"]: (r["n_grams"], r["avg_logprob"]) for r in
+               lm.score_documents(corpus, model, n=2, add_k=0.5).collect()}
+
+        counts = Counter()
+        for t in [r["text"] for r in corpus.collect()]:
+            counts.update(self._py_grams(t, 2))
+        total, vocab = sum(counts.values()), len(counts)
+        denom = total + 0.5 * vocab
+        for r in corpus.collect():
+            grams = self._py_grams(r["text"], 2)
+            want = sum(math.log((counts[g] + 0.5) / denom) for g in grams) / len(grams)
+            n, avg = got[r["doc_id"]]
+            assert n == len(grams)
+            assert abs(avg - want) < 1e-12, r["doc_id"]
+
+    def test_quality_filter_keeps_fluent_docs(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import lm
+
+        corpus = self._corpus(spark)
+        model = lm.train_ngram_counts(corpus, n=2)
+        cands = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100, 101],
+            "text": ["the cat sat on the mat",          # in-domain
+                     "zxqv wvut qqpl mnbv xswz aqrt"],  # gibberish
+        }))
+        kept = [r["doc_id"] for r in lm.quality_filter_by_lm(
+            cands, model, n=2, min_avg_logprob=-3.0).collect()]
+        assert kept == [100]
+
+    def test_short_and_empty_documents(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import lm
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2], "text": ["single", "", "two words here"]}))
+        counts = {r["gram"]: r["count"] for r in
+                  lm.train_ngram_counts(docs, n=3).collect()}
+        # short-doc rule: whole sequence as one gram; empty contributes none
+        assert counts == {"single": 1, "two words here": 1}

@@ -1,0 +1,163 @@
+"""Deterministic dataset-curation sampling for training pipelines.
+
+Every operator here is *content-keyed and deterministic*: membership is a
+pure function of a row's key and the seed, never of partitioning, task
+retries, or cluster size — the property a 10^12-document pipeline needs so
+that re-runs, incremental appends, and audits all agree on which rows are
+in.  (Spark's ``df.sample`` is seed-stable only for a fixed partitioning;
+a repartition or a lost executor changes its output.)
+
+The hash is the first 8 hex digits... precisely: the first 16 hex chars of
+the MD5 digest parsed big-endian, computed JVM-side; DuckDB expresses the
+identical value as ``('0x' || substr(md5(k), 1, 16))::UBIGINT``, so every
+sample has an exact SQL oracle form.
+
+Scale notes: all operators are one narrow column expression (no shuffle,
+no Python) except ``stratified_sample``'s fraction lookup, which joins a
+broadcast dim of strata.  Filters push down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 2^64 as a float divisor: uniform in [0, 1) from a uint64 hash.
+_TWO64 = float(1 << 64)
+
+
+def _hash_unit(key_col, seed: int):
+    """Uniform [0, 1) from the MD5 of (key, seed) — JVM-side, Python-free.
+
+    ``md5`` returns the hex digest; the first 16 hex chars are the first 8
+    bytes.  ``conv(..., 16, 10)`` parses them as an unsigned decimal string
+    which ``cast(decimal(20,0))`` holds exactly; dividing by 2^64 yields
+    the unit float.  Byte order here is BIG-endian of the first 8 bytes
+    (hex order) — the DuckDB mirror is
+    ``('0x' || substr(md5(key || ' ' || seed), 1, 16))::UBIGINT / 2^64``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", key_col.cast("string"),
+                                      F.lit(str(seed)))), 1, 16),
+        16, 10,
+    ).cast("decimal(20,0)")
+    return h.cast("double") / F.lit(_TWO64)
+
+
+def salted_sample(df: DataFrame, fraction: float, key_col: str,
+                  seed: int = 0) -> DataFrame:
+    """Keep rows whose content-hash unit value falls below ``fraction``.
+
+    Membership depends only on (key, seed): stable under repartitioning,
+    retries, incremental appends, and cluster resizes.  Expected (not
+    exact) sample size — the standard trade of hash sampling.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_hash_unit(F.col(key_col), seed) < fraction)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key_col: str,
+                      seed: int = 0) -> DataFrame:
+    """Per-stratum deterministic hash sampling (e.g. per-language quotas).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    are dropped.  The fraction lookup is a broadcast join of a dim-sized
+    strata table; membership is the same content-hash rule as
+    ``salted_sample``.
+    """
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {v}")
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        schema=f"{strata_col} {dict(df.dtypes)[strata_col]}, _keep_frac double",
+    )
+    return (
+        df.join(F.broadcast(frac_df), strata_col, "inner")
+        .where(_hash_unit(F.col(key_col), seed) < F.col("_keep_frac"))
+        .drop("_keep_frac")
+    )
+
+
+def train_test_split(df: DataFrame, test_fraction: float, key_col: str,
+                     seed: int = 0) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split by content hash — the SAME key always lands on
+    the same side, so near-duplicate leakage across the split can be
+    prevented by keying on a content fingerprint rather than a row id."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    u = _hash_unit(F.col(key_col), seed)
+    return df.where(u >= test_fraction), df.where(u < test_fraction)
+
+
+def pack_sequences(df: DataFrame, token_budget: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (sequence packing for
+    LLM training): adds ``bin_id`` (long) such that each bin's total
+    ``token_col`` is <= ``token_budget`` (oversized single documents get a
+    bin of their own).
+
+    Distributed first-fit-decreasing approximation: rows range-partition by
+    (descending size, id) so each partition packs a contiguous size band
+    with a greedy first-fit pass (vectorised bookkeeping, one Arrow pass);
+    bin ids are made globally unique by a per-partition offset.  The
+    assignment is DETERMINISTIC — range partitioning + the total (size,
+    id) order fix every partition's content regardless of input layout.
+
+    Packing quality: first-fit-decreasing wastes < ~22% in the worst case
+    and a few percent in practice; a global optimum would serialise the
+    whole dataset through one solver, which does not exist at 10^12 rows.
+    """
+    import numpy as np  # pylint: disable=C0415
+    import pandas as pd  # pylint: disable=C0415
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    ordered = (
+        df.select(id_col, F.col(token_col).cast("long").alias("_tok"))
+        .repartitionByRange(n_parts, F.col("_tok").desc(), F.col(id_col))
+        .sortWithinPartitions(F.col("_tok").desc(), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def pack(batches):
+        residuals: list[int] = []  # remaining capacity per open bin
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            toks = pdf["_tok"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_bin = np.empty(len(pdf), dtype=np.int64)
+            res = np.asarray(residuals, dtype=np.int64)
+            for i, t in enumerate(toks):
+                fit = np.nonzero(res >= t)[0]
+                if len(fit):
+                    j = int(fit[0])
+                    res[j] -= t
+                else:
+                    j = len(res)
+                    res = np.append(res, max(token_budget - t, 0))
+                out_bin[i] = j
+            residuals = res.tolist()
+            yield pd.DataFrame({id_col: ids, "_tok_out": toks, "_local_bin": out_bin,
+                                "_pid_out": pid})
+
+    packed = ordered.mapInPandas(
+        pack,
+        schema=f"{id_col} {dict(df.dtypes)[id_col]}, _tok_out long, "
+               "_local_bin long, _pid_out int",
+    )
+    # Globally unique bins: partition id in the high bits.  2^40 bins per
+    # partition bounds nothing real (a partition packs << 2^40 bins).
+    return packed.select(
+        id_col,
+        F.col("_tok_out").alias(token_col),
+        (F.col("_pid_out").cast("long") * F.lit(1 << 40)
+         + F.col("_local_bin")).alias("bin_id"),
+    )
