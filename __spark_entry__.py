@@ -229,11 +229,16 @@ def q_doc_text_features(spark, sf_dir):
     """Per-document text features in one scan: BPE-ish token count, rolling
     64-bit fingerprint, and the length/punct/stopword quality score — merged
     from three round-2 micro-queries (all pure JVM column algebra)."""
+    from yirgacheffe_spark.text import sampling
+
     return _docs(spark, sf_dir).select(
         "doc_id",
         quality.token_count(F.col("text")).cast("long").alias("n_tokens"),
         quality.fingerprint(F.col("text")).alias("fp"),
         quality.quality_score(F.col("text")).alias("q"),
+        # Gates the deterministic curation-sampling hash end-to-end: the
+        # md5 hex-prefix unit value and its 25% membership rule.
+        (sampling._hash_unit(F.col("doc_id"), 3) < 0.25).alias("in_sample_25"),
     )
 
 
@@ -1114,7 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             + quality.fingerprint_sql("text")
             + " AS fp, "
             + quality.quality_score_sql("text")
-            + " AS q FROM documents"
+            + " AS q, (('0x' || substr(md5(doc_id || ' ' || 3), 1, 16))::UBIGINT"
+            + " / 18446744073709551616.0 < 0.25) AS in_sample_25"
+            + " FROM documents"
         ),
         "doc_exact_dedup": """
             SELECT doc_id FROM (
