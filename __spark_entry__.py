@@ -596,7 +596,9 @@ def q_multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, 500)
     feats = multimodal.extract_features(media, decode="fake", dim=16)
     return feats.select(
-        "media_id", "feat_dim", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "feat_dim",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -960,6 +962,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _mulmod64_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 in DuckDB: hi/lo 32-bit decomposition through
+    HUGEINT (a HUGEINT product of two 64-bit values would overflow)."""
+    return (
+        f"CAST(((({a})::HUGEINT % 4294967296) * {c} + "
+        f"(((({a})::HUGEINT // 4294967296) * {c}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _splitmix_sql(x: str, salt: int) -> str:
+    """DuckDB mirror of spatial.pages._mix (splitmix64) — validated equal
+    to the numpy form for ids 0..499 at every salt the oracle uses."""
+    z0 = (
+        f"CAST((({x})::HUGEINT + {(salt * 0x9E3779B97F4A7C15) % (1 << 64)}) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+    z1 = _mulmod64_sql(f"xor({z0}, ({z0} >> 30))", 0xBF58476D1CE4E5B9)
+    z2 = _mulmod64_sql(f"xor({z1}, ({z1} >> 27))", 0x94D049BB133111EB)
+    return f"xor({z2}, ({z2} >> 31))"
+
+
+def _multimodal_oracle_sql(n_rows: int = 500, seed: int = 42) -> str:
+    """Exact mirror of q_multimodal_features: the synthetic payload is the
+    8 little-endian bytes of splitmix(id, seed+7) tiled to width*height, so
+    bin-0 of the 16-bin histogram counts bytes < 16 with per-byte
+    multiplicity need//8 (+1 for the truncation prefix).  The engine's
+    float32 feature quantisation is mirrored with a FLOAT round trip."""
+    h = _splitmix_sql("i", seed + 7)
+    w = f"16 + ({_splitmix_sql('i', seed + 1)} % 16)"
+    ht = f"16 + ({_splitmix_sql('i', seed + 2)} % 16)"
+    return f"""
+        WITH m AS (
+            SELECT i AS media_id, {h} AS h,
+                   CAST({w} AS BIGINT) * CAST({ht} AS BIGINT) AS need
+            FROM range({n_rows}) t(i)
+        ), b AS (
+            SELECT media_id, j,
+                   CAST((h >> CAST(8 * j AS INTEGER)) & 255 AS BIGINT) AS byte,
+                   need
+            FROM m, range(8) r(j)
+        )
+        SELECT media_id, CAST(16 AS INTEGER) AS feat_dim,
+               round(CAST(CAST(SUM(CASE WHEN byte < 16
+                             THEN need // 8
+                                  + (CASE WHEN j < need % 8 THEN 1 ELSE 0 END)
+                             ELSE 0 END) AS DOUBLE) / MAX(need)
+                     AS FLOAT)::DOUBLE, 6) AS f0
+        FROM b GROUP BY media_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1392,7 +1446,10 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank FROM scored
             ) WHERE rank <= 10
         """,
-        # multimodal_features: the media codec is honestly stubbed (no image
-        # library in this environment), so the feature bytes have no SQL
-        # analog -> rows-only, with differential unit tests in tests/.
+        # multimodal_features: the CODEC is honestly stubbed (no image
+        # library in this environment) — but the registered query runs the
+        # deterministic fake decode, whose arithmetic is fully mirrored in
+        # SQL, so even this pipeline gets an exact correctness row.  A real
+        # codec would return this entry to rows-only.
+        "multimodal_features": _multimodal_oracle_sql(500, 42),
     }
