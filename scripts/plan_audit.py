@@ -126,6 +126,25 @@ def main() -> int:
     ok = "codegen id" in plan and "BatchEvalPython" not in plan
     check("text quality pipeline is whole-stage-codegen JVM (no Python)", ok)
 
+    # 6. deterministic sampling pushes its hash filter into the scan and
+    # stays Python-free (the curation filters run at 10^12-row scale).
+    from yirgacheffe_spark.text import sampling
+    samp = sampling.salted_sample(docs, 0.25, "doc_id", seed=3)
+    plan = plan_of(samp)
+    ok = ("BatchEvalPython" not in plan and "Exchange" not in plan
+          and "Filter" in plan)
+    check("salted_sample is a JVM scan-side filter (no Python, no shuffle)", ok)
+
+    # 7. n-gram LM scoring: extraction + model join stay JVM-side; the only
+    # Python in the plan would be a regression (everything is column algebra).
+    from yirgacheffe_spark.text import lm
+    model = lm.train_ngram_counts(docs.limit(50), n=2)
+    scored = lm.score_documents(docs, model, n=2)
+    plan = plan_of(scored)
+    ok = ("BatchEvalPython" not in plan and "CartesianProduct" not in plan
+          and "BroadcastHashJoin" in plan)
+    check("LM scoring plan: JVM n-gram extraction + broadcast model join", ok)
+
     print("\nPLAN AUDIT:", "all checks passed" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
 
