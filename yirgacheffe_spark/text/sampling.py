@@ -110,6 +110,11 @@ def pack_sequences(df: DataFrame, token_budget: int,
     Packing quality: first-fit-decreasing wastes < ~22% in the worst case
     and a few percent in practice; a global optimum would serialise the
     whole dataset through one solver, which does not exist at 10^12 rows.
+
+    Cost bound: the greedy pass is O(rows x open_bins) per partition, and
+    open bins accumulate for the partition's lifetime (~rows x mean_size /
+    budget) — size ``partitions`` so each holds ~10^6 rows at most; the
+    default (cluster parallelism) is right for interactive sizes only.
     """
     import numpy as np  # pylint: disable=C0415
     import pandas as pd  # pylint: disable=C0415
@@ -135,14 +140,17 @@ def pack_sequences(df: DataFrame, token_budget: int,
             ids = pdf[id_col].to_numpy()
             out_bin = np.empty(len(pdf), dtype=np.int64)
             res = np.asarray(residuals, dtype=np.int64)
+            res_max = int(res.max()) if len(res) else -1
             for i, t in enumerate(toks):
-                fit = np.nonzero(res >= t)[0]
-                if len(fit):
-                    j = int(fit[0])
-                    res[j] -= t
-                else:
+                if t > res_max:  # nothing open fits: skip the scan entirely
                     j = len(res)
                     res = np.append(res, max(token_budget - t, 0))
+                    res_max = max(res_max, int(res[j]))
+                else:
+                    j = int(np.nonzero(res >= t)[0][0])
+                    res[j] -= t
+                    if res[j] + t >= res_max:
+                        res_max = int(res.max())
                 out_bin[i] = j
             residuals = res.tolist()
             yield pd.DataFrame({id_col: ids, "_tok_out": toks, "_local_bin": out_bin,
