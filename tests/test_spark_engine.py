@@ -175,3 +175,31 @@ def test_unique_guard_rejects_unbounded_collect(spark):
         layer.unique(return_counts=True, spark=spark, max_values=10)
     values, counts = layer.unique(return_counts=True, spark=spark)
     assert len(values) == 17 * 13 and counts.sum() == 17 * 13
+
+
+def test_conv2d_halo_fallback_matches_broadcast(spark, tmp_path, monkeypatch):
+    """Above the halo broadcast budget the stencil plan switches to strip
+    rows co-located by one payload repartition — bit-identical results to
+    the broadcast halo exchange (the 100-TB-safe path)."""
+    import numpy as np
+
+    import yirgacheffe_spark as yg
+
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 50, (20, 24)).astype(np.float32)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    area = yg.Area(0.0, 0.0, 0.24, -0.20, proj)
+    layer = yg.write_array_as_raster_table(
+        str(tmp_path / "conv_src"), data, area, tile_size=4
+    )
+    kernel = np.ones((3, 3), dtype=np.float32)
+    expr = layer.conv2d(kernel)
+
+    broadcast_out = expr.to_numpy(spark=spark)
+    broadcast_sum = expr.sum(spark=spark)
+
+    monkeypatch.setenv("YG_HALO_BROADCAST_MAX", "0")  # force the fallback
+    fallback_out = expr.to_numpy(spark=spark)
+    fallback_sum = expr.sum(spark=spark)
+    np.testing.assert_array_equal(fallback_out, broadcast_out)
+    assert fallback_sum == broadcast_sum

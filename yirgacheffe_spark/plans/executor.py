@@ -314,8 +314,30 @@ def _halo_strips(spark: SparkSession, payload: dict, slot: int,
                 names=["ty", "tx", "piece"],
             )
 
-    strips = src.mapInArrow(extract, schema=f"ty int, tx int, piece {PIECE_STRUCT_SQL}")
-    return strips.groupBy("ty", "tx").agg(F.collect_list("piece").alias("halo"))
+    return src.mapInArrow(extract, schema=f"ty int, tx int, piece {PIECE_STRUCT_SQL}")
+
+
+def _halo_strip_bytes(payload: dict, slot: int,
+                      tile_box: tuple[int, int, int, int]) -> int:
+    """Upper-bound estimate of the halo-strip volume for ``slot`` over the
+    tile box: per tile, the 8 neighbour strips cover a pad-wide frame."""
+    meta = payload["slot_meta"][slot]
+    p = meta["pad"]
+    ty_size, tx_size = payload["ty_size"], payload["tx_size"]
+    ty_lo, ty_hi, tx_lo, tx_hi = tile_box
+    n_tiles = (ty_hi - ty_lo + 1) * (tx_hi - tx_lo + 1)
+    frame_px = 2 * p * (ty_size + tx_size) + 4 * p * p
+    return n_tiles * frame_px * np.dtype(meta["np_dtype"]).itemsize
+
+
+def _halo_broadcast_max() -> int:
+    """Broadcasting the halo side is only sane while it fits comfortably in
+    every executor: above this budget the plan falls back to strip rows
+    co-located with the body by ONE payload repartition (linear,
+    cluster-safe).  At 100 TB the strips alone are ~1.6% of the raster —
+    terabytes — so the broadcast path must be size-guarded, not assumed.
+    Read per call so tests can force either path."""
+    return int(os.environ.get("YG_HALO_BROADCAST_MAX", str(256 * 1024 * 1024)))
 
 
 
@@ -635,11 +657,23 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
             pad = payload["slot_meta"][0]["pad"]
             if aligned:
                 # Body rows are already one per tile — zero shuffles.  A
-                # stencil halo rides in as broadcast strips (halo exchange).
+                # stencil halo rides in as broadcast strips (halo exchange)
+                # while the strip volume fits the broadcast budget; above it
+                # (planet-scale stencils) the strips become ordinary piece
+                # rows co-located with the body by one payload repartition —
+                # linear and cluster-safe, never a giant broadcast.
                 df = rows
+                halo_fallback = False
                 if pad > 0:
-                    halo = _halo_strips(spark, payload, 0, tile_box, src)
-                    df = df.join(F.broadcast(halo), ["ty", "tx"], "left")
+                    strips = _halo_strips(spark, payload, 0, tile_box, src)
+                    if _halo_strip_bytes(payload, 0, tile_box) <= _halo_broadcast_max():
+                        halo = strips.groupBy("ty", "tx").agg(
+                            F.collect_list("piece").alias("halo")
+                        )
+                        df = df.join(F.broadcast(halo), ["ty", "tx"], "left")
+                    else:
+                        halo_fallback = True
+                        df = df.select("ty", "tx", "piece").unionByName(strips)
                 else:
                     df = df.selectExpr(
                         "ty", "tx", "piece",
@@ -652,13 +686,15 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                 missing = _missing_grid(spark, payload, tile_box, [cov],
                                         rows if not payload["slot_meta"][0]["dense"] else None)
                 if missing is not None:
-                    df = df.unionByName(
-                        missing.selectExpr(
-                            "ty", "tx",
-                            f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece",
-                            f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
+                    miss_cols = ["ty", "tx",
+                                 f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece"]
+                    if not halo_fallback:
+                        miss_cols.append(
+                            f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo"
                         )
-                    )
+                    df = df.unionByName(missing.selectExpr(*miss_cols))
+                if halo_fallback:
+                    df = df.repartition(F.col("ty"), F.col("tx"))
                 bc = spark.sparkContext.broadcast(payload)
                 return spark, root, payload, bc, df
 
