@@ -137,8 +137,12 @@ def _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile) -> None:
     tiles = executor.tiles_dataframe(root, spark_s)
     n_engine_rows = -(-w.ysize // _c.TILE_YSIZE)
     # One range partition per engine tile row caps what toLocalIterator
-    # materialises on the driver at a single strip.
-    n_parts = max(1, min(n_engine_rows, 4096))
+    # materialises on the driver at a single strip — the cap must scale
+    # with the raster (a fixed small cap would make one partition hold
+    # raster/cap bytes and break the O(strip) memory bound); 2^20 task
+    # scheduling is the acceptable price of a million-strip single-file
+    # gather (use save() for outputs that must stay distributed).
+    n_parts = max(1, min(n_engine_rows, 1 << 20))
     ordered = tiles.repartitionByRange(
         n_parts, "tile_y", "tile_x"
     ).sortWithinPartitions("tile_y", "tile_x")
