@@ -180,7 +180,9 @@ def _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile) -> None:
             buf_y0 = emitted
 
     cur_ty = None
-    for row in ordered.toLocalIterator():
+    # prefetch: the cluster computes partition k+1 while the driver
+    # compresses and writes partition k's strips.
+    for row in ordered.toLocalIterator(prefetchPartitions=True):
         if cur_ty is not None and row["tile_y"] != cur_ty:
             _flush(row["tile_y"] * _c.TILE_YSIZE)
         cur_ty = row["tile_y"]
