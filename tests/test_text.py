@@ -586,3 +586,68 @@ class TestNgramLM:
                   lm.train_ngram_counts(docs, n=3).collect()}
         # short-doc rule: whole sequence as one gram; empty contributes none
         assert counts == {"single": 1, "two words here": 1}
+
+
+class TestBoilerplateRemoval:
+    """Line-level dedup: corpus-frequent lines strip, prose survives with
+    order preserved — differential vs a plain-Python oracle."""
+
+    def _corpus(self, spark, n=40):
+        import pandas as pd
+
+        docs = []
+        for i in range(n):
+            lines = [
+                "COOKIE BANNER: accept all",          # in every doc
+                f"unique prose line {i} alpha",
+                "nav: home | about | contact",        # in every doc
+                f"unique prose line {i} beta",
+            ]
+            if i % 2 == 0:
+                lines.append("even-doc promo footer")  # in half the docs
+            docs.append("\n".join(lines))
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64), "text": docs}))
+
+    def test_matches_python_oracle(self, spark):
+        from collections import Counter
+
+        from yirgacheffe_spark.text import dedup
+
+        docs = self._corpus(spark)
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        got = {r["doc_id"]: r["text"] for r in
+               dedup.remove_boilerplate_lines(docs, min_docs=3).collect()}
+
+        freq = Counter()
+        for t in rows.values():
+            for line in {l.strip() for l in t.split("\n") if l.strip()}:
+                freq[line] += 1
+        for did, t in rows.items():
+            want = "\n".join(
+                l for l in t.split("\n")
+                if l.strip() and freq[l.strip()] < 3
+            )
+            assert got[did] == want, did
+
+    def test_all_boilerplate_doc_keeps_empty_text(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import dedup
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["same line"] * 3 + ["same line\nplus prose"]}))
+        got = {r["doc_id"]: r["text"] for r in
+               dedup.remove_boilerplate_lines(docs, min_docs=3).collect()}
+        assert got[0] == "" and got[1] == "" and got[2] == ""
+        assert got[3] == "plus prose"
+
+    def test_plan_is_broadcast_and_python_free(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        docs = self._corpus(spark)
+        plan = dedup.remove_boilerplate_lines(docs, min_docs=3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -626,3 +626,70 @@ def dedup_keep_cluster_representative(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# -- Line-level boilerplate removal ------------------------------------------
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_collect: int = 5_000_000) -> DataFrame:
+    """(line_hash, n_docs) for every line appearing in >= ``min_docs``
+    DISTINCT documents — the corpus-frequency table behind line-level
+    dedup (navigation chrome, cookie banners, footers repeat across a
+    site's pages; in-document prose does not).
+
+    One explode + one distinct-count aggregate, all JVM; lines are keyed
+    by ``xxhash64`` so the shuffle carries 8-byte keys, not line text.
+    ``max_collect`` only bounds the table when a caller materialises it.
+    """
+    del max_collect  # reserved: the frame is lazy; bound at the call site
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    return (
+        lines.select(id_col, F.xxhash64(F.trim(F.col("line"))).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             broadcast_hot: bool = True) -> DataFrame:
+    """Strip lines that repeat across >= ``min_docs`` distinct documents
+    (RefinedWeb/CCNet-style boilerplate removal), preserving every other
+    line's order; the cleaned text replaces ``text_col``.
+
+    Plan: the hot-line table (line_hash) is corpus-frequency-bounded —
+    boilerplate is by definition a SMALL set of distinct lines — so it
+    broadcasts; each document's lines explode WITH position, anti-join the
+    hot set, and re-assemble via a sorted collect per document.  Pass
+    ``broadcast_hot=False`` for pathological corpora (shuffle join).
+    Documents whose every line is boilerplate keep an empty string.
+    """
+    hot = boilerplate_lines(df, min_docs, text_col, id_col).select("line_hash")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    numbered = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64(F.trim(F.col("_line"))))
+    kept = numbered.join(
+        hot.withColumnRenamed("line_hash", "_h"), "_h", "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean")
+    )
+    out = df.join(rebuilt, id_col, "left")
+    return out.withColumn(
+        text_col, F.coalesce(F.col("_clean"), F.lit(""))
+    ).drop("_clean")
