@@ -121,3 +121,42 @@ def test_reproject_sum_preserves_total_any_factor(f):
     coarse = yg.MapProjection("epsg:4326", 0.02 * f, -0.02 * f)
     out = yg.ReprojectedLayer(src, coarse, "sum").read_array(0, 0, 6, 6)
     assert out.sum() == data.sum()
+
+
+def test_crs_round_trips_fuzz():
+    """Hypothesis fuzz: every registered projected CRS round-trips random
+    in-domain coordinates through the geographic hub."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    import yirgacheffe_spark as yg
+    from yirgacheffe_spark.reprojection import transform_points
+
+    wgs = yg.MapProjection("epsg:4326", 1.0, -1.0).crs
+    domains = {
+        "epsg:27700": ((-7.0, 2.0), (49.5, 59.0), 5e-8),
+        "epsg:2154": ((-5.0, 9.0), (41.0, 51.5), 1e-9),
+        "epsg:3413": ((-180.0, 180.0), (55.0, 89.9), 1e-9),
+        "epsg:3031": ((-180.0, 180.0), (-89.9, -55.0), 1e-9),
+        "epsg:3395": ((-179.9, 179.9), (-84.0, 84.0), 1e-9),
+        "epsg:32633": ((9.0, 21.0), (-75.0, 80.0), 1e-9),
+    }
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        code=st.sampled_from(sorted(domains)),
+        u=st.floats(0.0, 1.0), v=st.floats(0.0, 1.0),
+    )
+    def check(code, u, v):
+        (x0, x1), (y0, y1), tol = domains[code]
+        lng = np.array([x0 + (x1 - x0) * u])
+        lat = np.array([y0 + (y1 - y0) * v])
+        crs = yg.MapProjection(code, 1.0, -1.0).crs
+        px, py = transform_points(wgs, crs, lng, lat)
+        lng2, lat2 = transform_points(crs, wgs, px, py)
+        # longitudes compare modulo 360 (+-180 is one meridian)
+        dlng = (float(lng2[0] - lng[0]) + 180.0) % 360.0 - 180.0
+        assert abs(dlng) < tol, (code, lng[0], lat[0])
+        assert abs(float(lat2[0] - lat[0])) < tol, (code, lng[0], lat[0])
+
+    check()
