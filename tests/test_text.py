@@ -651,3 +651,60 @@ class TestBoilerplateRemoval:
         ).executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestIncrementalDedup:
+    """Append-mode dedup: a new batch against a stored signature index must
+    find exactly the cross pairs the full-corpus batch path finds."""
+
+    def _corpora(self, spark):
+        import pandas as pd
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs for the journey home",
+            "sphinx of black quartz judge my vow before the winter comes",
+        ]
+        index_texts = [t + f" tail {i}" for i, t in enumerate(base * 3)]
+        new_texts = [
+            base[0] + " tail 0",          # near-dup of index doc 0
+            "a completely different document about distributed systems",
+            base[2] + " tail 2",          # near-dup of index doc 2
+        ]
+        index = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(len(index_texts), dtype=np.int64),
+            "text": index_texts}))
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(1000, 1000 + len(new_texts), dtype=np.int64),
+            "text": new_texts}))
+        return new, index
+
+    def test_cross_candidates_match_full_batch_path(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        new, index = self._corpora(spark)
+        idx_sigs = dedup.minhash_signatures(index, bands=16)
+        new_sigs = dedup.minhash_signatures(new, bands=16)
+        got = {(r["id_new"], r["id_idx"]) for r in
+               dedup.minhash_lsh_candidates_incremental(new_sigs, idx_sigs).collect()}
+
+        # oracle: full-corpus candidates restricted to cross pairs
+        union = new.unionByName(index)
+        full = dedup.minhash_lsh_candidates(
+            dedup.minhash_signatures(union, bands=16), "doc_id", bands=16
+        ).collect()
+        want = set()
+        for r in full:
+            a, b = r["id_a"], r["id_b"]
+            if (a >= 1000) != (b >= 1000):
+                want.add((max(a, b), min(a, b)))
+        assert got == want and len(got) >= 2
+
+    def test_dedup_against_index_keeps_only_fresh(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        new, index = self._corpora(spark)
+        idx_sigs = dedup.minhash_signatures(index, bands=16)
+        kept = [r["doc_id"] for r in dedup.minhash_dedup_against_index(
+            new, idx_sigs, index, threshold=0.8).collect()]
+        assert kept == [1001]  # only the genuinely new document survives

@@ -693,3 +693,84 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
     return out.withColumn(
         text_col, F.coalesce(F.col("_clean"), F.lit(""))
     ).drop("_clean")
+
+
+# -- Incremental (append-mode) near-dup detection ----------------------------
+
+
+def minhash_lsh_candidates_incremental(new_sigs: DataFrame,
+                                       index_sigs: DataFrame,
+                                       id_col: str = "doc_id",
+                                       max_bucket: int = 4096) -> DataFrame:
+    """Candidate pairs (new_id, index_id) between a NEW batch and an
+    EXISTING signature index — the daily-crawl dedup shape: yesterday's
+    corpus is indexed once (store the fused ``buckets`` column), today's
+    batch checks against it without re-bucketing the index.
+
+    Plan: the new batch's bucket set is tiny relative to the index, so it
+    broadcasts; the index scan semi-joins down to only the touched
+    buckets BEFORE any pairing (bucket-count pruning on the index never
+    scans untouched rows).  Pair expansion is grouped per bucket with the
+    same ``max_bucket`` quadratic-blowup cap as the batch path.  New-vs-new
+    duplicates are the batch path's job (`minhash_lsh_candidates` on
+    ``new_sigs``); this operator covers strictly cross pairs.
+    """
+    for side, name in ((new_sigs, "new_sigs"), (index_sigs, "index_sigs")):
+        if "buckets" not in side.columns:
+            raise ValueError(f"{name} needs the fused `buckets` column "
+                             "(minhash_signatures(..., bands=N))")
+    new_b = new_sigs.select(
+        F.col(id_col).alias("id_new"), F.explode("buckets").alias("bucket")
+    )
+    idx_b = index_sigs.select(
+        F.col(id_col).alias("id_idx"), F.explode("buckets").alias("bucket")
+    )
+    touched = new_b.select("bucket").distinct()
+    hits = idx_b.join(F.broadcast(touched), "bucket", "inner")
+    # Cap per bucket on the INDEX side (a mega-bucket would pair every new
+    # row against it; at that size members are exact dups better handled by
+    # exact_dedup, same rationale as the batch path).
+    from pyspark.sql import Window as W  # pylint: disable=C0415
+
+    capped = (
+        hits.withColumn(
+            "_rn", F.row_number().over(
+                W.partitionBy("bucket").orderBy(F.col("id_idx").asc())
+            )
+        )
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    return (
+        new_b.join(capped, "bucket", "inner")
+        .select("id_new", "id_idx")
+        .distinct()
+    )
+
+
+def minhash_dedup_against_index(new_docs: DataFrame, index_sigs: DataFrame,
+                                index_docs: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_perm: int = 64, bands: int = 16,
+                                shingle_n: int = 3,
+                                threshold: float = 0.8) -> DataFrame:
+    """Rows of ``new_docs`` that are NOT near-duplicates of the existing
+    index: sign the batch, generate cross candidates, verify with exact
+    Jaccard against the index documents, anti-join the hits — the
+    append-mode dedup a rolling crawl pipeline runs every ingest."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_perm, shingle_n, bands=bands
+    )
+    cands = minhash_lsh_candidates_incremental(new_sigs, index_sigs, id_col)
+    pairs = cands.select(
+        F.col("id_new").alias("id_a"), F.col("id_idx").alias("id_b")
+    )
+    both = new_docs.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(index_docs.select(F.col(id_col), F.col(text_col)))
+    verified = jaccard_pairs(both, pairs, text_col, id_col, shingle_n)
+    dupes = verified.where(F.col("jaccard") >= threshold).select(
+        F.col("id_a").alias(id_col)
+    ).distinct()
+    return new_docs.join(dupes, id_col, "left_anti")
