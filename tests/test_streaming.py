@@ -234,3 +234,46 @@ def test_sessionization_key_schema_follows_source(spark, tmp_path):
     got = spark.read.parquet(out)
     assert dict(got.dtypes)["host"] == "string"
     assert {(r["host"], r["n_events"]) for r in got.collect()} >= {("a.example", 2)}
+
+
+def test_dedup_ingest_stream_admits_only_fresh(spark, tmp_path):
+    """Continuous deduplicated ingest: batch-internal near-dups collapse to
+    one representative; later files' near-dups of ALREADY-ACCEPTED docs are
+    rejected via the stored signature index."""
+    import pandas as pd
+
+    from yirgacheffe_spark.streaming import dedup_ingest
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs for the long journey home",
+        "sphinx of black quartz judge my vow before the cold winter comes",
+    ]
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+
+    # File 1: two internal near-dups (0 and 1) + one unique.
+    write([(0, base[0] + " x"), (1, base[0] + " y"), (2, base[1] + " z")])
+    # File 2: a near-dup of an accepted doc, and one genuinely new doc.
+    write([(10, base[0] + " w"), (11, base[2] + " q")])
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    q = dedup_ingest.dedup_ingest_stream(stream, out, index, ckpt)
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # batch 1 keeps 0 (smallest of the 0/1 cluster) and 2; batch 2 rejects
+    # 10 (near-dup of accepted 0) and keeps 11.
+    assert got == [0, 2, 11], got
+    # the signature index covers exactly the accepted documents
+    idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(index).collect())
+    assert idx_ids == [0, 2, 11]

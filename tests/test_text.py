@@ -708,3 +708,25 @@ class TestIncrementalDedup:
         kept = [r["doc_id"] for r in dedup.minhash_dedup_against_index(
             new, idx_sigs, index, threshold=0.8).collect()]
         assert kept == [1001]  # only the genuinely new document survives
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    import pandas as pd
+
+    from yirgacheffe_spark.text import sampling
+
+    n = 300
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64)}))
+    # chains 0-1-2, 3-4, and many singletons
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [0, 1, 3] + [10 + 2 * i for i in range(40)],
+        "id_b": [1, 2, 4] + [11 + 2 * i for i in range(40)]}))
+    train, test = sampling.leakage_safe_split(docs, pairs, 0.4, seed=2)
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr.isdisjoint(te) and len(tr) + len(te) == n
+    for comp in ([0, 1, 2], [3, 4], *[[10 + 2 * i, 11 + 2 * i] for i in range(40)]):
+        sides = {m in te for m in comp}
+        assert len(sides) == 1, comp  # whole component on one side
+    assert 0.2 < len(te) / n < 0.6

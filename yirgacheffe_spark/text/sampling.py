@@ -169,3 +169,31 @@ def pack_sequences(df: DataFrame, token_budget: int,
         (F.col("_pid_out").cast("long") * F.lit(1 << 40)
          + F.col("_local_bin")).alias("bin_id"),
     )
+
+
+def leakage_safe_split(df: DataFrame, dup_pairs: DataFrame,
+                       test_fraction: float, id_col: str = "doc_id",
+                       seed: int = 0) -> "tuple[DataFrame, DataFrame]":
+    """(train, test) split that never separates near-duplicates: every
+    document of a near-dup COMPONENT lands on the same side (a duplicate
+    of a test document leaking into train is the classic eval
+    contamination), singletons split by their own id.
+
+    ``dup_pairs`` is any (id_a, id_b) near-dup pair table (MinHash,
+    SimHash, embedding LSH); components come from the distributed
+    connected-components operator, and side assignment hashes the
+    component label with the same content-keyed rule as
+    ``train_test_split``.
+    """
+    from .dedup import connected_components  # pylint: disable=C0415
+
+    comps = connected_components(dup_pairs).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    keyed = df.join(comps, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    u = _hash_unit(F.col("_split_key"), seed)
+    train = keyed.where(u >= test_fraction).drop("component", "_split_key")
+    test = keyed.where(u < test_fraction).drop("component", "_split_key")
+    return train, test
