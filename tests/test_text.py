@@ -730,3 +730,30 @@ def test_leakage_safe_split_keeps_components_together(spark):
         sides = {m in te for m in comp}
         assert len(sides) == 1, comp  # whole component on one side
     assert 0.2 < len(te) / n < 0.6
+
+
+def test_redact_pii_and_counts(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from yirgacheffe_spark.text import quality
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "contact me at jane.doe@site.example or +1 (555) 123-4567 ok",
+            "server at 192.168.10.20 and backup at 10.0.0.1 online",
+            "no personal data in this sentence at all",
+        ]}))
+    out = {r["doc_id"]: r["clean"] for r in docs.select(
+        "doc_id", quality.redact_pii(F.col("text")).alias("clean")).collect()}
+    assert out[0] == "contact me at <EMAIL> or <PHONE> ok"
+    assert out[1] == "server at <IP> and backup at <IP> online"
+    assert out[2] == "no personal data in this sentence at all"
+
+    counts = {r["doc_id"]: r["c"].asDict() for r in docs.select(
+        "doc_id", quality.pii_counts(F.col("text")).alias("c")).collect()}
+    assert counts[0] == {"n_email": 1, "n_ip": 0, "n_phone": 1}
+    assert counts[1] == {"n_email": 0, "n_ip": 2, "n_phone": 0}
+    assert counts[2] == {"n_email": 0, "n_ip": 0, "n_phone": 0}

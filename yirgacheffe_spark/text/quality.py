@@ -172,3 +172,53 @@ def quality_score_sql(col: str = "text") -> str:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
+
+
+# -- PII redaction ------------------------------------------------------------
+
+# Deliberately simple, auditable patterns (the public regexes every crawl
+# pipeline starts from); each replacement tag is greppable downstream.
+_PII_PATTERNS = (
+    # local@domain.tld — conservative: requires a dot in the domain.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 dotted quads.
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # International-ish phone numbers: 7+ digits with separators, optional +CC.
+    (r"\+?\d[\d\s().-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-number-shaped digit runs
+    with greppable tags — pure JVM ``regexp_replace`` chain (order matters:
+    emails first so their digits never half-match the phone pattern).
+    The patterns are the standard first-pass public ones: auditable and
+    cheap, not an NER system; swap in a model-based pass downstream where
+    recall matters more than throughput."""
+    out = col
+    for pattern, tag in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_email, n_ip, n_phone) found in the text (pre-redaction
+    counts, for corpus auditing) — counted by length delta of a tagged
+    rewrite, no Python.  Patterns apply SEQUENTIALLY (same order as
+    ``redact_pii``), so an IP's digits are never double-counted as a
+    phone number."""
+    counts = []
+    current = col
+    for pattern, tag in _PII_PATTERNS:
+        replaced = F.regexp_replace(current, pattern, tag)
+        # every replacement leaves exactly one tag occurrence
+        counts.append(
+            (
+                (F.length(replaced)
+                 - F.length(F.regexp_replace(replaced, tag, "")))
+                / F.lit(len(tag))
+            ).cast("long")
+        )
+        current = replaced
+    return F.struct(counts[0].alias("n_email"), counts[1].alias("n_ip"),
+                    counts[2].alias("n_phone"))
