@@ -757,3 +757,51 @@ def test_redact_pii_and_counts(spark):
     assert counts[0] == {"n_email": 1, "n_ip": 0, "n_phone": 1}
     assert counts[1] == {"n_email": 0, "n_ip": 2, "n_phone": 0}
     assert counts[2] == {"n_email": 0, "n_ip": 0, "n_phone": 0}
+
+
+def test_curate_corpus_full_pipeline(spark):
+    """The one-call curation pipeline: every stage fires, the report counts
+    are monotone non-increasing, and each stage's effect is visible."""
+    import pandas as pd
+
+    from yirgacheffe_spark.text import pipeline
+
+    prose = ("the quick brown fox jumps over the lazy dog and keeps running "
+             "through the quiet field while the sun rises slowly over it")
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"topic{i} word{i} item{j}" for j in range(4))
+        rows.append((i, "en", f"{prose} {tail}\nshared cookie banner line"))
+    rows.append((100, "en", rows[0][2]))           # exact dup of doc 0
+    # near-dup of doc 0: same prose + same tail, one word changed
+    rows.append((101, "en", rows[0][2].split("\n")[0] + " extra"))
+    rows.append((102, "en", "!!! ??? ,,, ;;;"))    # junk -> quality floor
+    rows.append((103, "de", f"{prose} germanish {0}\nshared cookie banner line"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+
+    curated, report = pipeline.curate_corpus(
+        docs,
+        boilerplate_min_docs=3,
+        min_quality=0.05,
+        near_dup_threshold=0.8,
+        lang_fractions={"en": 1.0},  # drop non-en
+    )
+    counts = dict(report)
+    assert counts["input"] == 34
+    assert counts["exact_dedup"] == 33           # doc 100 collapses
+    assert counts["boilerplate_removal"] == 33   # row-preserving
+    assert counts["quality_floor"] == 32         # junk drops
+    assert counts["near_dup_cluster_dedup"] == 31  # 101 collapses into 0
+    assert counts["language_sampling"] == 30     # de drops
+    vals = [n for _, n in report]
+    assert vals == sorted(vals, reverse=True)
+
+    out = curated.collect()
+    assert {r["doc_id"] for r in out} == set(range(30))
+    assert all("cookie banner" not in r["text"] for r in out)
+
+    # report off -> single lazy plan, no counting jobs
+    lazy, rep = pipeline.curate_corpus(docs, with_report=False)
+    assert rep is None and lazy.count() > 0

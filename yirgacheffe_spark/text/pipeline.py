@@ -1,0 +1,95 @@
+"""The end-to-end training-data curation pipeline as one composable call.
+
+``curate_corpus`` chains the engine's curation operators in the order the
+public pipelines (CCNet, Gopher, RefinedWeb) established — each stage is
+optional and individually tested elsewhere; this module owns only the
+composition and the per-stage accounting:
+
+    exact dedup  ->  boilerplate line removal  ->  heuristic quality floor
+    ->  LM quality floor (optional)  ->  MinHash cluster dedup
+    ->  stratified language sampling (optional)
+
+Every stage is a lazy DataFrame transform; nothing materialises until the
+caller acts.  The returned report runs ONE count per enabled stage — at
+10^12 rows, skip the report (``with_report=False``) and the whole pipeline
+is a single composed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup, quality, sampling
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate_min_docs: int | None = 3,
+    min_quality: float | None = 0.1,
+    lm_model: DataFrame | None = None,
+    lm_min_avg_logprob: float = -12.0,
+    near_dup_threshold: float | None = 0.8,
+    minhash_num_perm: int = 64,
+    minhash_bands: int = 16,
+    lang_fractions: "dict | None" = None,
+    lang_col: str = "lang",
+    sample_seed: int = 0,
+    with_report: bool = True,
+) -> "tuple[DataFrame, list[tuple[str, int]] | None]":
+    """Returns ``(curated, report)`` — ``report`` is a list of
+    ``(stage_name, rows_after)`` pairs (None when ``with_report=False``).
+
+    Pass ``None`` for any stage's knob to skip that stage.  ``lm_model``
+    is a (gram, count) table from ``lm.train_ngram_counts`` on a
+    reference corpus.
+    """
+    stages: list[tuple[str, int]] = []
+    cur = docs
+
+    def record(name: str) -> None:
+        if with_report:
+            stages.append((name, cur.count()))
+
+    record("input")
+
+    cur = dedup.exact_dedup(cur, text_col, id_col)
+    record("exact_dedup")
+
+    if boilerplate_min_docs is not None:
+        cur = dedup.remove_boilerplate_lines(
+            cur, boilerplate_min_docs, text_col, id_col
+        )
+        record("boilerplate_removal")
+
+    if min_quality is not None:
+        cur = cur.where(
+            quality.quality_score(F.col(text_col)) >= F.lit(min_quality)
+        )
+        record("quality_floor")
+
+    if lm_model is not None:
+        from . import lm as lm_mod  # pylint: disable=C0415
+
+        cur = lm_mod.quality_filter_by_lm(
+            cur, lm_model, text_col=text_col, id_col=id_col,
+            min_avg_logprob=lm_min_avg_logprob,
+        )
+        record("lm_filter")
+
+    if near_dup_threshold is not None:
+        pairs = dedup.minhash_dedup_pairs(
+            cur, text_col, id_col, num_perm=minhash_num_perm,
+            bands=minhash_bands, threshold=near_dup_threshold,
+        )
+        cur = dedup.dedup_keep_cluster_representative(cur, pairs, id_col)
+        record("near_dup_cluster_dedup")
+
+    if lang_fractions is not None:
+        cur = sampling.stratified_sample(
+            cur, lang_col, lang_fractions, id_col, seed=sample_seed
+        )
+        record("language_sampling")
+
+    return cur, (stages if with_report else None)
