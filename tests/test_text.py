@@ -805,3 +805,48 @@ def test_curate_corpus_full_pipeline(spark):
     # report off -> single lazy plan, no counting jobs
     lazy, rep = pipeline.curate_corpus(docs, with_report=False)
     assert rep is None and lazy.count() > 0
+
+
+class TestCurationEdgeCases:
+    """Empty corpora and null keys must flow through the curation stack
+    without crashing or silently mislabeling."""
+
+    def _empty(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id long, lang string, text string, n_tokens long"
+        )
+
+    def test_empty_corpus_flows_through(self, spark):
+        from yirgacheffe_spark.text import dedup, pipeline, sampling
+
+        empty = self._empty(spark)
+        assert dedup.remove_boilerplate_lines(empty).count() == 0
+        assert sampling.salted_sample(empty, 0.5, "doc_id").count() == 0
+        assert sampling.pack_sequences(empty, 100).count() == 0
+        curated, report = pipeline.curate_corpus(empty, lang_fractions={"en": 1.0})
+        assert curated.count() == 0
+        assert all(n == 0 for _, n in report)
+
+    def test_null_sample_keys_drop_not_crash(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import sampling
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": pd.array([1, None, 3], dtype="Int64")}))
+        out = sampling.salted_sample(docs, 1.0, "doc_id")
+        # fraction 1.0 keeps every NON-NULL key; null hashes to null -> drops
+        assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+    def test_incremental_dedup_empty_index(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import dedup
+
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["totally new document with words"]}))
+        empty_sigs = dedup.minhash_signatures(
+            spark.createDataFrame([], "doc_id long, text string"), bands=16)
+        out = dedup.minhash_lsh_candidates_incremental(
+            dedup.minhash_signatures(new, bands=16), empty_sigs)
+        assert out.count() == 0

@@ -35,9 +35,14 @@ def _hash_unit(key_col, seed: int):
     (hex order) — the DuckDB mirror is
     ``('0x' || substr(md5(key || ' ' || seed), 1, 16))::UBIGINT / 2^64``.
     """
+    # F.concat (not concat_ws): a NULL key must yield a NULL hash — with
+    # concat_ws every null key would silently share ONE hash value and move
+    # in and out of samples as a correlated block.  Null-key rows therefore
+    # drop from every sample and from BOTH split sides; key on a non-null
+    # content fingerprint.
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(" ", key_col.cast("string"),
-                                      F.lit(str(seed)))), 1, 16),
+        F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(" "),
+                                   F.lit(str(seed)))), 1, 16),
         16, 10,
     ).cast("decimal(20,0)")
     return h.cast("double") / F.lit(_TWO64)
