@@ -453,3 +453,75 @@ def test_zonal_stats_distributed_matches_broadcast_at_10k_polygons(spark):
     }
     assert dist == bcast
     assert len(dist) > 9000  # nearly every polygon overlaps some pixel
+
+
+class TestAsofJoin:
+    """As-of join via union + carry-forward window, differential against
+    pandas.merge_asof (the reference oracle for at-or-before semantics)."""
+
+    def _frames(self, spark, n_keys=5, n_left=400, n_right=300):
+        import pandas as pd
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame({
+            "user_id": rng.integers(0, n_keys, n_left).astype("int64"),
+            "ts": rng.integers(0, 100_000, n_left).astype("int64"),
+            "lval": rng.random(n_left),
+        }).drop_duplicates(["user_id", "ts"])
+        right = pd.DataFrame({
+            "user_id": rng.integers(0, n_keys, n_right).astype("int64"),
+            "ts": rng.integers(0, 100_000, n_right).astype("int64"),
+            "rval": rng.random(n_right),
+        }).drop_duplicates(["user_id", "ts"])
+        return left, right
+
+    def _oracle(self, left, right, tolerance=None):
+        import pandas as pd
+
+        kw = {"tolerance": tolerance} if tolerance is not None else {}
+        return pd.merge_asof(
+            left.sort_values(["ts", "user_id"], kind="stable"),
+            right.sort_values(["ts", "user_id"], kind="stable"),
+            on="ts", by="user_id", direction="backward",
+            suffixes=("", "_r"), **kw,
+        )
+
+    def _compare(self, spark, tolerance_ms=None):
+        from yirgacheffe_spark.spatial import asof
+
+        left, right = self._frames(spark)
+        out = asof.asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by="user_id", tolerance_ms=tolerance_ms,
+        ).toPandas()
+        want = self._oracle(left, right, tolerance=tolerance_ms)
+        import math
+
+        def norm(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            return round(v, 12)
+
+        got = {(r.user_id, r.ts): (round(r.lval, 12), norm(r.r_rval))
+               for r in out.itertuples()}
+        for r in want.itertuples():
+            assert got[(r.user_id, r.ts)] == (round(r.lval, 12), norm(r.rval)), (r.user_id, r.ts)
+        assert len(got) == len(want)
+
+    def test_matches_pandas_merge_asof(self, spark):
+        self._compare(spark)
+
+    def test_tolerance(self, spark):
+        self._compare(spark, tolerance_ms=500)
+
+    def test_equal_timestamp_is_visible(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.spatial import asof
+
+        left = spark.createDataFrame(pd.DataFrame(
+            {"user_id": [1], "ts": [100], "lval": [1.0]}))
+        right = spark.createDataFrame(pd.DataFrame(
+            {"user_id": [1], "ts": [100], "rval": [9.0]}))
+        row = asof.asof_join(left, right, on="ts", by="user_id").collect()[0]
+        assert row["r_rval"] == 9.0  # at-or-before includes equality
