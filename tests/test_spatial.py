@@ -525,3 +525,34 @@ class TestAsofJoin:
             {"user_id": [1], "ts": [100], "rval": [9.0]}))
         row = asof.asof_join(left, right, on="ts", by="user_id").collect()[0]
         assert row["r_rval"] == 9.0  # at-or-before includes equality
+
+
+def test_asof_join_matches_duckdb_native_asof(spark):
+    """Second independent oracle: DuckDB's native ASOF LEFT JOIN over the
+    driver-generated events table — the engine's union+window formulation
+    must reproduce it row for row (clicks joined to the latest at-or-before
+    error by the same user)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from yirgacheffe_spark.spatial import asof
+
+    sfdir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(sfdir + "/events.parquet")
+    clicks = ev.where("event_type = 'click'").select("event_id", "ts", "user_id", "value")
+    errors = ev.where("event_type = 'error'").select("ts", "user_id", "value")
+    out = asof.asof_join(clicks, errors, on="ts", by="user_id")
+    got = {(r["event_id"], r["r_ts"], None if r["r_value"] is None else round(r["r_value"], 9))
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sfdir}/events.parquet'")
+    want = {(r[0], r[1], None if r[2] is None else round(r[2], 9))
+            for r in con.execute("""
+        SELECT a.event_id, b.ts, b.value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+    """).fetchall()}
+    assert got == want and len(got) > 100
