@@ -556,3 +556,56 @@ def test_asof_join_matches_duckdb_native_asof(spark):
         ON a.user_id = b.user_id AND a.ts >= b.ts
     """).fetchall()}
     assert got == want and len(got) > 100
+
+
+def test_interval_join_matches_duckdb_range_join(spark):
+    """Bucketized interval join == DuckDB's plain inequality join, and the
+    plan stays free of nested-loop/cartesian operators."""
+    import duckdb
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import asof
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "pid": np.arange(2000, dtype=np.int64),
+        "user_id": rng.integers(0, 20, 2000).astype("int64"),
+        "t": rng.integers(0, 100_000, 2000).astype("int64"),
+    })
+    starts = rng.integers(0, 95_000, 300).astype("int64")
+    ivs = pd.DataFrame({
+        "iv_id": np.arange(300, dtype=np.int64),
+        "user_id": rng.integers(0, 20, 300).astype("int64"),
+        "start": starts,
+        "end": starts + rng.integers(1, 8_000, 300).astype("int64"),
+    })
+    out = asof.interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        on="t", by="user_id",
+    )
+    got = {(r["pid"], r["iv_id"]) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("pts", pts); con.register("ivs", ivs)
+    want = {(r[0], r[1]) for r in con.execute(
+        "SELECT p.pid, i.iv_id FROM pts p JOIN ivs i ON p.user_id = i.user_id "
+        "AND p.t >= i.start AND p.t < i.end").fetchall()}
+    assert got == want and len(got) > 500
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_boundary_semantics(spark):
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import asof
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2, 3], "t": [10, 19, 20]}))
+    ivs = spark.createDataFrame(pd.DataFrame(
+        {"iv_id": [7], "start": [10], "end": [20]}))
+    got = {(r["pid"], r["iv_id"]) for r in
+           asof.interval_join(pts, ivs, on="t", bucket_width=4).collect()}
+    assert got == {(1, 7), (2, 7)}  # start inclusive, end exclusive

@@ -76,3 +76,51 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     proj += [F.col("_last_r")[on].alias(f"{right_prefix}{on}")]
     proj += [F.col("_last_r")[c].alias(f"{right_prefix}{c}") for c in r_cols]
     return out.select(*proj)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                  by: "str | None" = None,
+                  start_col: str = "start", end_col: str = "end",
+                  bucket_width: "int | None" = None) -> DataFrame:
+    """Each point row joined to every interval containing it
+    (``start <= on < end``), optionally key-equal on ``by`` — the range
+    join Spark would otherwise plan as a broadcast-nested-loop.
+
+    Scale shape: intervals explode to the fixed-width buckets they
+    overlap, points map to ONE bucket, and the pairing is a plain
+    equi-join on (bucket[, by]) + an exact containment filter — shuffle
+    keyed and linear in (rows + interval spans / bucket_width).  Pick
+    ``bucket_width`` near the median interval length: too small explodes
+    long intervals, too large degrades pruning (the standard trade; the
+    default estimates it from a sample of interval lengths).
+
+    ``on``/``start_col``/``end_col`` must share a numeric/epoch type
+    (cast timestamps with ``unix_millis`` at the call site).
+    """
+    if bucket_width is None:
+        sample = (
+            intervals.select(
+                (F.col(end_col) - F.col(start_col)).alias("_len")
+            ).where(F.col("_len") > 0).limit(10_000).agg(
+                F.percentile_approx("_len", 0.5).alias("m")
+            ).collect()[0]["m"]
+        )
+        bucket_width = max(int(sample or 1), 1)
+    b = int(bucket_width)
+
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                # end is exclusive: a boundary-aligned end stays out
+                F.floor((F.col(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", F.floor(F.col(on) / b).cast("long"))
+    keys = ["_bucket"] + ([by] if by else [])
+    out = pts.join(ivals, keys, "inner").where(
+        (F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col))
+    )
+    return out.drop("_bucket")
