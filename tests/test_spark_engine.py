@@ -203,3 +203,31 @@ def test_conv2d_halo_fallback_matches_broadcast(spark, tmp_path, monkeypatch):
     fallback_sum = expr.sum(spark=spark)
     np.testing.assert_array_equal(fallback_out, broadcast_out)
     assert fallback_sum == broadcast_sum
+
+
+def test_conv2d_over_widened_window_sees_neighbour_data(spark, tmp_path, monkeypatch):
+    """A stencil window widened beyond stored coverage must still read real
+    neighbour pixels at the coverage edge: tiles just outside the data get
+    a row (unpadded-coverage missing grid) and their neighbours' halo
+    strips, on BOTH halo paths.  Previously those tiles were dropped
+    entirely and the border one tile outside the data evaluated to zeros."""
+    import numpy as np
+
+    import yirgacheffe_spark as yg
+    from yirgacheffe_spark.plans import kernel
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(1, 9, (8, 8)).astype(np.float32)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.write_array_as_raster_table(
+        str(tmp_path / "src"), data, yg.Area(0.0, 0.0, 0.08, -0.08, proj),
+        tile_size=4,
+    )
+    wide = layer.as_area(yg.Area(0.0, 0.0, 0.16, -0.16, proj))
+    expr = wide.conv2d(np.ones((3, 3), np.float32))
+    local = kernel.evaluate_window(expr)
+    assert local[8].sum() > 0  # the border outside coverage is nonzero
+
+    np.testing.assert_array_equal(expr.to_numpy(spark=spark), local)
+    monkeypatch.setenv("YG_HALO_BROADCAST_MAX", "0")
+    np.testing.assert_array_equal(expr.to_numpy(spark=spark), local)

@@ -662,8 +662,38 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                 # (planet-scale stencils) the strips become ordinary piece
                 # rows co-located with the body by one payload repartition —
                 # linear and cluster-safe, never a giant broadcast.
-                df = rows
-                halo_fallback = False
+                # Tiles with no stored row still exist as zeros.  Dense
+                # tables (the default) have closed-form rectangular coverage
+                # -> predicate on the generated grid, no extra scan; sparse
+                # tables need the key-only anti-join.  The missing rows
+                # union in BEFORE the halo attaches: a tile outside stored
+                # coverage still receives its neighbours' strips (its core
+                # is zeros, but a stencil overlapping the coverage edge
+                # reads real neighbour pixels — dropping them produced
+                # zeroed borders one tile outside the data).
+                df = rows.select("ty", "tx", "piece")
+                # The coverage rect from _slot_rows is PAD-INFLATED (tiles
+                # the leaf can reach via halo); the missing grid must use
+                # the UNPADDED body coverage, or tiles just outside stored
+                # data get no row at all and their neighbour strips vanish
+                # (zeroed stencil borders one tile outside the data — the
+                # bug the local-oracle differential caught).
+                meta0 = payload["slot_meta"][0]
+                tys, txs = payload["ty_size"], payload["tx_size"]
+                cov_body = (
+                    max(tile_box[0], (-meta0["ayoff"] - tys) // tys + 1),
+                    min(tile_box[1],
+                        (-meta0["ayoff"] + meta0["leaf_h"] - 1) // tys),
+                    max(tile_box[2], (-meta0["axoff"] - txs) // txs + 1),
+                    min(tile_box[3],
+                        (-meta0["axoff"] + meta0["leaf_w"] - 1) // txs),
+                )
+                missing = _missing_grid(spark, payload, tile_box, [cov_body],
+                                        rows if not payload["slot_meta"][0]["dense"] else None)
+                if missing is not None:
+                    df = df.unionByName(missing.selectExpr(
+                        "ty", "tx", f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece"
+                    ))
                 if pad > 0:
                     strips = _halo_strips(spark, payload, 0, tile_box, src)
                     if _halo_strip_bytes(payload, 0, tile_box) <= _halo_broadcast_max():
@@ -672,29 +702,14 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                         )
                         df = df.join(F.broadcast(halo), ["ty", "tx"], "left")
                     else:
-                        halo_fallback = True
-                        df = df.select("ty", "tx", "piece").unionByName(strips)
+                        df = df.unionByName(strips).repartition(
+                            F.col("ty"), F.col("tx")
+                        )
                 else:
                     df = df.selectExpr(
                         "ty", "tx", "piece",
                         f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo",
                     )
-                # Tiles with no stored row still exist as zeros.  Dense
-                # tables (the default) have closed-form rectangular coverage
-                # -> predicate on the generated grid, no extra scan; sparse
-                # tables need the key-only anti-join.
-                missing = _missing_grid(spark, payload, tile_box, [cov],
-                                        rows if not payload["slot_meta"][0]["dense"] else None)
-                if missing is not None:
-                    miss_cols = ["ty", "tx",
-                                 f"CAST(NULL AS {PIECE_STRUCT_SQL}) AS piece"]
-                    if not halo_fallback:
-                        miss_cols.append(
-                            f"CAST(NULL AS array<{PIECE_STRUCT_SQL}>) AS halo"
-                        )
-                    df = df.unionByName(missing.selectExpr(*miss_cols))
-                if halo_fallback:
-                    df = df.repartition(F.col("ty"), F.col("tx"))
                 bc = spark.sparkContext.broadcast(payload)
                 return spark, root, payload, bc, df
 
