@@ -277,3 +277,40 @@ def test_dedup_ingest_stream_admits_only_fresh(spark, tmp_path):
     # the signature index covers exactly the accepted documents
     idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(index).collect())
     assert idx_ids == [0, 2, 11]
+
+
+def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id must reproduce
+    its output, NOT self-match against its own partially-committed index
+    partition and delete everything (the data-loss failure a naive
+    read-everything index scan produces)."""
+    import pandas as pd
+
+    from yirgacheffe_spark.streaming.dedup_ingest import _process_batch
+
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+
+    args = (out, index, "text", "doc_id", 64, 16, 3, 0.8)
+    b0 = batch([(0, "the quick brown fox jumps over the lazy dog today"),
+                (1, "pack my box with five dozen liquor jugs right now")])
+    b1 = batch([(10, "sphinx of black quartz judge my vow this winter")])
+
+    _process_batch(b0, 0, *args)
+    _process_batch(b1, 1, *args)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [0, 1, 10]
+
+    # crash-replay of batch 1: identical output, nothing deleted
+    _process_batch(b1, 1, *args)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [0, 1, 10]
+
+    # and replaying batch 0 (whose index partition also exists) too
+    _process_batch(b0, 0, *args)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [0, 1, 10]

@@ -40,49 +40,66 @@ def dedup_ingest_stream(stream: DataFrame, out_dir: str, index_dir: str,
     under ``out_dir/batch=<id>/``; their signatures under
     ``index_dir/batch=<id>/``.
     """
-    from ..text import dedup  # pylint: disable=C0415
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if not batch_df.take(1):
-            return
-        # 1. batch-internal near-dup clusters -> keep one representative.
-        batch_pairs = dedup.minhash_dedup_pairs(
-            batch_df, text_col, id_col, num_perm=num_perm, bands=bands,
-            shingle_n=shingle_n, threshold=threshold,
-        )
-        kept = dedup.dedup_keep_cluster_representative(
-            batch_df, batch_pairs, id_col
-        )
-        # 2. cross check against everything accepted so far.
-        index_exists = os.path.isdir(index_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(index_dir)
-        )
-        if index_exists:
-            idx_sigs = spark.read.parquet(index_dir)
-            accepted = spark.read.parquet(out_dir).select(
-                F.col(id_col), F.col(text_col)
-            )
-            kept = dedup.minhash_dedup_against_index(
-                kept, idx_sigs, accepted, text_col, id_col,
-                num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-                threshold=threshold,
-            )
-        # 3. idempotent writes: a replayed batch overwrites its own
-        # partition with identical content (deterministic upstream).
-        kept.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        sigs = dedup.minhash_signatures(
-            kept, text_col, id_col, num_perm, shingle_n, bands=bands
-        )
-        sigs.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
-
+        _process_batch(batch_df, batch_id, out_dir, index_dir, text_col,
+                       id_col, num_perm, bands, shingle_n, threshold)
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
+                   index_dir: str, text_col: str, id_col: str,
+                   num_perm: int, bands: int, shingle_n: int,
+                   threshold: float) -> None:
+    """One micro-batch of the deduplicating ingest (module-level so replay
+    semantics are directly testable)."""
+    from ..text import dedup  # pylint: disable=C0415
+
+    spark = batch_df.sparkSession
+    if not batch_df.take(1):
+        return
+    # 1. batch-internal near-dup clusters -> keep one representative.
+    batch_pairs = dedup.minhash_dedup_pairs(
+        batch_df, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    kept = dedup.dedup_keep_cluster_representative(
+        batch_df, batch_pairs, id_col
+    )
+    # 2. cross check against everything accepted so far — EXCLUDING any
+    # partition this same batch id wrote before a crash: foreachBatch is
+    # at-least-once, and a replayed batch reading its own
+    # partially-committed output would self-match every document
+    # (Jaccard(self, self) = 1) and overwrite its partition with an
+    # empty frame, silently deleting accepted rows.
+    index_exists = os.path.isdir(index_dir) and any(
+        f.startswith("batch=") and f != f"batch={batch_id}"
+        for f in os.listdir(index_dir)
+    )
+    if index_exists:
+        idx_sigs = spark.read.parquet(index_dir).where(
+            F.col("batch") != batch_id
+        )
+        accepted = spark.read.parquet(out_dir).where(
+            F.col("batch") != batch_id
+        ).select(F.col(id_col), F.col(text_col))
+        kept = dedup.minhash_dedup_against_index(
+            kept, idx_sigs, accepted, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+            threshold=threshold,
+        )
+    # 3. idempotent writes: a replayed batch overwrites its own
+    # partition with identical content (deterministic upstream).
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+    sigs = dedup.minhash_signatures(
+        kept, text_col, id_col, num_perm, shingle_n, bands=bands
+    )
+    sigs.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch={batch_id}")
     )
