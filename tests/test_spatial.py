@@ -609,3 +609,18 @@ def test_interval_join_boundary_semantics(spark):
     got = {(r["pid"], r["iv_id"]) for r in
            asof.interval_join(pts, ivs, on="t", bucket_width=4).collect()}
     assert got == {(1, 7), (2, 7)}  # start inclusive, end exclusive
+
+
+def test_interval_join_fractional_time(spark):
+    """Fractional numeric time columns must not lose boundary matches."""
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import asof
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2], "t": [10.2, 10.6]}))
+    ivs = spark.createDataFrame(pd.DataFrame(
+        {"iv_id": [7], "start": [0.5], "end": [10.5]}))
+    got = {(r["pid"], r["iv_id"]) for r in
+           asof.interval_join(pts, ivs, on="t", bucket_width=1).collect()}
+    assert got == {(1, 7)}  # 10.2 inside [0.5, 10.5); 10.6 outside

@@ -850,3 +850,32 @@ class TestCurationEdgeCases:
         out = dedup.minhash_lsh_candidates_incremental(
             dedup.minhash_signatures(new, bands=16), empty_sigs)
         assert out.count() == 0
+
+
+def test_pii_counts_ignore_preexisting_tags(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from yirgacheffe_spark.text import quality
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["see <IP> note 10.0.0.1 and literal <EMAIL> too"]}))
+    c = docs.select(quality.pii_counts(F.col("text")).alias("c")).collect()[0]["c"]
+    assert c.asDict() == {"n_email": 0, "n_ip": 1, "n_phone": 0}
+
+
+def test_score_documents_keeps_zero_gram_rows(spark):
+    import pandas as pd
+
+    from yirgacheffe_spark.text import lm
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["real words in here", ""]}))
+    model = lm.train_ngram_counts(docs, n=2)
+    got = {r["doc_id"]: (r["n_grams"], r["avg_logprob"]) for r in
+           lm.score_documents(docs, model, n=2).collect()}
+    assert set(got) == {0, 1}
+    assert got[1] == (0, None)  # empty doc present with NULL score
+    assert got[0][0] > 0 and got[0][1] is not None

@@ -95,7 +95,9 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     default estimates it from a sample of interval lengths).
 
     ``on``/``start_col``/``end_col`` must share a numeric/epoch type
-    (cast timestamps with ``unix_millis`` at the call site).
+    (cast timestamps with ``unix_millis`` at the call site); fractional
+    values are fine — the bucket cover includes the interval end's bucket
+    unconditionally and the exact filter trims the excess.
     """
     if bucket_width is None:
         sample = (
@@ -113,8 +115,12 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / b).cast("long"),
-                # end is exclusive: a boundary-aligned end stays out
-                F.floor((F.col(end_col) - 1) / b).cast("long"),
+                # Cover through end's own bucket: floor((end-1)/b) assumed
+                # integer grain and silently missed fractional-time matches
+                # (interval [0.5, 10.5) vs a point at 10.2); one possibly
+                # superfluous bucket per interval is cheap, and the exact
+                # containment filter below removes any excess pairs.
+                F.floor(F.col(end_col) / b).cast("long"),
             )
         ),
     )

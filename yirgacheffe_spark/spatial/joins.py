@@ -250,13 +250,26 @@ def _plan_identity(df: DataFrame):
         return None
 
 
+def invalidate_density_cache() -> None:
+    """Drop every cached band-density profile.  Call after OVERWRITING a
+    pages table in place: the cache keys on the analyzed plan, which cannot
+    see that the files behind an identical-looking plan changed — stale
+    densities only cost performance (the verified settle bound keeps
+    results exact), but every query would pay the escalation scan until
+    the process restarts."""
+    _BAND_DENSITY_CACHE.clear()
+
+
 def band_density_profile(pages: DataFrame, res: int) -> "np.ndarray":
     """Per-latitude-band row counts of a cell-indexed pages table (bands are
     cell rows, coarsened so at most 65536 land on the driver).  Cached by the
     table's analyzed-plan identity: repeated kNN joins against the same table
     skip the aggregation job entirely.  Pass the result to
     ``knn_join_df(density_profile=...)`` to share it across differently-built
-    DataFrames over the same physical table."""
+    DataFrames over the same physical table; call
+    ``invalidate_density_cache()`` after rewriting a table in place (the
+    plan-keyed cache cannot detect changed files — stale entries are
+    performance-only, never correctness)."""
     shift = max(res - 16, 0)
     n_bands = (1 << res) >> shift
     ident = _plan_identity(pages.select("cell"))

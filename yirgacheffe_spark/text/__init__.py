@@ -1,6 +1,7 @@
 """Training-data pipeline operators.
 
-Modules (each importable directly; nothing heavy imports at package load):
+Submodules (loaded LAZILY — importing this package stays light; numpy /
+pandas / pyspark only load when a submodule is first touched):
 
 * ``dedup`` — exact, MinHash+LSH (batch, fused, incremental-vs-index),
   SimHash, n-gram Jaccard verify, connected-components clustering,
@@ -15,8 +16,22 @@ Modules (each importable directly; nothing heavy imports at package load):
 * ``pipeline`` — ``curate_corpus``, the one-call composition.
 """
 
-from . import ann, dedup, lm, multimodal, pipeline, quality, sampling
-from .pipeline import curate_corpus
+import importlib
 
-__all__ = ["ann", "dedup", "lm", "multimodal", "pipeline", "quality",
-           "sampling", "curate_corpus"]
+_SUBMODULES = ("ann", "dedup", "lm", "multimodal", "pipeline", "quality",
+               "sampling")
+
+__all__ = list(_SUBMODULES) + ["curate_corpus"]
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        module = importlib.import_module("." + name, __name__)
+        globals()[name] = module
+        return module
+    if name == "curate_corpus":
+        from .pipeline import curate_corpus  # pylint: disable=C0415
+
+        globals()[name] = curate_corpus
+        return curate_corpus
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

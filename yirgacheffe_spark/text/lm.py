@@ -66,8 +66,9 @@ def score_documents(df: DataFrame, model: DataFrame, n: int = 2,
     of each document's n-grams under ``model``.
 
     logprob(gram) = ln((count + k) / (total + k * vocab)); unseen grams get
-    count 0.  Documents with no grams score NULL (filter or coalesce at
-    the call site).  The per-document fold is sum/count over the exploded
+    count 0.  Documents with no grams (empty/whitespace text) keep a row
+    with ``n_grams = 0`` and NULL ``avg_logprob`` — filter or coalesce at
+    the call site.  The per-document fold is sum/count over the exploded
     gram join — associative, so partial aggregation applies.
     """
     totals = model.agg(
@@ -83,9 +84,15 @@ def score_documents(df: DataFrame, model: DataFrame, n: int = 2,
     joined = doc_grams.join(m, "gram", "left")
     logprob = F.log((F.coalesce(F.col("count"), F.lit(0)) + F.lit(add_k))
                     / F.lit(denom))
-    return joined.groupBy(id_col).agg(
+    scored = joined.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
         F.avg(logprob).alias("avg_logprob"),
+    )
+    # explode drops zero-gram documents; join them back so every input id
+    # has an output row (n_grams = 0, NULL score) as documented.
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)))
     )
 
 

@@ -47,9 +47,17 @@ def curate_corpus(
     """
     stages: list[tuple[str, int]] = []
     cur = docs
+    pinned: list = []
 
     def record(name: str) -> None:
+        # Persist each counted stage so the report costs k stage executions
+        # total, not ~k^2/2 (each count would otherwise re-run every prior
+        # unpersisted stage from the source), and so the returned frame
+        # resumes from the last stage rather than replaying the pipeline.
+        nonlocal cur
         if with_report:
+            cur = cur.persist()
+            pinned.append(cur)
             stages.append((name, cur.count()))
 
     record("input")
@@ -92,4 +100,6 @@ def curate_corpus(
         )
         record("language_sampling")
 
+    for handle in pinned[:-1]:  # keep only the final stage cached
+        handle.unpersist()
     return cur, (stages if with_report else None)

@@ -210,15 +210,16 @@ def pii_counts(col: Column) -> Column:
     counts = []
     current = col
     for pattern, tag in _PII_PATTERNS:
-        replaced = F.regexp_replace(current, pattern, tag)
-        # every replacement leaves exactly one tag occurrence
+        # Count the MATCHES, not the tags: the delta between replacing
+        # matches with the tag vs with nothing is n * len(tag) exactly, and
+        # a literal tag string already present in the source text cancels
+        # out (it appears identically in both rewrites).
+        tagged = F.regexp_replace(current, pattern, tag)
+        stripped = F.regexp_replace(current, pattern, "")
         counts.append(
-            (
-                (F.length(replaced)
-                 - F.length(F.regexp_replace(replaced, tag, "")))
-                / F.lit(len(tag))
-            ).cast("long")
+            ((F.length(tagged) - F.length(stripped)) / F.lit(len(tag)))
+            .cast("long")
         )
-        current = replaced
+        current = tagged
     return F.struct(counts[0].alias("n_email"), counts[1].alias("n_ip"),
                     counts[2].alias("n_phone"))

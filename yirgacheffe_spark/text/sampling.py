@@ -108,9 +108,13 @@ def pack_sequences(df: DataFrame, token_budget: int,
     Distributed first-fit-decreasing approximation: rows range-partition by
     (descending size, id) so each partition packs a contiguous size band
     with a greedy first-fit pass (vectorised bookkeeping, one Arrow pass);
-    bin ids are made globally unique by a per-partition offset.  The
-    assignment is DETERMINISTIC — range partitioning + the total (size,
-    id) order fix every partition's content regardless of input layout.
+    bin ids are made globally unique by a per-partition offset.  Within a
+    partition the (size desc, id) order fully determines the packing;
+    PARTITION BOUNDARIES, however, come from Spark's range sampler, which
+    samples per input split — so bin assignments are deterministic for a
+    fixed input layout and partition count, and rows near a range boundary
+    may move between bins when either changes (unlike the content-keyed
+    samplers above, which are layout-invariant by construction).
 
     Packing quality: first-fit-decreasing wastes < ~22% in the worst case
     and a few percent in practice; a global optimum would serialise the
