@@ -393,3 +393,26 @@ def test_to_geotiff_multiband_mismatched_bands_raise(tmp_path, spark):
     c = yg.from_array(np.zeros((4, 4), np.float32), (0.0, 0.0), PROJ)
     with pytest.raises(ValueError, match="datatype"):
         yg.to_geotiff([a, c], str(tmp_path / "y.tif"), spark=spark)
+
+
+def test_bigtiff_write_roundtrip(tmp_path):
+    """BigTIFF writer branch (version 43, 20-byte entries, LONG8 offset
+    arrays): the existing BigTIFF reader round-trips it exactly."""
+    data = RNG.integers(0, 60000, (300, 520)).astype(np.uint16)
+    path = str(tmp_path / "big.tif")
+    G.write_geotiff(path, data, _area(520, 300), nodata=7.0, bigtiff=True)
+    with open(path, "rb") as f:
+        assert struct.unpack("<H", f.read(4)[2:4])[0] == 43
+    layer = yg.read_raster(path)
+    assert layer.nodata == 7.0
+    got = yg.read_raster(path, ignore_nodata=True).read_array(0, 0, 520, 300)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_classic_overflow_raises_with_guidance(tmp_path):
+    wtr = G.TiffStreamWriter(str(tmp_path / "x.tif"), 256, 256, np.uint8,
+                             _area(256, 256))
+    wtr._f.seek((1 << 32) - 10)  # simulate 4 GiB of prior payloads
+    wtr._f.write(b"\0")
+    with pytest.raises(ValueError, match="bigtiff=True"):
+        wtr.write_tile(RNG.integers(0, 255, (256, 256)).astype(np.uint8))

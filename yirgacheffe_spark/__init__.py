@@ -87,7 +87,8 @@ def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
     return ParquetRasterLayer(path, band=band, ignore_nodata=ignore_nodata)
 
 
-def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None:
+def to_geotiff(tree, path: str, nodata: float | None = None, spark=None,
+               bigtiff: "bool | None" = None) -> None:
     """Materialise an expression/layer (or a LIST of them, as bands 1..N of
     a planar multiband file) as a tiled deflate GeoTIFF.
 
@@ -116,9 +117,18 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None) -> None
     w = roots[0].window
     out_dtype = roots[0].datatype.to_numpy()
     file_tile = 256
+    if bigtiff is None:
+        # Auto: uncompressed size near the classic 4 GiB offset ceiling ->
+        # BigTIFF (deflate may still fit classic, but the streaming writer
+        # cannot know final sizes up front and failing after the gather is
+        # the worse outcome; explicit bigtiff=False overrides).
+        import numpy as _np0  # pylint: disable=C0415
+
+        est = w.xsize * w.ysize * _np0.dtype(out_dtype).itemsize * len(roots)
+        bigtiff = est > int(3.5 * (1 << 30))
     writer = TiffStreamWriter(
         path, w.xsize, w.ysize, out_dtype, roots[0].area, nodata=nodata,
-        tile_size=file_tile, n_bands=len(roots),
+        tile_size=file_tile, n_bands=len(roots), bigtiff=bigtiff,
     )
     spark_s = executor.get_spark(spark)
     for root in roots:

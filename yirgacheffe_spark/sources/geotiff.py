@@ -403,9 +403,11 @@ class TiffStreamWriter:
 
     def __init__(self, path: str, width: int, height: int, dtype,
                  area: Area, nodata: float | None = None,
-                 tile_size: int = 256, n_bands: int = 1) -> None:
+                 tile_size: int = 256, n_bands: int = 1,
+                 bigtiff: bool = False) -> None:
         projection = area.projection
         assert projection is not None
+        self.bigtiff = bigtiff
         dtype = np.dtype(dtype)
         if dtype == np.bool_:
             dtype = np.dtype(np.uint8)
@@ -446,8 +448,9 @@ class TiffStreamWriter:
         entries.append((_T_PLANAR, 3, 1, [1 if n_bands == 1 else 2]))
         entries.append((_T_TILE_WIDTH, 3, 1, [s]))
         entries.append((_T_TILE_LENGTH, 3, 1, [s]))
-        entries.append((_T_TILE_OFFSETS, 4, n_tiles, None))
-        entries.append((_T_TILE_COUNTS, 4, n_tiles, None))
+        off_type = 16 if bigtiff else 4  # LONG8 vs LONG
+        entries.append((_T_TILE_OFFSETS, off_type, n_tiles, None))
+        entries.append((_T_TILE_COUNTS, off_type, n_tiles, None))
         entries.append((_T_SAMPLE_FORMAT, 3, n_bands, [fmt] * n_bands))
         entries.append((_T_MODEL_PIXEL_SCALE, 12, 3, list(scale)))
         entries.append((_T_MODEL_TIEPOINT, 12, 6, list(tiepoint)))
@@ -457,14 +460,22 @@ class TiffStreamWriter:
             entries.append((_T_GDAL_NODATA, 2, len(nod), nod))
         entries.sort(key=lambda e: e[0])
 
-        # Layout: header(8) + IFD + out-of-line tag data + tile payloads.
-        ifd_size = 2 + len(entries) * 12 + 4
-        pos = 8 + ifd_size
+        # Layout: header + IFD + out-of-line tag data + tile payloads.
+        # BigTIFF: 16-byte header, 20-byte entries with u64 counts and
+        # 8-byte value slots, u64 offsets — the format the reader already
+        # parses; classic stays byte-identical.
+        head_size = 16 if bigtiff else 8
+        entry_size = 20 if bigtiff else 12
+        inline_max = 8 if bigtiff else 4
+        ifd_size = (8 + len(entries) * entry_size + 8) if bigtiff else (
+            2 + len(entries) * entry_size + 4
+        )
+        pos = head_size + ifd_size
         overflow = {}
         for tag, ftype, count, values in entries:
             _, size = _FIELD[ftype]
             nbytes = size * count if ftype != 2 else count
-            if nbytes > 4:
+            if nbytes > inline_max:
                 overflow[tag] = pos
                 pos += nbytes + (nbytes & 1)
 
@@ -478,28 +489,35 @@ class TiffStreamWriter:
         self._patch_pos: dict[int, int] = {}
         self._f = open(path + ".part", "wb")
         f = self._f
-        f.write(b"II" + struct.pack("<HI", 42, 8))
-        f.write(struct.pack("<H", len(entries)))
+        off_code = "Q" if bigtiff else "I"
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 16))
+            f.write(struct.pack("<Q", len(entries)))
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, 8))
+            f.write(struct.pack("<H", len(entries)))
+        cnt_code = "Q" if bigtiff else "I"
         for tag, ftype, count, values in entries:
-            f.write(struct.pack("<HHI", tag, ftype, count))
+            f.write(struct.pack("<HH" + cnt_code, tag, ftype, count))
             if values is None:  # reserved array, patched at close
                 if tag in overflow:
-                    f.write(struct.pack("<I", overflow[tag]))
+                    f.write(struct.pack("<" + off_code, overflow[tag]))
                     self._patch_pos[tag] = overflow[tag]
                 else:
                     self._patch_pos[tag] = f.tell()
-                    f.write(b"\0\0\0\0")
+                    f.write(b"\0" * inline_max)
                 continue
             payload = _pack_values(ftype, values)
-            if len(payload) <= 4:
-                f.write(payload.ljust(4, b"\0"))
+            if len(payload) <= inline_max:
+                f.write(payload.ljust(inline_max, b"\0"))
             else:
-                f.write(struct.pack("<I", overflow[tag]))
-        f.write(struct.pack("<I", 0))  # no next IFD
+                f.write(struct.pack("<" + off_code, overflow[tag]))
+        f.write(struct.pack("<" + off_code, 0))  # no next IFD
+        elem = 8 if bigtiff else 4
         for tag, ftype, count, values in entries:
             if tag in overflow:
                 if values is None:
-                    f.write(b"\0" * (4 * count))
+                    f.write(b"\0" * (elem * count))
                     continue
                 payload = _pack_values(ftype, values)
                 f.write(payload)
@@ -518,6 +536,12 @@ class TiffStreamWriter:
         payload = zlib.compress(
             tile.astype(self.dtype.newbyteorder("<")).tobytes(), 6
         )
+        if not self.bigtiff and self._f.tell() + len(payload) >= (1 << 32):
+            raise ValueError(
+                "classic TIFF offsets overflow 4 GiB at tile "
+                f"{len(self._offsets)}/{self._n_tiles}; re-run with "
+                "bigtiff=True (the reader supports BigTIFF)"
+            )
         self._offsets.append(self._f.tell())
         self._lengths.append(len(payload))
         self._f.write(payload)
@@ -530,24 +554,27 @@ class TiffStreamWriter:
                 f"wrote {len(self._offsets)} tiles, grid holds {self._n_tiles}"
             )
         f = self._f
+        code = "Q" if self.bigtiff else "I"
         f.seek(self._patch_pos[_T_TILE_OFFSETS])
-        f.write(struct.pack("<" + "I" * self._n_tiles, *self._offsets))
+        f.write(struct.pack("<" + code * self._n_tiles, *self._offsets))
         f.seek(self._patch_pos[_T_TILE_COUNTS])
-        f.write(struct.pack("<" + "I" * self._n_tiles, *self._lengths))
+        f.write(struct.pack("<" + code * self._n_tiles, *self._lengths))
         f.close()
         os.replace(self._path + ".part", self._path)
 
 
 def write_geotiff(path: str, data: np.ndarray, area: Area,
-                  nodata: float | None = None, tile_size: int = 256) -> None:
-    """Write a 2-D numpy array as a tiled, deflate-compressed classic
-    GeoTIFF with ModelPixelScale/Tiepoint + GeoKey georeferencing."""
+                  nodata: float | None = None, tile_size: int = 256,
+                  bigtiff: bool = False) -> None:
+    """Write a 2-D numpy array as a tiled, deflate-compressed GeoTIFF
+    (classic, or BigTIFF with ``bigtiff=True``) with ModelPixelScale/
+    Tiepoint + GeoKey georeferencing."""
     data = np.ascontiguousarray(data)
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     height, width = data.shape
     w = TiffStreamWriter(path, width, height, data.dtype, area,
-                         nodata=nodata, tile_size=tile_size)
+                         nodata=nodata, tile_size=tile_size, bigtiff=bigtiff)
     s = tile_size
     for ty in range(w.tiles_y):
         for tx in range(w.tiles_x):
