@@ -150,3 +150,21 @@ def test_show_writes_valid_png(spark, tmp_path):
     img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(5, 7)
     want = np.clip((data * 2 - 0.0) * (255.0 / (68.0 - 0.0)), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(img, want)
+
+
+def test_every_package_module_imports():
+    """Import health: every module in the package loads cleanly (catches
+    syntax errors and broken imports in rarely-touched corners)."""
+    import importlib
+    import pkgutil
+
+    import yirgacheffe_spark
+
+    failures = []
+    for mod in pkgutil.walk_packages(yirgacheffe_spark.__path__,
+                                     prefix="yirgacheffe_spark."):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as exc:  # noqa: BLE001
+            failures.append((mod.name, repr(exc)))
+    assert not failures, failures
