@@ -26,6 +26,10 @@ SCALE_ENV = {
     "YG_BENCH_PAGES": os.environ.get("YG_BENCH_PAGES", "12800000"),
     "YG_BENCH_RASTER_REPEAT": os.environ.get("YG_BENCH_RASTER_REPEAT", "1536"),
     "YG_BENCH_MINHASH_DOCS": os.environ.get("YG_BENCH_MINHASH_DOCS", "800000"),
+    # One timed pass per JVM: this harness's min-over-repeats happens
+    # ACROSS fresh subprocesses (run_best), so bench.py's internal
+    # min-over-3 would triple a minutes-long workload for no extra signal.
+    "YG_BENCH_REPEATS": os.environ.get("YG_BENCH_REPEATS", "1"),
 }
 
 

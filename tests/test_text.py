@@ -486,6 +486,29 @@ class TestSampling:
             (r["doc_id"], r["bin_id"]) for r in rows
         }
 
+    def test_pack_default_partitions_derive_from_row_count(self, spark, monkeypatch):
+        """With no explicit ``partitions``, the partition count must come
+        from rows/rows-per-partition (the 100-TB safety rule), not the
+        cluster parallelism: at 10 rows/partition a 500-row input must
+        spread over ~50 packing partitions — more than the session's
+        defaultParallelism, proving the row-count term engaged — and
+        still pack correctly."""
+        from pyspark.sql import functions as F
+
+        from yirgacheffe_spark.text import sampling
+
+        monkeypatch.setenv("YG_PACK_ROWS_PER_PARTITION", "10")
+        docs = self._docs(spark, 500)
+        packed = sampling.pack_sequences(docs, token_budget=1000)
+        rows = packed.collect()
+        assert len(rows) == 500
+        per_bin = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("t")).collect()
+        assert all(r["t"] <= 1000 for r in per_bin)
+        # bin_id's high bits carry the packing partition id: the overflow
+        # row count must have engaged more partitions than defaultParallelism.
+        pids = {r["bin_id"] >> 40 for r in rows}
+        assert len(pids) > spark.sparkContext.defaultParallelism
+
     def test_pack_oversized_doc_gets_own_bin(self, spark):
         import pandas as pd
 
@@ -651,6 +674,33 @@ class TestBoilerplateRemoval:
         ).executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_auto_strategy_small_hot_set_broadcasts(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        docs = self._corpus(spark)
+        plan = dedup.remove_boilerplate_lines(docs, min_docs=3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti and all("Broadcast" in l for l in anti), anti
+
+    def test_auto_strategy_big_hot_set_shuffles(self, spark, monkeypatch):
+        """Above the hot-set budget the anti-join must NOT broadcast (the
+        100-TB default-safety guard): force the threshold to 0 and assert
+        the plan takes the shuffle path, with results unchanged."""
+        from yirgacheffe_spark.text import dedup
+
+        monkeypatch.setenv("YG_BOILERPLATE_BROADCAST_MAX", "0")
+        docs = self._corpus(spark)
+        cleaned = dedup.remove_boilerplate_lines(docs, min_docs=3)
+        plan = cleaned._jdf.queryExecution().executedPlan().toString()
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti and all("Broadcast" not in l for l in anti), anti
+        monkeypatch.delenv("YG_BOILERPLATE_BROADCAST_MAX")
+        want = {r["doc_id"]: r["text"] for r in
+                dedup.remove_boilerplate_lines(docs, min_docs=3).collect()}
+        got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+        assert got == want
 
 
 class TestIncrementalDedup:

@@ -632,8 +632,7 @@ def dedup_keep_cluster_representative(
 
 
 def boilerplate_lines(df: DataFrame, min_docs: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      max_collect: int = 5_000_000) -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(line_hash, n_docs) for every line appearing in >= ``min_docs``
     DISTINCT documents — the corpus-frequency table behind line-level
     dedup (navigation chrome, cookie banners, footers repeat across a
@@ -641,9 +640,7 @@ def boilerplate_lines(df: DataFrame, min_docs: int = 3,
 
     One explode + one distinct-count aggregate, all JVM; lines are keyed
     by ``xxhash64`` so the shuffle carries 8-byte keys, not line text.
-    ``max_collect`` only bounds the table when a caller materialises it.
     """
-    del max_collect  # reserved: the frame is lazy; bound at the call site
     lines = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
@@ -656,23 +653,49 @@ def boilerplate_lines(df: DataFrame, min_docs: int = 3,
     )
 
 
+def _boilerplate_broadcast_max() -> int:
+    """Hot-line-set row budget under which the anti-join side broadcasts.
+    8-byte hashes x 8M rows ~= 64 MB serialised — comfortable on any
+    executor.  Read per call so tests can force either path."""
+    import os  # pylint: disable=C0415
+
+    return int(os.environ.get("YG_BOILERPLATE_BROADCAST_MAX", str(8_000_000)))
+
+
 def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
                              text_col: str = "text", id_col: str = "doc_id",
-                             broadcast_hot: bool = True) -> DataFrame:
+                             broadcast_hot: "bool | None" = None) -> DataFrame:
     """Strip lines that repeat across >= ``min_docs`` distinct documents
     (RefinedWeb/CCNet-style boilerplate removal), preserving every other
     line's order; the cleaned text replaces ``text_col``.
 
-    Plan: the hot-line table (line_hash) is corpus-frequency-bounded —
-    boilerplate is by definition a SMALL set of distinct lines — so it
-    broadcasts; each document's lines explode WITH position, anti-join the
-    hot set, and re-assemble via a sorted collect per document.  Pass
-    ``broadcast_hot=False`` for pathological corpora (shuffle join).
-    Documents whose every line is boilerplate keep an empty string.
+    Plan: each document's lines explode WITH position, anti-join the
+    hot-line table, and re-assemble via a sorted collect per document.
+    The hot side's strategy is MEASURED, not assumed: at the default
+    ``min_docs=3`` a web-scale corpus has *millions* of distinct lines
+    appearing in >=3 documents (common sentences, licence blocks, quoted
+    headlines) — far past broadcast range — so by default the hot set is
+    materialised once (``localCheckpoint``; it feeds the anti-join anyway),
+    counted, and broadcast only under ``YG_BOILERPLATE_BROADCAST_MAX`` rows
+    (default 8M ~= 64 MB); above that the anti-join shuffles on the 8-byte
+    hash.  Pass ``broadcast_hot=True/False`` to skip the count and force a
+    side.  Documents whose every line is boilerplate keep an empty string.
     """
     hot = boilerplate_lines(df, min_docs, text_col, id_col).select("line_hash")
+    if broadcast_hot is None:
+        # Materialise + count: one cheap aggregate over a frame the join
+        # consumes anyway (blocks are freed by the ContextCleaner once the
+        # plan is executed and the RDD unreferenced).
+        hot = hot.localCheckpoint(eager=True)
+        broadcast_hot = hot.count() <= _boilerplate_broadcast_max()
     if broadcast_hot:
         hot = F.broadcast(hot)
+    else:
+        # Explicit sort-merge: Catalyst's own row estimate for a distinct-
+        # count aggregate is unreliable (it auto-broadcast a measured-huge
+        # hot set in testing), and a mistaken broadcast OOMs every executor
+        # at corpus scale — pin the spillable strategy.
+        hot = hot.hint("merge")
     numbered = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),

@@ -122,16 +122,33 @@ def pack_sequences(df: DataFrame, token_budget: int,
 
     Cost bound: the greedy pass is O(rows x open_bins) per partition, and
     open bins accumulate for the partition's lifetime (~rows x mean_size /
-    budget) — size ``partitions`` so each holds ~10^6 rows at most; the
-    default (cluster parallelism) is right for interactive sizes only.
+    budget) — so when ``partitions`` is not passed it is DERIVED from the
+    row count (one count() job) at ~10^6 rows per partition
+    (``$YG_PACK_ROWS_PER_PARTITION``), floored at the cluster parallelism.
+    rows/parallelism per partition — the naive default — would hand each
+    partition ~10^9 rows at 10^12-row scale and the greedy pass would never
+    finish; deriving from the count keeps the per-partition pass bounded at
+    any input size.
     """
+    import math  # pylint: disable=C0415
+    import os  # pylint: disable=C0415
+
     import numpy as np  # pylint: disable=C0415
     import pandas as pd  # pylint: disable=C0415
 
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     spark = df.sparkSession
-    n_parts = partitions or spark.sparkContext.defaultParallelism
+    if partitions is None:
+        rows_per_part = max(
+            int(os.environ.get("YG_PACK_ROWS_PER_PARTITION", str(1_000_000))), 1
+        )
+        n_rows = df.count()
+        partitions = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_rows / rows_per_part),
+        )
+    n_parts = max(int(partitions), 1)
     ordered = (
         df.select(id_col, F.col(token_col).cast("long").alias("_tok"))
         .repartitionByRange(n_parts, F.col("_tok").desc(), F.col(id_col))
