@@ -416,3 +416,47 @@ def test_classic_overflow_raises_with_guidance(tmp_path):
     wtr._f.write(b"\0")
     with pytest.raises(ValueError, match="bigtiff=True"):
         wtr.write_tile(RNG.integers(0, 255, (256, 256)).astype(np.uint8))
+
+
+def test_stream_writer_abort_removes_part(tmp_path):
+    wtr = G.TiffStreamWriter(str(tmp_path / "a.tif"), 256, 256, np.uint8,
+                             _area(256, 256))
+    wtr.write_tile(RNG.integers(0, 255, (256, 256)).astype(np.uint8))
+    assert (tmp_path / "a.tif.part").exists()
+    wtr.abort()
+    wtr.abort()  # idempotent
+    assert not (tmp_path / "a.tif.part").exists()
+    assert not (tmp_path / "a.tif").exists()
+
+
+def test_to_geotiff_failure_leaves_no_part(tmp_path, spark, monkeypatch):
+    """A mid-gather failure must propagate AND clean up the scratch file —
+    a stale .part next to the target would persist forever (close()'s
+    atomic rename never sees it)."""
+    import yirgacheffe_spark as _pkg
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated task failure")
+
+    monkeypatch.setattr(_pkg, "_stream_band_tiles", boom)
+    lay = yg.from_array(np.ones((8, 8), np.float32), (0.0, 0.0), PROJ)
+    with pytest.raises(RuntimeError, match="simulated"):
+        yg.to_geotiff(lay, str(tmp_path / "f.tif"), spark=spark)
+    assert not (tmp_path / "f.tif.part").exists()
+    assert not (tmp_path / "f.tif").exists()
+
+
+def test_to_geotiff_hopeless_classic_fails_at_plan_time(spark, tmp_path):
+    """Explicit bigtiff=False with >32 GiB of pixels must refuse before
+    streaming anything (the 4 GiB offset ceiling is then a certainty even
+    at generous deflate ratios).  A world-width uniform-area layer gives a
+    huge window with no materialised pixels."""
+    proj = yg.MapProjection("epsg:4326", 4e-6, -4e-6)
+    area = yg.Area(left=0.0, top=0.0, right=0.004, bottom=-0.004,
+                   projection=proj)
+    wide = yg.read_narrow_raster(np.ones(1000, np.float64), area)
+    assert wide.window.xsize * wide.window.ysize * 8 > 8 * (4 << 30)
+    with pytest.raises(ValueError, match="bigtiff"):
+        yg.to_geotiff(wide, str(tmp_path / "never.tif"), bigtiff=False,
+                      spark=spark)
+    assert not (tmp_path / "never.tif.part").exists()

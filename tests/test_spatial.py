@@ -526,6 +526,72 @@ class TestAsofJoin:
         row = asof.asof_join(left, right, on="ts", by="user_id").collect()[0]
         assert row["r_rval"] == 9.0  # at-or-before includes equality
 
+    def test_equal_timestamp_ties_are_deterministic(self, spark):
+        """Several right rows sharing (by, on): the carried row must be the
+        same on every run and partitioning (content-hash tiebreak), and an
+        explicit tiebreak_col must pick its max."""
+        import pandas as pd
+
+        from yirgacheffe_spark.spatial import asof
+
+        left = spark.createDataFrame(pd.DataFrame(
+            {"user_id": [1, 1], "ts": [100, 200], "lval": [1.0, 2.0]}))
+        rp = pd.DataFrame({"user_id": [1] * 6, "ts": [100] * 6,
+                           "rval": [3.0, 9.0, 5.0, 7.0, 1.0, 4.0],
+                           "seq": [10, 11, 12, 13, 14, 15]})
+        picks = set()
+        for parts in (1, 3, 16):
+            right = spark.createDataFrame(rp).repartition(parts)
+            out = asof.asof_join(left, right.drop("seq"), on="ts", by="user_id")
+            picks.update(r["r_rval"] for r in out.collect())
+        assert len(picks) == 1  # one winner, every layout
+
+        out = asof.asof_join(left, spark.createDataFrame(rp), on="ts",
+                             by="user_id", tiebreak_col="seq")
+        assert all(r["r_rval"] == 4.0 for r in out.collect())  # seq=15 wins
+
+    def test_skew_buckets_matches_plain_path(self, spark):
+        """The two-pass skew variant must be row-identical to the key-window
+        path — including on a SINGLE-key table (the hot-key shape it
+        exists for) — and its heavy window must partition by (key, bucket)
+        so one key spreads over many tasks."""
+        import pandas as pd
+
+        from yirgacheffe_spark.spatial import asof
+
+        left, right = self._frames(spark)
+        for lf, rf in ((left, right),
+                       (left.assign(user_id=0), right.assign(user_id=0))):
+            l_df, r_df = spark.createDataFrame(lf), spark.createDataFrame(rf)
+            plain = asof.asof_join(l_df, r_df, on="ts", by="user_id")
+            skew = asof.asof_join(l_df, r_df, on="ts", by="user_id",
+                                  skew_buckets=8)
+            key = ["user_id", "ts", "lval", "r_ts", "r_rval"]
+            assert sorted(map(tuple, skew.select(key).collect())) == \
+                   sorted(map(tuple, plain.select(key).collect()))
+
+        skew = asof.asof_join(
+            spark.createDataFrame(left.assign(user_id=0)),
+            spark.createDataFrame(right.assign(user_id=0)),
+            on="ts", by="user_id", skew_buckets=8)
+        plan = skew._jdf.queryExecution().executedPlan().toString()
+        heavy = [l for l in plan.splitlines()
+                 if "Window" in l and "_last_r" in l]
+        assert heavy and all("_bucket" in l for l in heavy), heavy
+
+    def test_skew_buckets_with_tolerance(self, spark):
+        from yirgacheffe_spark.spatial import asof
+
+        left, right = self._frames(spark)
+        l_df, r_df = spark.createDataFrame(left), spark.createDataFrame(right)
+        key = ["user_id", "ts", "lval", "r_ts", "r_rval"]
+        plain = asof.asof_join(l_df, r_df, on="ts", by="user_id",
+                               tolerance_ms=500)
+        skew = asof.asof_join(l_df, r_df, on="ts", by="user_id",
+                              tolerance_ms=500, skew_buckets=5)
+        assert sorted(map(tuple, skew.select(key).collect())) == \
+               sorted(map(tuple, plain.select(key).collect()))
+
 
 def test_asof_join_matches_duckdb_native_asof(spark):
     """Second independent oracle: DuckDB's native ASOF LEFT JOIN over the

@@ -929,3 +929,48 @@ def test_score_documents_keeps_zero_gram_rows(spark):
     assert set(got) == {0, 1}
     assert got[1] == (0, None)  # empty doc present with NULL score
     assert got[0][0] > 0 and got[0][1] is not None
+
+
+class TestSignatureIndexVersioning:
+    """A stored signature index signed by a different bucket derivation
+    joins to zero candidates — silent duplicate admission — so the
+    incremental path must refuse unversioned or mismatched indexes."""
+
+    def _sigs(self, spark):
+        import pandas as pd
+
+        from yirgacheffe_spark.text import dedup
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2], "text": ["alpha beta gamma delta epsilon"] * 2}))
+        return dedup.minhash_signatures(docs, "text", "doc_id",
+                                        num_perm=16, bands=4)
+
+    def test_signatures_carry_format_tag(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        sigs = self._sigs(spark)
+        assert "sig_format" in sigs.columns
+        vals = {r["sig_format"] for r in sigs.select("sig_format").collect()}
+        assert vals == {dedup.MINHASH_SIG_FORMAT}
+
+    def test_unversioned_index_refused(self, spark):
+        import pytest as _pt
+
+        from yirgacheffe_spark.text import dedup
+
+        sigs = self._sigs(spark)
+        legacy = sigs.drop("sig_format")
+        with _pt.raises(ValueError, match="sig_format"):
+            dedup.minhash_lsh_candidates_incremental(sigs, legacy)
+
+    def test_mismatched_format_refused(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from yirgacheffe_spark.text import dedup
+
+        sigs = self._sigs(spark)
+        stale = sigs.withColumn("sig_format", F.lit("mh1-legacy"))
+        with _pt.raises(ValueError, match="mh1-legacy"):
+            dedup.minhash_lsh_candidates_incremental(sigs, stale)

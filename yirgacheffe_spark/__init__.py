@@ -126,14 +126,36 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None,
 
         est = w.xsize * w.ysize * _np0.dtype(out_dtype).itemsize * len(roots)
         bigtiff = est > int(3.5 * (1 << 30))
+    elif not bigtiff:
+        # Plan-time fail-fast for a hopeless explicit bigtiff=False: deflate
+        # on real rasters rarely beats 8:1, so past 32 GiB uncompressed the
+        # classic 4 GiB offset ceiling is a certainty — better to refuse now
+        # than after streaming most of the gather.  Borderline sizes still
+        # get the exact mid-write check in TiffStreamWriter.write_tile.
+        import numpy as _np1  # pylint: disable=C0415
+
+        est = w.xsize * w.ysize * _np1.dtype(out_dtype).itemsize * len(roots)
+        if est > 8 * (4 << 30):
+            raise ValueError(
+                f"~{est >> 30} GiB of pixels cannot fit classic TIFF's "
+                "4 GiB offset ceiling even at 8:1 deflate; pass "
+                "bigtiff=True (or bigtiff=None for auto-selection)"
+            )
     writer = TiffStreamWriter(
         path, w.xsize, w.ysize, out_dtype, roots[0].area, nodata=nodata,
         tile_size=file_tile, n_bands=len(roots), bigtiff=bigtiff,
     )
     spark_s = executor.get_spark(spark)
-    for root in roots:
-        _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile)
-    writer.close()
+    try:
+        for root in roots:
+            _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile)
+        writer.close()
+    except BaseException:
+        # Any mid-stream failure (task error, the classic-TIFF 4 GiB
+        # mid-write ValueError, ^C) must not leak the handle or leave a
+        # stale .part next to the target.
+        writer.abort()
+        raise
 
 
 def _stream_band_tiles(writer, root, spark_s, out_dtype, file_tile) -> None:

@@ -548,6 +548,20 @@ class TiffStreamWriter:
         if len(payload) & 1:
             self._f.write(b"\0")
 
+    def abort(self) -> None:
+        """Abandon the write: close the handle and remove the ``.part``
+        scratch file so a failed gather leaves nothing behind (a stale
+        ``.part`` would otherwise sit next to the target forever — the
+        atomic ``os.replace`` in ``close()`` never sees it).  Idempotent."""
+        try:
+            if not self._f.closed:
+                self._f.close()
+        finally:
+            try:
+                os.unlink(self._path + ".part")
+            except FileNotFoundError:
+                pass
+
     def close(self) -> None:
         if len(self._offsets) != self._n_tiles:
             raise ValueError(

@@ -8,6 +8,15 @@ UNION the two sides with a side tag, sort within key partitions by
 ``last(ignorenulls)`` window — ONE shuffle on the key, no range join, no
 per-row Python, linear in rows.  Ties (equal timestamps) resolve to the
 right row (at-or-before semantics, matching ``pandas.merge_asof``).
+
+Skew: the plain window partitions by key, so ONE hot key (one ticker, one
+user id) serialises into a single task no matter how many executors exist.
+``skew_buckets=N`` engages the two-pass variant: rows sub-partition into N
+time-range buckets per key, a small first pass computes each bucket's
+carry-in (the latest right row of any earlier bucket — one window over
+per-bucket aggregates, <= N rows per key), and the heavy window then runs
+per (key, bucket) — N-way parallel even for a single key — with the
+carry-in filling left rows that precede their bucket's first right row.
 """
 
 from __future__ import annotations
@@ -17,21 +26,39 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               tolerance_ms: "int | None" = None,
-              right_prefix: str = "r_") -> DataFrame:
+              right_prefix: str = "r_",
+              tiebreak_col: "str | None" = None,
+              skew_buckets: "int | None" = None) -> DataFrame:
     """Left rows + the latest right row with ``right.on <= left.on`` per
     ``by`` key; right columns arrive prefixed.  Rows with no prior right
     row (or none within ``tolerance_ms``) keep NULL right columns.
 
     ``on`` must be a timestamp or numeric column; ``by`` the equality key.
+
+    Equal-timestamp right rows: ``pandas.merge_asof`` keeps the LAST input
+    row, but a DataFrame has no input order, so that rule is undefined
+    here.  Instead the winner is the max of ``tiebreak_col`` when given
+    (pass a sequence number / ingest offset to reproduce a stream order),
+    else the max 64-bit content hash of the right row — arbitrary but
+    DETERMINISTIC across runs, partitionings and cluster sizes, where an
+    un-tiebroken window returns whichever row the shuffle happened to
+    order last.
+
+    ``skew_buckets=N`` splits each key's time range into N sub-partitions
+    so a hot key parallelises N ways (see module docstring); output is
+    identical to the plain path.
     """
     l_cols = [c for c in left.columns]
     r_cols = [c for c in right.columns if c not in (on, by)]
 
     # Union with a side tag: right rows sort BEFORE left rows at equal
     # timestamps so an exactly-simultaneous quote is visible to the trade.
+    tie = (F.col(tiebreak_col).cast("long") if tiebreak_col
+           else F.xxhash64(*[F.col(c) for c in [on] + r_cols]))
     lhs = left.select(
         F.col(by), F.col(on),
         F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rtie"),
         F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
         F.lit(None).cast(
             "struct<" + ",".join(
@@ -42,6 +69,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     rhs = right.select(
         F.col(by), F.col(on),
         F.lit(0).alias("_side"),
+        tie.alias("_rtie"),
         F.lit(None).cast(
             "struct<" + ",".join(
                 f"`{c}`:{dict(left.dtypes)[c]}" for c in l_cols
@@ -53,14 +81,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     )
     merged = lhs.unionByName(rhs)
 
-    w = (
-        W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = merged.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    order = [F.col(on).asc(), F.col("_side").asc(),
+             F.col("_rtie").asc_nulls_first()]
+    if skew_buckets is not None and skew_buckets > 1:
+        out = _asof_carry_bucketed(merged, on, by, order, int(skew_buckets),
+                                   dict(left.dtypes)[on])
+    else:
+        w = (
+            W.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = merged.withColumn(
+            "_last_r", F.last("_r", ignorenulls=True).over(w)
+        ).where(F.col("_side") == 1)
 
-    out = carried.where(F.col("_side") == 1)
     if tolerance_ms is not None:
         on_type = dict(left.dtypes)[on]
         if on_type.startswith("timestamp"):
@@ -76,6 +111,72 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     proj += [F.col("_last_r")[on].alias(f"{right_prefix}{on}")]
     proj += [F.col("_last_r")[c].alias(f"{right_prefix}{c}") for c in r_cols]
     return out.select(*proj)
+
+
+def _asof_carry_bucketed(merged: DataFrame, on: str, by: str, order: list,
+                         n_buckets: int, on_type: str) -> DataFrame:
+    """Two-pass skew variant over the tagged union frame: returns left rows
+    with ``_last_r`` carried, identical to the key-window path.
+
+    Pass 1 (small): per (key, bucket) aggregate the latest right row, then
+    one window over those aggregates (<= n_buckets rows per key) yields
+    each bucket's carry-in.  Pass 2 (heavy): the carry window partitions by
+    (key, bucket) — n_buckets-way parallel per key — and left rows whose
+    bucket has no earlier right row coalesce to the carry-in.
+    """
+    on_num = (F.unix_millis(F.col(on)) if on_type.startswith("timestamp")
+              else F.col(on).cast("double"))
+    bounds = merged.agg(
+        F.min(on_num).alias("mn"), F.max(on_num).alias("mx")
+    ).collect()[0]
+    mn, mx = bounds["mn"], bounds["mx"]
+    if mn is None:
+        return merged.withColumn(
+            "_last_r", F.lit(None).cast(merged.schema["_r"].dataType)
+        ).where(F.col("_side") == 1)
+    width = (float(mx) - float(mn)) / n_buckets or 1.0
+    merged = merged.withColumn(
+        "_bucket",
+        F.least(
+            F.floor((on_num - F.lit(float(mn))) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+
+    # Pass 1: latest right row per (key, bucket) — struct max orders by
+    # (on, _rtie), the same rule as the window — then carry across buckets.
+    per_bucket = (
+        merged.where(F.col("_side") == 0)
+        .groupBy(by, "_bucket")
+        .agg(F.max(F.struct(
+            F.col(on).alias("_o"), F.col("_rtie").alias("_t"),
+            F.col("_r").alias("_r"),
+        )).alias("_m"))
+    )
+    domain = merged.select(by, "_bucket").distinct()
+    w_prev = (
+        W.partitionBy(by).orderBy(F.col("_bucket").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry_in = (
+        domain.join(per_bucket, [by, "_bucket"], "left")
+        .withColumn("_carry", F.last("_m", ignorenulls=True).over(w_prev))
+        .select(by, "_bucket", F.col("_carry")["_r"].alias("_carry_r"))
+    )
+
+    # Pass 2: the heavy window, now per (key, bucket).
+    w_bucket = (
+        W.partitionBy(by, "_bucket").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "_last_r", F.last("_r", ignorenulls=True).over(w_bucket)
+    ).where(F.col("_side") == 1)
+    return (
+        carried.join(carry_in, [by, "_bucket"], "left")
+        .withColumn("_last_r", F.coalesce(F.col("_last_r"), F.col("_carry_r")))
+        .drop("_bucket", "_carry_r")
+    )
 
 
 def interval_join(points: DataFrame, intervals: DataFrame, on: str,

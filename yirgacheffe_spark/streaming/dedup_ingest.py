@@ -51,6 +51,25 @@ def dedup_ingest_stream(stream: DataFrame, out_dir: str, index_dir: str,
     )
 
 
+def _index_batches(spark, index_dir: str) -> "list[str]":
+    """``batch=<id>`` partition names under ``index_dir``, probed through
+    the Hadoop FileSystem API — the same layer the writes go through — so
+    any scheme Spark can write (``s3a://``, ``hdfs://``, ``abfs://``,
+    plain paths) is probed correctly.  A driver-local ``os.listdir`` would
+    report "no index" on every object store and silently skip cross-batch
+    dedup on exactly the storage a streaming sink normally targets."""
+    jvm = spark._jvm  # noqa: SLF001 — public-in-practice Hadoop bridge
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.getPath().getName().startswith("batch=")
+    ]
+
+
 def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
                    index_dir: str, text_col: str, id_col: str,
                    num_perm: int, bands: int, shingle_n: int,
@@ -76,9 +95,9 @@ def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
     # partially-committed output would self-match every document
     # (Jaccard(self, self) = 1) and overwrite its partition with an
     # empty frame, silently deleting accepted rows.
-    index_exists = os.path.isdir(index_dir) and any(
-        f.startswith("batch=") and f != f"batch={batch_id}"
-        for f in os.listdir(index_dir)
+    index_exists = any(
+        name != f"batch={batch_id}"
+        for name in _index_batches(spark, index_dir)
     )
     if index_exists:
         idx_sigs = spark.read.parquet(index_dir).where(

@@ -74,6 +74,15 @@ def _mix64(z: np.ndarray, salt) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+# Persisted-bucket format tag.  Bump whenever the bucket-id derivation
+# changes (_fold_buckets fold/salts, _minhash_params, shingle hashing):
+# a stored signature index whose bucket ids were computed by an older
+# revision would silently yield ZERO candidates against new-batch buckets
+# — duplicates admitted with no error — so the incremental path refuses
+# mismatched (or unversioned) indexes instead.
+MINHASH_SIG_FORMAT = "mh2-bandsalt"
+
+
 def _fold_buckets(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
     """(n, num_perm) signature matrix -> (n, bands) LSH bucket ids, FNV-fold
     + splitmix finalize per band (vectorised).  The finalizer is salted with
@@ -196,7 +205,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     return df.select(
         F.col(id_col), sig_and_buckets(F.col(text_col)).alias("sb")
-    ).select(id_col, "sb.sig", "sb.buckets")
+    ).select(
+        id_col, "sb.sig", "sb.buckets",
+        F.lit(MINHASH_SIG_FORMAT).alias("sig_format"),
+    )
 
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
@@ -742,6 +754,22 @@ def minhash_lsh_candidates_incremental(new_sigs: DataFrame,
         if "buckets" not in side.columns:
             raise ValueError(f"{name} needs the fused `buckets` column "
                              "(minhash_signatures(..., bands=N))")
+        # Bucket ids are only comparable between identical derivations: an
+        # index signed by an older bucket scheme joins to zero candidates
+        # and silently admits every duplicate, so refuse loudly instead.
+        if "sig_format" not in side.columns:
+            raise ValueError(
+                f"{name} carries no `sig_format` column — it predates "
+                f"bucket-format versioning; re-sign it with "
+                f"minhash_signatures (current format {MINHASH_SIG_FORMAT!r})"
+            )
+        got = side.select("sig_format").limit(1).collect()
+        if got and got[0][0] != MINHASH_SIG_FORMAT:
+            raise ValueError(
+                f"{name} bucket format {got[0][0]!r} != engine format "
+                f"{MINHASH_SIG_FORMAT!r}: bucket ids are not comparable "
+                "across derivations; re-sign the index"
+            )
     new_b = new_sigs.select(
         F.col(id_col).alias("id_new"), F.explode("buckets").alias("bucket")
     )
