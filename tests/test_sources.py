@@ -699,3 +699,123 @@ class TestNationalGridsAndPolar:
         want = np.zeros_like(got)
         want[valid] = data[rows[valid], cols[valid]]
         np.testing.assert_array_equal(got, want)
+
+
+class TestRegisterCrs:
+    """User-parameterized CRS registration: any TM/LCC/stereo/Mercator
+    national grid from its published parameters, no code change — the
+    no-GDAL counterpart of the reference accepting every GDAL-known CRS
+    (``_datatypes/area.py:315-364``)."""
+
+    def _wgs(self):
+        import yirgacheffe_spark as yg
+
+        return yg.MapProjection("epsg:4326", 1.0, -1.0).crs
+
+    def test_nztm_round_trip_and_anchor(self):
+        """EPSG:2193 (NZTM2000, published params: GRS80, lat0=0, lon0=173,
+        k0=0.9996, FE=1.6e6, FN=1e7): registered from parameters, the
+        false origin anchors exactly and round trips are sub-nm."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:2193", "transverse_mercator", "grs80",
+                       lon0=173.0, k0=0.9996,
+                       false_easting=1_600_000.0, false_northing=10_000_000.0)
+        crs = yg.MapProjection("epsg:2193", 1.0, -1.0).crs
+        proj = R._projection_for(crs)
+        e, n = proj.forward(np.array([173.0]), np.array([0.0]))
+        assert abs(e[0] - 1_600_000.0) < 1e-6 and abs(n[0] - 10_000_000.0) < 1e-6
+
+        rng = np.random.default_rng(11)
+        lng = rng.uniform(166.0, 179.0, 60)
+        lat = rng.uniform(-47.5, -34.0, 60)
+        x, y = R.transform_points(self._wgs(), crs, lng, lat)
+        lng2, lat2 = R.transform_points(crs, self._wgs(), x, y)
+        np.testing.assert_allclose(lng2, lng, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_statcan_lcc_round_trip(self):
+        """EPSG:3347 (Statistics Canada LCC, published params)."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:3347", "lambert_conformal_conic_2sp", "grs80",
+                       lat0=63.390675, lon0=-91.8666667, sp1=49.0, sp2=77.0,
+                       false_easting=6_200_000.0, false_northing=3_000_000.0)
+        crs = yg.MapProjection("epsg:3347", 1.0, -1.0).crs
+        rng = np.random.default_rng(12)
+        lng = rng.uniform(-135.0, -55.0, 60)
+        lat = rng.uniform(43.0, 80.0, 60)
+        x, y = R.transform_points(self._wgs(), crs, lng, lat)
+        lng2, lat2 = R.transform_points(crs, self._wgs(), x, y)
+        np.testing.assert_allclose(lng2, lng, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_helmert_registration_matches_builtin_27700(self):
+        """Registering the British grid's published parameters (including
+        the 7-param OSGB36 Helmert) under a fresh code must reproduce the
+        built-in epsg:27700 transform bit-for-bit."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:61766", "transverse_mercator",
+                       ellipsoid=(6377563.396, 299.3249646),  # Airy 1830
+                       lon0=-2.0, lat0=49.0, k0=0.9996012717,
+                       false_easting=400_000.0, false_northing=-100_000.0,
+                       helmert=(-446.448, 125.157, -542.060,
+                                -0.1502, -0.2470, -0.8421, 20.4894))
+        mine = yg.MapProjection("epsg:61766", 1.0, -1.0).crs
+        builtin = yg.MapProjection("epsg:27700", 1.0, -1.0).crs
+        rng = np.random.default_rng(13)
+        lng = rng.uniform(-6.0, 1.5, 40)
+        lat = rng.uniform(50.0, 58.0, 40)
+        x1, y1 = R.transform_points(self._wgs(), mine, lng, lat)
+        x2, y2 = R.transform_points(self._wgs(), builtin, lng, lat)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_engine_reproject_from_registered_crs(self, spark):
+        """End-to-end: a raster stored on a user-registered grid reprojects
+        through the engine's 2-D gather and agrees with an independent
+        numpy gather through the same transform (mirror of the built-in
+        27700 differential)."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:2193", "transverse_mercator", "grs80",
+                       lon0=173.0, k0=0.9996,
+                       false_easting=1_600_000.0, false_northing=10_000_000.0)
+        rng = np.random.default_rng(14)
+        data = rng.integers(0, 100, (40, 40)).astype(np.int32)
+        nztm = yg.MapProjection("epsg:2193", 1000.0, -1000.0)
+        src = yg.from_array(data, (1_700_000.0, 5_500_000.0), nztm)
+        tgt = yg.MapProjection("epsg:4326", 0.005, -0.005)
+        rl = yg.ReprojectedLayer(src, tgt, "nearest")
+        w = rl.window
+        got = rl.read_array(0, 0, w.xsize, w.ysize)
+        area = rl.area
+        tx = area.left + (np.arange(w.xsize) + 0.5) * 0.005
+        ty = area.top - (np.arange(w.ysize) + 0.5) * 0.005
+        gx, gy = np.meshgrid(tx, ty)
+        sx, sy = R.transform_points(tgt.crs, nztm.crs, gx.ravel(), gy.ravel())
+        cols = np.floor((sx - 1_700_000.0) / 1000.0).astype(int).reshape(gy.shape)
+        rows = np.floor((sy - 5_500_000.0) / -1000.0).astype(int).reshape(gy.shape)
+        valid = (cols >= 0) & (cols < 40) & (rows >= 0) & (rows < 40)
+        want = np.zeros_like(got)
+        want[valid] = data[rows[valid], cols[valid]]
+        np.testing.assert_array_equal(got, want)
+
+    def test_bad_inputs_raise(self):
+        import pytest as _pt
+
+        from yirgacheffe_spark import reprojection as R
+
+        with _pt.raises(ValueError, match="ellipsoid"):
+            R.register_crs("epsg:61767", "mercator", "not_an_ellipsoid")
+        with _pt.raises(ValueError, match="sp1"):
+            R.register_crs("epsg:61767", "lambert_conformal_conic_2sp")
+        with _pt.raises(ValueError, match="lat_ts"):
+            R.register_crs("epsg:61767", "polar_stereographic")
+        with _pt.raises(ValueError, match="projection kind"):
+            R.register_crs("epsg:61767", "oblique_mercator", lon0=0.0)

@@ -380,6 +380,28 @@ def test_knn_initial_ring_override_matches_default(spark):
     assert base == forced and len(base) == 15
 
 
+def test_knn_correct_with_density_cache_disabled(spark, monkeypatch):
+    """_plan_identity leans on private Spark API (_jdf + semanticHash); if
+    a backend (e.g. Spark Connect) removes it, caching silently disables —
+    results must be identical either way."""
+    rng = np.random.default_rng(17)
+    n = 800
+    pts = spark.createDataFrame(pd.DataFrame({
+        "url": [f"u{i}" for i in range(n)],
+        "lat": rng.uniform(-60, 60, n),
+        "lng": rng.uniform(-180, 180, n),
+    })).withColumn("cell", joins.cell_expr("lat", "lng", 5))
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": [1, 2], "lat": [10.5, -30.5], "lng": [20.5, -120.5]}))
+    cached = {(r["query_id"], r["rank"]): r["url"] for r in
+              joins.knn_join_df(spark, pts, qdf, k=5, res=5).collect()}
+    monkeypatch.setattr(joins, "_plan_identity", lambda df: None)
+    joins.invalidate_density_cache()
+    uncached = {(r["query_id"], r["rank"]): r["url"] for r in
+                joins.knn_join_df(spark, pts, qdf, k=5, res=5).collect()}
+    assert cached == uncached and len(cached) == 10
+
+
 def test_zonal_stats_dataframe_polygon_side(spark):
     import yirgacheffe_spark as yg
 

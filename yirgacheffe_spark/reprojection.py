@@ -463,6 +463,102 @@ def _projection_for(crs: "CRS"):
     return proj
 
 
+# -- User-parameterized CRS registration ---------------------------------------
+
+# Published reference ellipsoids (semi-major axis, inverse flattening) —
+# the set national grids are defined on.  Custom ellipsoids pass (a, 1/f).
+_NAMED_ELLIPSOIDS = {
+    "wgs84": _ELL_WGS84,
+    "grs80": _ELL_GRS80,
+    "airy1830": _ELL_AIRY1830,
+    "intl1924": _Ellipsoid(6378388.0, 297.0),
+    "clarke1866": _Ellipsoid(6378206.4, 294.978698214),
+    "bessel1841": _Ellipsoid(6377397.155, 299.1528128),
+    "krassowsky1940": _Ellipsoid(6378245.0, 298.3),
+}
+
+
+def register_crs(code: str, projection: str,
+                 ellipsoid="wgs84", *,
+                 lon0: float = 0.0, lat0: float = 0.0, k0: float = 1.0,
+                 lat_ts: "float | None" = None,
+                 sp1: "float | None" = None, sp2: "float | None" = None,
+                 south: bool = False,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 helmert: "tuple | None" = None) -> None:
+    """Register a projected CRS from its defining parameters, so any
+    TM/LCC/stereographic/Mercator national grid works without a code
+    change (the per-EPSG entries above are just pre-registered instances
+    of the same machinery).  The reference accepts any GDAL-known CRS
+    (``_datatypes/area.py:315-364``); this is the no-GDAL equivalent —
+    the user supplies the published parameters once and every transform,
+    extent-prediction and reprojection path picks them up.
+
+    ``projection`` is one of:
+
+    * ``"transverse_mercator"`` — uses lon0, lat0, k0, false_easting,
+      false_northing (e.g. any national TM grid);
+    * ``"lambert_conformal_conic_2sp"`` — lat0, lon0, sp1, sp2,
+      false_easting, false_northing;
+    * ``"polar_stereographic"`` — lat_ts (standard parallel), lon0,
+      south, false_easting, false_northing;
+    * ``"mercator"`` — ellipsoidal Mercator (no false origin).
+
+    ``ellipsoid`` is a name from ``_NAMED_ELLIPSOIDS`` or an
+    ``(a, inv_flattening)`` tuple.  ``helmert`` is the optional published
+    7-parameter position-vector shift FROM WGS84 TO the grid's datum
+    (tx, ty, tz metres, rx, ry, rz arc-seconds, scale ppm) — omit when
+    the datum is WGS84-equivalent (GRS80/ETRS89/NAD83 at raster scales).
+
+    Re-registering a code replaces it (useful for tests); built-in codes
+    can be shadowed the same way.
+    """
+    if isinstance(ellipsoid, str):
+        try:
+            ell = _NAMED_ELLIPSOIDS[ellipsoid.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unknown ellipsoid {ellipsoid!r}; named options: "
+                f"{sorted(_NAMED_ELLIPSOIDS)} or pass (a, inv_flattening)"
+            ) from None
+    else:
+        a, inv_f = ellipsoid
+        ell = _Ellipsoid(float(a), float(inv_f))
+    shift = _Helmert(*helmert) if helmert is not None else None
+
+    kind = projection.lower()
+    if kind == "transverse_mercator":
+        proj = _TM(ell, lon0, lat0, k0, false_easting, false_northing,
+                   helmert=shift)
+    elif kind == "lambert_conformal_conic_2sp":
+        if sp1 is None or sp2 is None:
+            raise ValueError("lambert_conformal_conic_2sp needs sp1 and sp2")
+        proj = _LCC2SP(ell, lat0, lon0, sp1, sp2, false_easting,
+                       false_northing, helmert=shift)
+    elif kind == "polar_stereographic":
+        if lat_ts is None:
+            raise ValueError("polar_stereographic needs lat_ts")
+        if shift is not None:
+            raise ValueError("polar_stereographic does not take a helmert "
+                             "shift (polar grids are WGS84-based)")
+        proj = _PolarStereo(ell, lat_ts, lon0, south=south,
+                            e0=false_easting, n0=false_northing)
+    elif kind == "mercator":
+        if shift is not None or false_easting or false_northing:
+            raise ValueError("mercator takes no helmert/false origin here")
+        proj = _EllipsoidalMercator(ell)
+    else:
+        raise ValueError(
+            f"unknown projection kind {projection!r}; supported: "
+            "transverse_mercator, lambert_conformal_conic_2sp, "
+            "polar_stereographic, mercator"
+        )
+
+    from .grid import CRS as _CRS  # pylint: disable=C0415
+
+    _PROJ_CACHE[_CRS(code).code] = proj
+
+
 def utm_forward(lng, lat, zone: int, south: bool):
     """Vectorised WGS84 lat/lng (degrees) -> UTM easting/northing."""
     proj = _TM(_ELL_WGS84, utm_zone_lon0(zone), 0.0, _UTM_K0, _UTM_E0,

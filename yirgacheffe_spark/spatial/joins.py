@@ -243,7 +243,13 @@ _BAND_DENSITY_CACHE_MAX = 32
 
 def _plan_identity(df: DataFrame):
     """A stable identity for a DataFrame's analyzed plan, or None when the
-    backend doesn't expose one (then callers skip caching)."""
+    backend doesn't expose one (then callers skip caching).
+
+    ``_jdf`` + ``semanticHash`` are private Spark API (present and stable
+    across Spark 3.x/4.x on the JVM backend, absent on Spark Connect where
+    there is no local ``_jdf``) — hence the broad except: any change in
+    either simply disables caching, it never changes results (covered by a
+    test that forces this path)."""
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
