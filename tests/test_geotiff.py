@@ -460,3 +460,88 @@ def test_to_geotiff_hopeless_classic_fails_at_plan_time(spark, tmp_path):
         yg.to_geotiff(wide, str(tmp_path / "never.tif"), bigtiff=False,
                       spark=spark)
     assert not (tmp_path / "never.tif.part").exists()
+
+
+class TestLzwAndSparseWrites:
+    """LZW write path (mirror of the reader's early-change decoder) and
+    sparse tile skipping (GDAL SPARSE_OK layout: offset AND count 0),
+    reference parity with `to_geotiff(sparse=)`
+    (`_operators/__init__.py:1412-1416`)."""
+
+    def test_lzw_write_roundtrip(self, tmp_path):
+        data = RNG.integers(0, 60000, (300, 520)).astype(np.uint16)
+        path = str(tmp_path / "lzw.tif")
+        G.write_geotiff(path, data, _area(520, 300), compression="lzw")
+        from yirgacheffe_spark.sources.geotiff import _read_tiff_header
+        assert _read_tiff_header(path).compression == 5
+        got = yg.read_raster(path).read_array(0, 0, 520, 300)
+        np.testing.assert_array_equal(got, data)
+
+    def test_uncompressed_write_roundtrip(self, tmp_path):
+        data = RNG.normal(size=(100, 130)).astype(np.float32)
+        path = str(tmp_path / "raw.tif")
+        G.write_geotiff(path, data, _area(130, 100), compression="none")
+        got = yg.read_raster(path).read_array(0, 0, 130, 100)
+        np.testing.assert_array_equal(got, data)
+
+    def test_sparse_layout_and_roundtrip(self, tmp_path):
+        """Half the tiles are pure nodata: the sparse file must record
+        offset 0 AND byte-count 0 for exactly those tiles (the byte layout
+        GDAL writes with SPARSE_OK=YES), be smaller than the dense file,
+        and read back identically."""
+        from yirgacheffe_spark.sources.geotiff import _read_tiff_header
+
+        data = np.full((512, 512), -9999.0, dtype=np.float32)
+        data[:256, :256] = RNG.normal(size=(256, 256)).astype(np.float32)
+        dense, sp = str(tmp_path / "d.tif"), str(tmp_path / "s.tif")
+        G.write_geotiff(dense, data, _area(512, 512), nodata=-9999.0)
+        G.write_geotiff(sp, data, _area(512, 512), nodata=-9999.0, sparse=True)
+        p = _read_tiff_header(sp)
+        empties = [i for i in range(4) if p.offsets[i] == 0]
+        assert empties and all(p.counts[i] == 0 for i in empties)
+        assert len(empties) == 3  # only the top-left 256x256 tile has data
+        import os as _os
+        assert _os.path.getsize(sp) < _os.path.getsize(dense)
+        got = yg.read_raster(sp, ignore_nodata=True).read_array(0, 0, 512, 512)
+        np.testing.assert_array_equal(got, data)
+        # and through the nodata->nan mapping both files agree
+        a = yg.read_raster(sp).read_array(0, 0, 512, 512)
+        b = yg.read_raster(dense).read_array(0, 0, 512, 512)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    def test_sparse_requires_nodata(self, tmp_path):
+        with pytest.raises(ValueError, match="[Nn]odata"):
+            G.write_geotiff(str(tmp_path / "x.tif"),
+                            np.zeros((8, 8), np.float32), _area(8, 8),
+                            sparse=True)
+
+    def test_sparse_lzw_combination(self, tmp_path):
+        data = np.zeros((300, 300), dtype=np.int32)
+        data[10:40, 10:40] = RNG.integers(1, 9, (30, 30)).astype(np.int32)
+        path = str(tmp_path / "sl.tif")
+        G.write_geotiff(path, data, _area(300, 300), nodata=0.0,
+                        sparse=True, compression="lzw")
+        got = yg.read_raster(path, ignore_nodata=True).read_array(0, 0, 300, 300)
+        np.testing.assert_array_equal(got, data)
+
+    def test_to_geotiff_sparse_end_to_end(self, tmp_path, spark):
+        """Engine expression -> streamed sparse GeoTIFF: all-nodata file
+        tiles are skipped; values round-trip through the engine read."""
+        from yirgacheffe_spark.sources.geotiff import _read_tiff_header
+
+        data = np.zeros((400, 600), dtype=np.float32)
+        data[:100, :150] = RNG.normal(size=(100, 150)).astype(np.float32)
+        lay = yg.from_array(data, (0.0, 0.0), PROJ)
+        path = str(tmp_path / "e2e.tif")
+        yg.to_geotiff(lay + 0, path, nodata=0.0, sparse=True, spark=spark)
+        p = _read_tiff_header(path)
+        assert sum(1 for o in p.offsets if o == 0) >= 3
+        got = yg.read_raster(path, ignore_nodata=True).read_array(0, 0, 600, 400)
+        np.testing.assert_array_equal(got, data)
+
+    def test_bad_compression_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="compression"):
+            G.write_geotiff(str(tmp_path / "x.tif"),
+                            np.zeros((8, 8), np.float32), _area(8, 8),
+                            compression="jpeg")

@@ -88,9 +88,19 @@ def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
 
 
 def to_geotiff(tree, path: str, nodata: float | None = None, spark=None,
-               bigtiff: "bool | None" = None) -> None:
+               bigtiff: "bool | None" = None, compression: str = "deflate",
+               sparse: bool = False) -> None:
     """Materialise an expression/layer (or a LIST of them, as bands 1..N of
-    a planar multiband file) as a tiled deflate GeoTIFF.
+    a planar multiband file) as a tiled compressed GeoTIFF.
+
+    ``compression``: ``"deflate"`` (default, zlib/C speed), ``"lzw"``
+    (TIFF early-change variant, pure-Python encoder — for toolchains that
+    require it), or ``"none"``.  ``sparse=True`` skips blocks that are
+    entirely ``nodata`` (which must then be given), writing offset AND
+    byte-count 0 per the TIFF convention GDAL's SPARSE_OK extension uses —
+    reference parity with ``to_geotiff(sparse=)``
+    (``_operators/__init__.py:1412-1416``); the parquet ``save()`` has the
+    same option.
 
     A single .tif is one file — an inherent gather point — but the gather is
     STREAMED: result tiles are range-partitioned and sorted by (tile_y,
@@ -144,6 +154,7 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None,
     writer = TiffStreamWriter(
         path, w.xsize, w.ysize, out_dtype, roots[0].area, nodata=nodata,
         tile_size=file_tile, n_bands=len(roots), bigtiff=bigtiff,
+        compression=compression, sparse=sparse,
     )
     spark_s = executor.get_spark(spark)
     try:

@@ -13,9 +13,11 @@ specifications alone:
   GeoKeyDirectory; nodata from GDAL's ASCII tag 42113.  Reads are windowed:
   only the strips/tiles intersecting the request are decoded, so per-tile
   kernel evaluation stays O(tile).
-* **Writer** — tiled (256x256) deflate-compressed classic GeoTIFF with the
-  same geo tags, so round trips are self-consistent and outputs open in any
-  standards-reading tool.
+* **Writer** — tiled (256x256) classic or BigTIFF GeoTIFF with the same geo
+  tags (deflate by default; LZW and uncompressed selectable; ``sparse=True``
+  skips all-nodata tiles with offset/count 0, GDAL's SPARSE_OK layout), so
+  round trips are self-consistent and outputs open in any standards-reading
+  tool.
 
 ``GeoTIFFLayer`` holds only the path + parsed metadata (picklable); inside
 Spark kernels each worker process re-opens the file lazily and caches the
@@ -118,6 +120,66 @@ def _lzw_decode(data: bytes) -> bytes:
         if len(table) >= (1 << nbits) - 2 and nbits < 12:
             nbits += 1
     return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder, the exact mirror of ``_lzw_decode``
+    (MSB-first codes, ClearCode 256, EOI 257, early code-width change at
+    table size (1<<n)-1 on the encoder side, CLEAR-and-reset when the
+    12-bit table fills at 4094) — the variant libtiff/GDAL read.
+
+    Pure Python (~1-2 MB/s): fine for the opt-in ``compression="lzw"``
+    file bridge; the parquet ``save()`` path is the scale path and deflate
+    (zlib, C speed) stays the default here.
+    """
+    clear, eoi = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table: dict = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(clear)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # Early change: the decoder widens after appending entry
+        # (1<<n)-2, which corresponds to the encoder's table reaching
+        # (1<<n)-1 right after an add (it runs one entry ahead).
+        if next_code == (1 << nbits) - 1:
+            if nbits < 12:
+                nbits += 1
+            else:  # 12-bit table full (4094): reset, like libtiff
+                emit(clear)
+                table = {bytes([j]): j for j in range(256)}
+                next_code = 258
+                nbits = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+_COMPRESSION_TAGS = {"deflate": 8, "lzw": 5, "none": 1}
 
 
 class _Parsed:
@@ -317,6 +379,18 @@ class GeoTIFFLayer(Layer):
         else:
             file_idx = idx
             samples_in_block = p.samples
+        if p.is_tiled:
+            h, w = p.tile_h, p.tile_w
+        else:
+            h = min(p.tile_h, p.height - idx * p.tile_h)
+            w = p.width
+        if p.counts[file_idx] == 0 and p.offsets[file_idx] == 0:
+            # Sparse block (GDAL SPARSE_OK convention): never stored, reads
+            # as nodata (or zero when the file declares none).
+            fill = p.nodata if p.nodata is not None else 0
+            return np.full((h, w), fill,
+                           dtype=p.dtype.newbyteorder("=")
+                           if p.dtype.byteorder in ("<", ">") else p.dtype)
         f = _fileobj(self.path)
         f.seek(p.offsets[file_idx])
         raw = f.read(p.counts[file_idx])
@@ -324,11 +398,6 @@ class GeoTIFFLayer(Layer):
             raw = zlib.decompress(raw)
         elif p.compression == 5:
             raw = _lzw_decode(raw)
-        if p.is_tiled:
-            h, w = p.tile_h, p.tile_w
-        else:
-            h = min(p.tile_h, p.height - idx * p.tile_h)
-            w = p.width
         n = h * w * samples_in_block * p.dtype.itemsize
         arr = np.frombuffer(raw[:n], dtype=p.dtype).reshape(h, w, samples_in_block)
         if p.predictor == 2:
@@ -404,9 +473,23 @@ class TiffStreamWriter:
     def __init__(self, path: str, width: int, height: int, dtype,
                  area: Area, nodata: float | None = None,
                  tile_size: int = 256, n_bands: int = 1,
-                 bigtiff: bool = False) -> None:
+                 bigtiff: bool = False, compression: str = "deflate",
+                 sparse: bool = False) -> None:
         projection = area.projection
         assert projection is not None
+        if compression not in _COMPRESSION_TAGS:
+            raise ValueError(
+                f"compression {compression!r} not supported; one of "
+                f"{sorted(_COMPRESSION_TAGS)}"
+            )
+        if sparse and nodata is None:
+            # Reference parity (_operators/__init__.py:1415-1416): a sparse
+            # file's unwritten blocks READ as nodata, so without one the
+            # skipped pixels would be indistinguishable from real zeros.
+            raise ValueError("Nodata value must be provided for sparse GeoTIFFs")
+        self.compression = compression
+        self.sparse = sparse
+        self._fill = nodata
         self.bigtiff = bigtiff
         dtype = np.dtype(dtype)
         if dtype == np.bool_:
@@ -442,7 +525,7 @@ class TiffStreamWriter:
         entries.append((_T_WIDTH, 3, 1, [width]))
         entries.append((_T_HEIGHT, 3, 1, [height]))
         entries.append((_T_BITS, 3, n_bands, [bits] * n_bands))
-        entries.append((_T_COMPRESSION, 3, 1, [8]))
+        entries.append((_T_COMPRESSION, 3, 1, [_COMPRESSION_TAGS[compression]]))
         entries.append((_T_PHOTOMETRIC, 3, 1, [1]))
         entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, [n_bands]))
         entries.append((_T_PLANAR, 3, 1, [1 if n_bands == 1 else 2]))
@@ -527,15 +610,32 @@ class TiffStreamWriter:
 
     def write_tile(self, block: np.ndarray) -> None:
         """Append the next tile (row-major order).  ``block`` may be smaller
-        than tile_size at the right/bottom edges; it is zero-padded."""
+        than tile_size at the right/bottom edges; it is zero-padded.
+
+        Sparse mode: a block that is entirely the nodata value is not
+        stored at all — its offset AND byte count are recorded as 0, the
+        TIFF convention GDAL's SPARSE_OK extension writes and reads
+        (unwritten blocks read back as nodata)."""
         if len(self._offsets) >= self._n_tiles:
             raise ValueError("more tiles written than the grid holds")
+        if self.sparse:
+            b = np.asarray(block)
+            all_fill = (np.all(np.isnan(b)) if np.isnan(self._fill)
+                        else bool(np.all(b == self._fill)))
+            if all_fill:
+                self._offsets.append(0)
+                self._lengths.append(0)
+                return
         s = self.tile_size
         tile = np.zeros((s, s), dtype=self.dtype)
         tile[: block.shape[0], : block.shape[1]] = block
-        payload = zlib.compress(
-            tile.astype(self.dtype.newbyteorder("<")).tobytes(), 6
-        )
+        raw = tile.astype(self.dtype.newbyteorder("<")).tobytes()
+        if self.compression == "deflate":
+            payload = zlib.compress(raw, 6)
+        elif self.compression == "lzw":
+            payload = _lzw_encode(raw)
+        else:
+            payload = raw
         if not self.bigtiff and self._f.tell() + len(payload) >= (1 << 32):
             raise ValueError(
                 "classic TIFF offsets overflow 4 GiB at tile "
@@ -579,16 +679,20 @@ class TiffStreamWriter:
 
 def write_geotiff(path: str, data: np.ndarray, area: Area,
                   nodata: float | None = None, tile_size: int = 256,
-                  bigtiff: bool = False) -> None:
-    """Write a 2-D numpy array as a tiled, deflate-compressed GeoTIFF
+                  bigtiff: bool = False, compression: str = "deflate",
+                  sparse: bool = False) -> None:
+    """Write a 2-D numpy array as a tiled, compressed GeoTIFF
     (classic, or BigTIFF with ``bigtiff=True``) with ModelPixelScale/
-    Tiepoint + GeoKey georeferencing."""
+    Tiepoint + GeoKey georeferencing.  ``compression``: deflate (default),
+    lzw, or none; ``sparse=True`` skips all-nodata tiles (offset/count 0,
+    GDAL's SPARSE_OK layout; requires ``nodata``)."""
     data = np.ascontiguousarray(data)
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     height, width = data.shape
     w = TiffStreamWriter(path, width, height, data.dtype, area,
-                         nodata=nodata, tile_size=tile_size, bigtiff=bigtiff)
+                         nodata=nodata, tile_size=tile_size, bigtiff=bigtiff,
+                         compression=compression, sparse=sparse)
     s = tile_size
     for ty in range(w.tiles_y):
         for tx in range(w.tiles_x):
