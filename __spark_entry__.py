@@ -34,7 +34,7 @@ from yirgacheffe_spark.harness import (
     scalar_df,
 )
 from yirgacheffe_spark.spatial import joins
-from yirgacheffe_spark.text import ann, dedup, multimodal, quality
+from yirgacheffe_spark.text import ann, dedup, multimodal, pipeline, quality
 
 RES = 5  # cell resolution used by the spatial oracle queries
 
@@ -244,6 +244,48 @@ def q_doc_text_features(spark, sf_dir):
 
 def q_doc_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+# Every stage of q_doc_curate_corpus must fire on the gate corpus, so the
+# input is augmented deterministically: exact copies (doc_id+100000, every
+# 7th doc) for exact_dedup to remove, and a shared header line prepended to
+# every text for boilerplate removal to strip.
+_CURATE_HEADER = "BOILERPLATE NOTICE: shared header"
+_CURATE_MIN_QUALITY = 0.35
+_CURATE_LANG_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+_CURATE_SEED = 5
+
+
+def q_doc_curate_corpus(spark, sf_dir):
+    """The one-call curation pipeline end-to-end (VERDICT r4 item 7):
+    exact dedup -> boilerplate line removal -> quality floor -> MinHash
+    cluster dedup -> stratified language sampling, as ONE composed lazy
+    plan (report disabled).  Exactly SQL-mirrorable stage by stage: exact
+    dedup via md5 row_number, the line rebuild via zip-unnest +
+    order-preserving string_agg, quality via quality_score_sql, near-dup
+    clusters via all-pairs Jaccard + recursive-CTE components (LSH proven
+    covering on the gate corpora, see q_doc_minhash_pairs), sampling via
+    the md5 unit-hash mirror.  Returning the cleaned TEXT makes the value
+    hash prove the boilerplate rebuild, not just survivorship."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    aug = docs.unionByName(copies).withColumn(
+        "text", F.concat(F.lit(_CURATE_HEADER + "\n"), F.col("text"))
+    )
+    cur, _ = pipeline.curate_corpus(
+        aug,
+        boilerplate_min_docs=3,
+        min_quality=_CURATE_MIN_QUALITY,
+        near_dup_threshold=0.8,
+        minhash_num_perm=64,
+        minhash_bands=16,
+        lang_fractions=_CURATE_LANG_FRACTIONS,
+        sample_seed=_CURATE_SEED,
+        with_report=False,
+    )
+    return cur.select("doc_id", "lang", "text")
 
 
 def q_streaming_ingest(spark, sf_dir):
@@ -942,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
         "doc_text_features": q_doc_text_features,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_curate_corpus": q_doc_curate_corpus,
         "doc_langid": q_doc_langid,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_lang_stats": q_doc_lang_stats,
@@ -962,6 +1005,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _curate_oracle_sql() -> str:
+    """Stage-by-stage DuckDB mirror of q_doc_curate_corpus: augmentation,
+    md5 exact dedup, hot-line strip + order-preserving rebuild (zip-unnest
+    ordinality), quality_score_sql floor, all-pairs Jaccard >= 0.8 pairs +
+    recursive-CTE components (= the engine's LSH+verify+connected
+    components on the gate corpora), md5 unit-hash language sampling."""
+    fracs = ", ".join(
+        f"('{k}', {v})" for k, v in _CURATE_LANG_FRACTIONS.items()
+    )
+    return f"""
+        WITH RECURSIVE aug AS (
+            SELECT doc_id, '{_CURATE_HEADER}' || chr(10) || text AS text, lang
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, '{_CURATE_HEADER}' || chr(10) || text, lang
+            FROM documents WHERE doc_id % 7 = 0
+        ), ex AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM aug
+            ) WHERE rn = 1
+        ), split_lines AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, chr(10))) AS l,
+                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+            FROM ex
+        ), hot AS (
+            SELECT trim(l) AS tl FROM split_lines
+            WHERE length(trim(l)) > 0
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+        ), kept AS (
+            SELECT s.doc_id, s.l, s.pos
+            FROM split_lines s LEFT JOIN hot h ON trim(s.l) = h.tl
+            WHERE h.tl IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id
+        ), cleaned AS (
+            SELECT e.doc_id, COALESCE(r.text, '') AS text, e.lang
+            FROM ex e LEFT JOIN rebuilt r USING (doc_id)
+        ), quality_ok AS (
+            SELECT * FROM cleaned
+            WHERE {quality.quality_score_sql("text")} >= {_CURATE_MIN_QUALITY}
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                        WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                        ELSE [] END AS s
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM quality_ok)
+        ), prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+            WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                       THEN 1.0
+                       ELSE len(list_intersect(a.s, b.s)) * 1.0
+                            / len(list_distinct(list_concat(a.s, b.s)))
+                  END >= 0.8
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs
+        ), reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b
+        ), losers AS (
+            SELECT id FROM reach GROUP BY id HAVING MIN(comp) < id
+        ), surv AS (
+            SELECT q.* FROM quality_ok q
+            LEFT JOIN losers lo ON q.doc_id = lo.id
+            WHERE lo.id IS NULL
+        ), frac AS (
+            SELECT * FROM (VALUES {fracs}) AS t(lang, f)
+        )
+        SELECT s.doc_id, s.lang, s.text
+        FROM surv s JOIN frac USING (lang)
+        WHERE ('0x' || substr(md5(s.doc_id || ' ' || {_CURATE_SEED}), 1, 16))::UBIGINT
+              / 18446744073709551616.0 < f
+    """
 
 
 def _mulmod64_sql(a: str, c: int) -> str:
@@ -1183,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1
         """,
+        "doc_curate_corpus": _curate_oracle_sql(),
         # The LSH path must reproduce the brute-force pair set exactly
         # (precision is exact by construction; recall engineered > 1 - 1e-6
         # per pair at this threshold), so it shares the brute-force oracle.
