@@ -63,6 +63,66 @@ def run_best(cpus: int, repeats: int = 3) -> dict:
     return best
 
 
+# Which hw_ceiling.py kernel bounds each query's 8->32 scaling on this VM.
+# The match follows the per-stage instrumentation (BENCH/BASELINE.md,
+# scripts/diag_aoh.py): aoh/mosaic/unique are parquet-decode-bound (decode
+# measured at 75% of aoh engine CPU); conv2d/save/text_quality are
+# compute-bound (numpy stencil / zstd / JVM regex — the near-ideal kernel
+# ceiling); enrich/minhash are dominated by vectorised hashing in Python
+# workers; pip/knn by hash join+aggregate machinery.  None = sub-second
+# stage-latency floor: no engine scales a fixed-cost job, ceiling 1.0x.
+QUERY_CEILING = {
+    "aoh_mask_sum": "parquet_decode",
+    "mosaic_sum": "parquet_decode",
+    "unique_vals": "parquet_decode",
+    "conv2d_sum": "aoh_numpy",
+    "save_tiles": "aoh_numpy",
+    "pages_text_quality": "aoh_numpy",
+    "pages_enrich": "hash_pandas",
+    "minhash_lsh": "hash_pandas",
+    "pages_pip_join": "hash_agg",
+    "pages_knn": "hash_agg",
+    "ann_topk": None,
+    "pricing_summary": None,
+}
+
+
+def composite_ceiling(small: dict, big: dict, ceiling: dict) -> "dict | None":
+    """Suite-share-weighted ceiling: the fastest 32-way suite any engine
+    could post on this VM is sum(t8_q / ceiling_speedup_q) — each query's
+    local[8] time divided by its MATCHED kernel's measured speedup.  The
+    composite ceiling speedup is then T8 / that sum, and engine-relative
+    efficiency = measured_speedup / composite_ceiling_speedup.  (Dividing
+    by the single fastest kernel — r4's framing — overstates the ceiling:
+    hash_agg's superlinear cache effect is not available to decode-bound
+    queries that dominate the suite time.)"""
+    if not ceiling:
+        return None
+    rows = []
+    t32_ideal = 0.0
+    t8_total = 0.0
+    for q, t8 in small["queries"].items():
+        kern = QUERY_CEILING.get(q)
+        s_q = ceiling[kern]["speedup_8_to_32"] if kern and kern in ceiling else 1.0
+        t32_ideal += t8 / s_q
+        t8_total += t8
+        t32 = big["queries"].get(q, float("nan"))
+        eng = t8 / t32 if t32 else float("nan")
+        rows.append({
+            "query": q, "t8": t8, "kernel": kern or "stage-latency floor",
+            "ceiling_speedup": round(s_q, 2), "engine_speedup": round(eng, 2),
+            "share_pct": 0.0,  # filled below
+        })
+    for r in rows:
+        r["share_pct"] = round(100.0 * r["t8"] / t8_total, 1)
+    comp_speedup = t8_total / t32_ideal
+    return {
+        "rows": rows,
+        "composite_ceiling_speedup": round(comp_speedup, 2),
+        "t32_ideal_sec": round(t32_ideal, 2),
+    }
+
+
 def main() -> int:
     ceiling = None
     try:
@@ -77,6 +137,7 @@ def main() -> int:
     big = run_best(32)
     t8, t32 = small["value"], big["value"]
     eff = t8 / (4 * t32)
+    comp = composite_ceiling(small, big, ceiling)
     report = {
         "sf": small["sf"],
         "t_local8_sec": t8,
@@ -88,6 +149,11 @@ def main() -> int:
     }
     if ceiling:
         report["hw_ceiling"] = ceiling
+    if comp:
+        report["composite_ceiling_speedup"] = comp["composite_ceiling_speedup"]
+        report["engine_relative_efficiency"] = round(
+            (t8 / t32) / comp["composite_ceiling_speedup"], 3
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as fp:
         fp.write(
@@ -114,14 +180,37 @@ def main() -> int:
             f"- wall local[8]:  **{t8:.2f} s**  (throughput {small['throughput_rows_per_s']:.0f} rows/s)\n"
             f"- wall local[32]: **{t32:.2f} s**  (throughput {big['throughput_rows_per_s']:.0f} rows/s)\n"
             f"- speedup 8→32 cores: **{t8 / t32:.2f}x** (ideal 4x)\n"
-            f"- scaling efficiency: **{eff:.3f}** (target ≥ 0.8)\n"
+            f"- raw scaling efficiency: **{eff:.3f}** (target ≥ 0.8 vs ideal 4x)\n"
             + (
-                "- hardware-ceiling speedup on this VM: **{:.2f}x** → "
-                "engine-relative efficiency: **{:.2f}**\n\n".format(
-                    max(v["speedup_8_to_32"] for v in ceiling.values()),
-                    (t8 / t32) / max(v["speedup_8_to_32"] for v in ceiling.values()),
+                "- composite hardware-ceiling speedup on this VM: "
+                "**{c:.2f}x** (suite-share-weighted per-query kernel "
+                "ceilings; ideal 32-way suite = {t:.1f} s) → "
+                "**engine-relative efficiency {e:.2f}**\n\n".format(
+                    c=comp["composite_ceiling_speedup"],
+                    t=comp["t32_ideal_sec"],
+                    e=(t8 / t32) / comp["composite_ceiling_speedup"],
                 )
-                if ceiling else "\n"
+                if comp else "\n"
+            )
+            + (
+                "Ceiling composition (each query bounded by the measured "
+                "no-Spark kernel that dominates its per-stage profile; the "
+                "composite is sum(t8_q/ceiling_q) — a suite cannot scale "
+                "past the kernels its time actually sits in):\n\n"
+                "| query | t8 share | matched kernel | kernel ceiling | engine speedup | verdict |\n"
+                "|---|---|---|---|---|---|\n"
+                + "\n".join(
+                    "| {query} | {share_pct}% | {kernel} | {ceiling_speedup}x"
+                    " | {engine_speedup}x | {v} |".format(
+                        v=("at/above ceiling"
+                           if r["engine_speedup"] >= 0.9 * r["ceiling_speedup"]
+                           else "ENGINE DEFICIT"),
+                        **r,
+                    )
+                    for r in comp["rows"]
+                )
+                + "\n\n"
+                if comp else ""
             )
             + "Per-query seconds:\n\n"
             "| query | local[8] | local[32] | speedup |\n|---|---|---|---|\n"
