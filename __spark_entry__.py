@@ -242,10 +242,6 @@ def q_doc_text_features(spark, sf_dir):
     )
 
 
-def q_doc_exact_dedup(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
-
-
 # Every stage of q_doc_curate_corpus must fire on the gate corpus, so the
 # input is augmented deterministically: exact copies (doc_id+100000, every
 # 7th doc) for exact_dedup to remove, and a shared header line prepended to
@@ -983,7 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_customer_join": q_orders_customer_join,
         "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
         "doc_text_features": q_doc_text_features,
-        "doc_exact_dedup": q_doc_exact_dedup,
+        # The gate is capped at 50 rows; exact_dedup's standalone row gave
+        # its slot to doc_curate_corpus, which oracles the SAME operator as
+        # its first pipeline stage (md5 row_number mirror) — plus
+        # doc_dedup_best_of_group covers the fingerprint-group variant.
         "doc_curate_corpus": q_doc_curate_corpus,
         "doc_langid": q_doc_langid,
         "doc_quality_filter": q_doc_quality_filter,
@@ -1304,12 +1303,6 @@ def oracle_sql() -> dict[str, str]:
             + " / 18446744073709551616.0 < 0.25) AS in_sample_25"
             + " FROM documents"
         ),
-        "doc_exact_dedup": """
-            SELECT doc_id FROM (
-                SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                FROM documents
-            ) WHERE rn = 1
-        """,
         "doc_curate_corpus": _curate_oracle_sql(),
         # The LSH path must reproduce the brute-force pair set exactly
         # (precision is exact by construction; recall engineered > 1 - 1e-6
