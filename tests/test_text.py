@@ -974,3 +974,97 @@ class TestSignatureIndexVersioning:
         stale = sigs.withColumn("sig_format", F.lit("mh1-legacy"))
         with _pt.raises(ValueError, match="mh1-legacy"):
             dedup.minhash_lsh_candidates_incremental(sigs, stale)
+
+
+class TestDecontamination:
+    """Eval-set decontamination (GPT-3/Gopher n-gram overlap rule) vs a
+    plain-Python oracle."""
+
+    def _corpora(self, spark):
+        import pandas as pd
+
+        train = [
+            "the quick brown fox jumps over the lazy dog near the river bank",
+            "pack my box with five dozen liquor jugs before the long journey",
+            "what is the capital of france and when was it founded exactly",   # contaminated
+            "sphinx of black quartz judge my vow under the winter moonlight",
+            "tiny doc",                                                        # < n words
+            "completely benign training text about spark shuffle partitions",
+        ]
+        evals = [
+            "quiz: what is the capital of france and when was it founded exactly?",
+            "tiny doc",
+            "unrelated benchmark prompt about astronomy and orbital mechanics",
+        ]
+        t = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": np.arange(len(train), dtype=np.int64), "text": train}))
+        e = spark.createDataFrame(pd.DataFrame(
+            {"eval_id": np.arange(len(evals), dtype=np.int64), "text": evals}))
+        return t, e, train, evals
+
+    @staticmethod
+    def _grams(text, n):
+        w = text.lower().split()
+        if 0 < len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    def test_matches_python_oracle(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        t, e, train, evals = self._corpora(spark)
+        n = 5
+        eval_grams = set().union(*(self._grams(x, n) for x in evals))
+        want_bad = {i for i, x in enumerate(train)
+                    if self._grams(x, n) & eval_grams}
+        got_bad = {r["doc_id"] for r in
+                   dedup.contaminated_ids(t, e, n=n).collect()}
+        assert got_bad == want_bad and want_bad  # oracle must fire
+        kept = {r["doc_id"] for r in dedup.decontaminate(t, e, n=n).collect()}
+        assert kept == set(range(len(train))) - want_bad
+
+    def test_short_doc_whole_text_rule(self, spark):
+        """A training doc shorter than n words matches the eval set iff its
+        whole word sequence appears there as a gram (lm.ngram_column rule —
+        'tiny doc' is contaminated even at n=13)."""
+        from yirgacheffe_spark.text import dedup
+
+        t, e, train, _ = self._corpora(spark)
+        bad = {r["doc_id"]: r["n_hits"] for r in
+               dedup.contaminated_ids(t, e, n=13).collect()}
+        assert bad.get(4) == 1  # "tiny doc"
+
+    def test_min_hits_threshold(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        t, e, train, evals = self._corpora(spark)
+        n = 5
+        eval_grams = set().union(*(self._grams(x, n) for x in evals))
+        hits = {i: len(self._grams(x, n) & eval_grams)
+                for i, x in enumerate(train)}
+        thresh = 2
+        want = {i for i, h in hits.items() if h >= thresh}
+        got = {r["doc_id"] for r in
+               dedup.contaminated_ids(t, e, n=n, min_hits=thresh).collect()}
+        assert got == want
+
+    def test_empty_eval_is_noop(self, spark):
+        from yirgacheffe_spark.text import dedup
+
+        t, e, train, _ = self._corpora(spark)
+        empty = e.where("eval_id < 0")
+        assert dedup.decontaminate(t, empty, n=5).count() == len(train)
+
+    def test_plan_broadcast_guard(self, spark, monkeypatch):
+        from yirgacheffe_spark.text import dedup
+
+        t, e, *_ = self._corpora(spark)
+        plan = dedup.contaminated_ids(t, e, n=5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        monkeypatch.setenv("YG_DECONTAM_BROADCAST_MAX", "0")
+        cold = dedup.contaminated_ids(t, e, n=5)
+        plan2 = cold._jdf.queryExecution().executedPlan().toString()
+        inner = [l for l in plan2.splitlines()
+                 if "Join" in l and "_g#" in l]
+        assert inner and all("Broadcast" not in l for l in inner), inner

@@ -825,3 +825,79 @@ def minhash_dedup_against_index(new_docs: DataFrame, index_sigs: DataFrame,
         F.col("id_a").alias(id_col)
     ).distinct()
     return new_docs.join(dupes, id_col, "left_anti")
+
+
+# -- Eval-set decontamination --------------------------------------------------
+
+
+def _decontam_broadcast_max() -> int:
+    """Eval-gram row budget under which the probe side broadcasts (8-byte
+    hashes; 8M rows ~= 64 MB).  Eval sets are benchmark-sized, so the
+    broadcast path is the norm — but the guard is measured, not assumed
+    (same rationale as the boilerplate hot-set guard)."""
+    import os  # pylint: disable=C0415
+
+    return int(os.environ.get("YG_DECONTAM_BROADCAST_MAX", str(8_000_000)))
+
+
+def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     eval_text_col: "str | None" = None, n: int = 13,
+                     min_hits: int = 1,
+                     broadcast_eval: "bool | None" = None) -> DataFrame:
+    """(id, n_hits) for every training document sharing >= ``min_hits``
+    DISTINCT word ``n``-grams with the evaluation corpus — the GPT-3 /
+    Gopher eval-set decontamination rule (13-gram overlap in the
+    published pipelines; documents shorter than ``n`` words count their
+    whole word sequence as one gram, same rule as ``lm.ngram_column``).
+
+    Plan: the eval side collapses to a distinct 8-byte gram-hash table
+    (benchmark-sized), measured and broadcast under
+    ``$YG_DECONTAM_BROADCAST_MAX`` rows (pinned sort-merge above); the
+    training side is one explode + join + per-doc distinct count — no
+    driver rows, linear in corpus grams, the scan prunes to
+    (id, text).
+    """
+    from .lm import ngram_column  # pylint: disable=C0415
+
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        eval_docs.select(F.explode(ngram_column(F.col(ecol), n)).alias("_gram"))
+        .select(F.xxhash64("_gram").alias("_g"))
+        .distinct()
+    )
+    if broadcast_eval is None:
+        eval_grams = eval_grams.localCheckpoint(eager=True)
+        broadcast_eval = eval_grams.count() <= _decontam_broadcast_max()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    else:
+        eval_grams = eval_grams.hint("merge")
+    train = docs.select(
+        F.col(id_col),
+        F.explode(ngram_column(F.col(text_col), n)).alias("_gram"),
+    ).select(id_col, F.xxhash64("_gram").alias("_g"))
+    hits = train.join(eval_grams, "_g", "inner")
+    return (
+        hits.select(id_col, "_g").distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: "str | None" = None, n: int = 13,
+                  min_hits: int = 1,
+                  broadcast_eval: "bool | None" = None) -> DataFrame:
+    """Training rows with fewer than ``min_hits`` distinct ``n``-gram
+    overlaps against the eval corpus (anti-join of ``contaminated_ids``)
+    — run before training so benchmark answers cannot leak into the
+    corpus; the published pipelines remove, rather than rewrite,
+    overlapping documents."""
+    bad = contaminated_ids(
+        docs, eval_docs, text_col, id_col, eval_text_col, n, min_hits,
+        broadcast_eval,
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
