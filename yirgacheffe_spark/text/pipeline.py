@@ -28,6 +28,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     boilerplate_min_docs: int | None = 3,
     min_quality: float | None = 0.1,
+    gopher_rules: bool = False,
     lm_model: DataFrame | None = None,
     lm_min_avg_logprob: float = -12.0,
     near_dup_threshold: float | None = 0.8,
@@ -76,6 +77,12 @@ def curate_corpus(
             quality.quality_score(F.col(text_col)) >= F.lit(min_quality)
         )
         record("quality_floor")
+
+    if gopher_rules:
+        from . import gopher as gopher_mod  # pylint: disable=C0415
+
+        cur = gopher_mod.gopher_filter(cur, text_col)
+        record("gopher_rules")
 
     if lm_model is not None:
         from . import lm as lm_mod  # pylint: disable=C0415
