@@ -1,0 +1,86 @@
+"""URL canonicalization / domain filtering / per-domain caps vs explicit
+expected values."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yirgacheffe_spark.text import urls
+
+
+CANON_CASES = [
+    ("https://www.Example.COM/Path/", "example.com/Path"),
+    ("http://example.com/", "example.com"),
+    ("http://example.com", "example.com"),
+    ("https://example.com:443/a", "example.com/a"),
+    ("http://example.com:80/a?utm_source=x&id=7&fbclid=z", "example.com/a?id=7"),
+    ("https://sub.www.example.com/a#frag", "sub.www.example.com/a"),
+    ("https://example.com/a?ref=tw", "example.com/a"),
+    ("https://example.com/a?x=1&y=2", "example.com/a?x=1&y=2"),
+    ("not a url", None),
+]
+
+
+def test_canonicalize_cases(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": [c[0] for c in CANON_CASES]}))
+    got = [r["c"] for r in
+           df.select(urls.canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c[1] for c in CANON_CASES]
+
+
+def test_dedup_by_canonical_url(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "url": [
+            "https://www.example.com/a?utm_source=x",
+            "http://example.com/a",          # same canonical as 1
+            "https://example.com/b",
+            "junk",                          # unparseable: kept
+            "also junk",                     # unparseable: kept
+        ]}))
+    kept = sorted(r["doc_id"] for r in urls.dedup_by_canonical_url(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_domain_filter_block_and_allow(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": [
+            "https://spam.bad.example/x",    # subdomain of bad.example
+            "https://bad.example/y",         # exact
+            "https://good.example/z",
+            "https://notbad.example/w",      # NOT a subdomain of bad.example
+        ]}))
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["bad.example"]}))
+    blocked = sorted(r["doc_id"] for r in urls.domain_filter(df, bl).collect())
+    assert blocked == [3, 4]
+    allowed = sorted(r["doc_id"] for r in
+                     urls.domain_filter(df, bl, mode="allow").collect())
+    assert allowed == [1, 2]
+    with pytest.raises(ValueError, match="mode"):
+        urls.domain_filter(df, bl, mode="deny")
+
+
+def test_cap_per_domain(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "q": [0.1, 0.9, 0.5, 0.2, 0.8, 0.3],
+        "url": ["https://a.example/%d" % i for i in range(3)]
+               + ["https://b.example/%d" % i for i in range(2)] + ["junk"]}))
+    # keep best-quality 1 per domain
+    kept = sorted(r["doc_id"] for r in
+                  urls.cap_per_domain(df, 1, order_col="q").collect())
+    assert kept == [2, 5, 6]  # best of a.example, best of b.example, junk exempt
+    # deterministic id order when no score given
+    kept2 = sorted(r["doc_id"] for r in urls.cap_per_domain(df, 2).collect())
+    assert kept2 == [1, 2, 4, 5, 6]
+
+
+def test_pages_urls_roundtrip(spark):
+    """The engine's own pages corpus parses cleanly: every host non-null."""
+    from yirgacheffe_spark.spatial import pages as P
+
+    df = P.generate_pages(spark, 500)
+    n_null = df.where(urls.url_host(F.col("url")).isNull()).count()
+    assert n_null == 0
