@@ -23,6 +23,18 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for ``path`` through the same Hadoop layer
+    the data writes go through — a driver-local os.listdir would report
+    "nothing recorded" on any object store (s3a://, hdfs://, abfs://) and
+    silently re-run every task; same failure mode the streaming dedup
+    ingest had before its Hadoop-FS port."""
+    jvm = spark._jvm  # noqa: SLF001 — public-in-practice Hadoop bridge
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, jpath, jvm
+
 LINEAGE_SCHEMA = "task_id long, rows long, t_start double, t_end double, wall_s double, inputs string"
 
 
@@ -32,28 +44,33 @@ class CheckpointedRun:
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.lineage_dir = os.path.join(path, "_lineage")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.lineage_dir, exist_ok=True)
+        fs, _, jvm = _hadoop_fs(spark, path)
+        for d in (self.data_dir, self.lineage_dir):
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(d))
+
+    def _lineage_records(self) -> list[dict]:
+        fs, _, jvm = _hadoop_fs(self.spark, self.lineage_dir)
+        glob = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.lineage_dir, "task-*.json")
+        )
+        records = []
+        for status in sorted(fs.globStatus(glob) or [],
+                             key=lambda st: st.getPath().getName()):
+            stream = fs.open(status.getPath())
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            records.append(json.loads(data.decode("utf-8")))
+        return records
 
     def completed_tasks(self) -> set[int]:
-        files = [
-            os.path.join(self.lineage_dir, f)
-            for f in os.listdir(self.lineage_dir)
-            if f.endswith(".json")
-        ]
-        done = set()
-        for f in files:
-            with open(f, encoding="utf-8") as fp:
-                done.add(json.load(fp)["task_id"])
-        return done
+        return {r["task_id"] for r in self._lineage_records()}
 
     def lineage(self) -> pd.DataFrame:
-        rows = []
-        for f in sorted(os.listdir(self.lineage_dir)):
-            if f.endswith(".json"):
-                with open(os.path.join(self.lineage_dir, f), encoding="utf-8") as fp:
-                    rows.append(json.load(fp))
-        return pd.DataFrame(rows)
+        return pd.DataFrame(self._lineage_records())
 
     def run(
         self,
@@ -80,9 +97,23 @@ class CheckpointedRun:
                 "wall_s": t1 - t0,
                 "inputs": inputs_desc,
             }
-            # Write-then-rename: the lineage row is the commit point.
-            tmp = os.path.join(self.lineage_dir, f".task-{task_id}.json.tmp")
-            with open(tmp, "w", encoding="utf-8") as fp:
-                json.dump(record, fp)
-            os.replace(tmp, os.path.join(self.lineage_dir, f"task-{task_id}.json"))
+            # Write-then-rename through the Hadoop FS: the lineage row is
+            # the commit point (single-file rename on HDFS/local; on object
+            # stores the copy+delete rename is still all-or-nothing for one
+            # small object).
+            fs, _, jvm = _hadoop_fs(self.spark, self.lineage_dir)
+            tmp = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.lineage_dir, f".task-{task_id}.json.tmp")
+            )
+            final = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.lineage_dir, f"task-{task_id}.json")
+            )
+            stream = fs.create(tmp, True)
+            try:
+                stream.write(json.dumps(record).encode("utf-8"))
+            finally:
+                stream.close()
+            if fs.exists(final):
+                fs.delete(final, False)
+            fs.rename(tmp, final)
         return self.spark.read.parquet(os.path.join(self.data_dir, "task=*"))
