@@ -84,3 +84,35 @@ def test_pages_urls_roundtrip(spark):
     df = P.generate_pages(spark, 500)
     n_null = df.where(urls.url_host(F.col("url")).isNull()).count()
     assert n_null == 0
+
+
+def test_curate_corpus_url_and_decontam_stages(spark):
+    from yirgacheffe_spark.text import pipeline
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": [
+            "https://www.good.example/a?utm_source=x",
+            "http://good.example/a",                  # canonical dup of 1
+            "https://spam.bad.example/y",             # blocklisted
+            "https://other.example/z",
+        ],
+        "text": [
+            "alpha beta gamma delta epsilon",
+            "totally different text here now",
+            "blocked text never matters at all",
+            "what is the capital of france people ask",  # contaminated
+        ]}))
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["bad.example"]}))
+    evals = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": ["what is the capital of france"]}))
+    cur, report = pipeline.curate_corpus(
+        docs, url_col="url", url_blocklist=bl,
+        boilerplate_min_docs=None, min_quality=None,
+        near_dup_threshold=None, eval_docs=evals, decontam_ngram=4,
+        lang_fractions=None)
+    r = dict(report)
+    assert r["url_domain_block"] == 3
+    assert r["url_canonical_dedup"] == 2
+    assert r["decontamination"] == 1
+    assert [x["doc_id"] for x in cur.collect()] == [1]

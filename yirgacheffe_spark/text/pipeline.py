@@ -5,8 +5,10 @@ public pipelines (CCNet, Gopher, RefinedWeb) established — each stage is
 optional and individually tested elsewhere; this module owns only the
 composition and the per-stage accounting:
 
-    exact dedup  ->  boilerplate line removal  ->  heuristic quality floor
-    ->  LM quality floor (optional)  ->  MinHash cluster dedup
+    URL canonical dedup + domain blocklist (optional)  ->  exact dedup
+    ->  boilerplate line removal  ->  heuristic quality floor
+    ->  Gopher rules (optional)  ->  LM quality floor (optional)
+    ->  MinHash cluster dedup  ->  eval-set decontamination (optional)
     ->  stratified language sampling (optional)
 
 Every stage is a lazy DataFrame transform; nothing materialises until the
@@ -26,11 +28,15 @@ def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str | None = None,
+    url_blocklist: DataFrame | None = None,
     boilerplate_min_docs: int | None = 3,
     min_quality: float | None = 0.1,
     gopher_rules: bool = False,
     lm_model: DataFrame | None = None,
     lm_min_avg_logprob: float = -12.0,
+    eval_docs: DataFrame | None = None,
+    decontam_ngram: int = 13,
     near_dup_threshold: float | None = 0.8,
     minhash_num_perm: int = 64,
     minhash_bands: int = 16,
@@ -44,7 +50,10 @@ def curate_corpus(
 
     Pass ``None`` for any stage's knob to skip that stage.  ``lm_model``
     is a (gram, count) table from ``lm.train_ngram_counts`` on a
-    reference corpus.
+    reference corpus.  ``url_col`` enables canonical-URL dedup (and, with
+    ``url_blocklist`` — a one-column ``domain`` table — domain blocking)
+    before any text is read; ``eval_docs`` enables n-gram eval-set
+    decontamination after near-dup removal.
     """
     stages: list[tuple[str, int]] = []
     cur = docs
@@ -62,6 +71,17 @@ def curate_corpus(
             stages.append((name, cur.count()))
 
     record("input")
+
+    if url_col is not None:
+        from . import urls as urls_mod  # pylint: disable=C0415
+
+        if url_blocklist is not None:
+            cur = urls_mod.domain_filter(
+                cur, url_blocklist, url_col, mode="block", id_col=id_col
+            )
+            record("url_domain_block")
+        cur = urls_mod.dedup_by_canonical_url(cur, url_col, id_col)
+        record("url_canonical_dedup")
 
     cur = dedup.exact_dedup(cur, text_col, id_col)
     record("exact_dedup")
@@ -100,6 +120,12 @@ def curate_corpus(
         )
         cur = dedup.dedup_keep_cluster_representative(cur, pairs, id_col)
         record("near_dup_cluster_dedup")
+
+    if eval_docs is not None:
+        cur = dedup.decontaminate(
+            cur, eval_docs, text_col, id_col, n=decontam_ngram
+        )
+        record("decontamination")
 
     if lang_fractions is not None:
         cur = sampling.stratified_sample(
