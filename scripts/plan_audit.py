@@ -14,6 +14,9 @@ Checks (each FAILS the script if violated):
    must hold no joins or parquet scans.
 5. Whole-stage codegen covers the text-quality column pipeline (the JVM
    hot path stays fused).
+6-10. Curation plans: scan-side sampling filter, JVM LM scoring,
+   broadcast decontamination probe, Python-free URL canonical dedup,
+   single-Arrow-batch Gopher signals.
 
 Run: python scripts/plan_audit.py [sf_dir]
 """
@@ -144,6 +147,40 @@ def main() -> int:
     ok = ("BatchEvalPython" not in plan and "CartesianProduct" not in plan
           and "BroadcastHashJoin" in plan)
     check("LM scoring plan: JVM n-gram extraction + broadcast model join", ok)
+
+    # 8. decontamination: eval grams broadcast (benchmark-sized probe) and
+    # the training side stays Python-free JVM n-gram algebra.
+    evals = docs.limit(20).selectExpr("doc_id AS eval_id", "text")
+    dec = dedup.contaminated_ids(docs, evals, eval_text_col="text", n=5)
+    plan = plan_of(dec)
+    ok = ("BatchEvalPython" not in plan and "CartesianProduct" not in plan
+          and "BroadcastHashJoin" in plan)
+    check("decontamination: JVM n-grams + broadcast eval probe", ok)
+
+    # 9. URL canonical dedup: one window over the canonical key, no Python,
+    # no cartesian (try_parse_url keeps everything JVM).
+    from yirgacheffe_spark.spatial import pages as pages_mod
+    from yirgacheffe_spark.text import urls
+    pg = pages_mod.generate_pages(spark, 200).select("url").withColumn(
+        "doc_id", F.xxhash64("url"))
+    cu = urls.dedup_by_canonical_url(pg)
+    plan = plan_of(cu)
+    ok = ("BatchEvalPython" not in plan and "CartesianProduct" not in plan
+          and "Window" in plan)
+    check("URL canonical dedup: JVM window, no Python", ok)
+
+    # 10. Gopher signals: exactly ONE Arrow-batched Python eval (the n-gram
+    # repetition struct); every other signal is JVM column algebra.
+    import re
+    from yirgacheffe_spark.text import gopher
+    sig = gopher.gopher_signals(docs)
+    plan = plan_of(sig)
+    # formatted explain lists each operator twice (tree + details):
+    # count DISTINCT operator ids.
+    n_arrow = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan)))
+    ok = n_arrow == 1 and "BatchEvalPython" not in plan
+    check("gopher signals: one Arrow batch, rest JVM "
+          f"(ArrowEvalPython x{n_arrow})", ok)
 
     print("\nPLAN AUDIT:", "all checks passed" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
