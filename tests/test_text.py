@@ -1068,3 +1068,67 @@ class TestDecontamination:
         inner = [l for l in plan2.splitlines()
                  if "Join" in l and "_g#" in l]
         assert inner and all("Broadcast" not in l for l in inner), inner
+
+
+class TestSemanticDedup:
+    """SemDeDup cluster-bounded semantic dedup vs a python mirror of the
+    pinned smaller-id-neighbour rule."""
+
+    def _emb(self, spark, n=160, dim=12):
+        rng = np.random.default_rng(41)
+        base = rng.normal(size=(n, dim))
+        # plant near-duplicates: every 8th vector is a tiny perturbation of
+        # its predecessor
+        for i in range(8, n, 8):
+            base[i] = base[i - 1] + rng.normal(scale=1e-3, size=dim)
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float64).tolist() for row in base],
+        })
+        return spark.createDataFrame(pdf), base
+
+    def _oracle(self, base, assign, threshold):
+        mat = base / np.maximum(
+            np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        keep = []
+        for i in range(len(mat)):
+            same = [j for j in range(i) if assign[j] == assign[i]]
+            if not any(float(mat[i] @ mat[j]) >= threshold for j in same):
+                keep.append(i)
+        return set(keep)
+
+    def test_matches_rule_oracle(self, spark):
+        from yirgacheffe_spark.text import ann
+
+        df, base = self._emb(spark)
+        cents = ann.ivf_train_centroids(df, n_lists=6, sample=160)
+        assigned = {r["vec_id"]: r["list_id"]
+                    for r in ann.ivf_assign(df, cents).collect()}
+        assign = np.array([assigned[i] for i in range(len(base))])
+        for thr in (0.999, 0.9):
+            got = {r["vec_id"] for r in ann.semantic_dedup(
+                df, threshold=thr, centroids=cents).collect()}
+            assert got == self._oracle(base, assign, thr), thr
+
+    def test_chunking_invariant(self, spark):
+        from yirgacheffe_spark.text import ann
+
+        df, base = self._emb(spark, n=100)
+        cents = ann.ivf_train_centroids(df, n_lists=3, sample=100)
+        a = {r["vec_id"] for r in ann.semantic_dedup(
+            df, 0.95, centroids=cents, chunk=7).collect()}
+        b = {r["vec_id"] for r in ann.semantic_dedup(
+            df, 0.95, centroids=cents, chunk=4096).collect()}
+        assert a == b and a  # chunk size never changes results
+
+    def test_planted_duplicates_removed(self, spark):
+        from yirgacheffe_spark.text import ann
+
+        df, base = self._emb(spark)
+        kept = {r["vec_id"] for r in ann.semantic_dedup(
+            df, threshold=0.999, n_lists=4).collect()}
+        # planted near-dups (every 8th) should mostly vanish; their
+        # predecessors stay
+        planted = set(range(8, 160, 8))
+        assert len(planted & kept) <= 2      # boundary-straddle tolerance
+        assert all((i - 1) in kept for i in planted)

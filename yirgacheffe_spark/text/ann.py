@@ -472,3 +472,64 @@ def ivf_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k).select(query_id_col, id_col, "sim", "rank")
+
+
+# -- SemDeDup: cluster-bounded semantic deduplication --------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    chunk: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embedding rows that are
+    semantically near-duplicate within their k-means cluster.
+
+    Pinned rule (order-free, matching the engine's keep-lowest-id dedup
+    convention): a row is DROPPED iff its cluster contains another row
+    with a smaller id whose cosine similarity is >= ``threshold``.  Pairs
+    across cluster boundaries are never compared — the SemDeDup trade:
+    clustering bounds the quadratic pairwise cost to per-cluster blocks
+    at a small recall loss on boundary-straddling duplicates (lower
+    ``n_lists`` to trade cost for recall).
+
+    Plan: centroid training is a deterministic-sample driver loop
+    (``ivf_train_centroids``), assignment one broadcast Arrow scan, and
+    the prune one ``applyInPandas`` per cluster — similarities computed
+    in ``chunk``-row blocks against all earlier rows, so task memory is
+    O(chunk x cluster) while the (inherent) within-cluster flops stay
+    quadratic.  No driver rows beyond the centroid sample.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cents = centroids if centroids is not None else ivf_train_centroids(
+        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(emb, cents, vec_col)
+    schema = assigned.drop("list_id").schema
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf.drop(columns=["list_id"])
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n = len(mat)
+        drop = np.zeros(n, dtype=bool)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            # vs all earlier rows (ids ascending: smaller-id neighbours)
+            if lo:
+                sims = mat[lo:hi] @ mat[:lo].T
+                drop[lo:hi] |= (sims >= threshold).any(axis=1)
+            block = mat[lo:hi] @ mat[lo:hi].T
+            tri = np.tril(block >= threshold, k=-1)
+            drop[lo:hi] |= tri.any(axis=1)
+        return pdf.loc[~drop].drop(columns=["list_id"])
+
+    return assigned.groupBy("list_id").applyInPandas(prune, schema=schema)
