@@ -13,13 +13,18 @@ pandas / pyspark only load when a submodule is first touched):
   leakage-safe splits, fixed-token-budget sequence packing;
 * ``lm`` — n-gram LM training, scoring, and LM-based quality filtering;
 * ``multimodal`` — binary media columns (decode honestly stubbed);
+* ``gopher`` — Gopher (Rae et al. 2021) quality signals + rule filter;
+* ``c4`` — C4 (Raffel et al. 2020) line/page rules + global
+  three-sentence-span dedup;
+* ``urls`` — URL canonicalization, canonical dedup, domain filtering,
+  per-domain caps;
 * ``pipeline`` — ``curate_corpus``, the one-call composition.
 """
 
 import importlib
 
-_SUBMODULES = ("ann", "dedup", "lm", "multimodal", "pipeline", "quality",
-               "sampling")
+_SUBMODULES = ("ann", "c4", "dedup", "gopher", "lm", "multimodal",
+               "pipeline", "quality", "sampling", "urls")
 
 __all__ = list(_SUBMODULES) + ["curate_corpus"]
 
