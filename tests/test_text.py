@@ -1132,3 +1132,19 @@ class TestSemanticDedup:
         planted = set(range(8, 160, 8))
         assert len(planted & kept) <= 2      # boundary-straddle tolerance
         assert all((i - 1) in kept for i in planted)
+
+
+def test_dedup_lines_within_doc(spark):
+    from yirgacheffe_spark.text import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a line\nb line\na line\nc line\nb line",
+                 "only\nunique\nlines"]}))
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.dedup_lines_within_doc(docs).collect()}
+    assert got[1] == "a line\nb line\nc line"
+    assert got[2] == "only\nunique\nlines"
+    plan = dedup.dedup_lines_within_doc(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -901,3 +901,16 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
         broadcast_eval,
     ).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def dedup_lines_within_doc(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only the FIRST occurrence of each line within a document
+    (the in-document half of repetition cleanup; corpus-wide repetition is
+    ``remove_boilerplate_lines``).  Pure per-row array algebra — a line
+    survives iff ``array_position`` finds it first at its own index — so
+    the operator is shuffle-free and pushes down with the scan."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == i + F.lit(1)
+    )
+    return df.withColumn(text_col, F.array_join(kept, "\n"))
