@@ -46,11 +46,6 @@ from yirgacheffe_spark.reprojection import _ELL_WGS84 as _MERC_ELL  # noqa: E402
 MERC_A = _MERC_ELL.a
 MERC_E = _MERC_ELL.e
 
-PIP_POLYGONS = [
-    {"poly_id": 1, "geom_wkt": "POLYGON ((0 10, 40 10, 40 50, 0 50, 0 10))"},
-    {"poly_id": 2, "geom_wkt": "POLYGON ((-120 -40, -60 -40, -60 0, -120 0, -120 -40))"},
-]
-
 KNN_QUERIES = [
     {"query_id": 1, "lat": 40.25, "lng": -74.25},
     {"query_id": 2, "lat": -10.75, "lng": 20.25},
@@ -372,20 +367,93 @@ def q_doc_quality_filter(spark, sf_dir):
     )
 
 
-def q_doc_lang_stats(spark, sf_dir):
-    """Corpus stats per detected language: doc count, exact token total, and a
-    fixed-point quality total (round-to-micro before summing keeps the
-    aggregate integer-exact and fold-order-free across engines)."""
-    docs = _docs(spark, sf_dir)
-    scored = docs.select(
-        quality.language_id(F.col("text")).alias("lang"),
-        quality.token_count(F.col("text")).cast("long").alias("t"),
-        F.round(quality.quality_score(F.col("text")) * 1000000).cast("long").alias("qm"),
+def _multiline_docs(spark, sf_dir):
+    """Documents with deterministic multi-line text: the gate corpus is
+    single-line word salad, so the line-level curation operators (C4 rules,
+    Gopher signals, within-doc line dedup) get their line structure
+    synthesised identically on both engines — substring/concat only, so the
+    DuckDB mirror is bit-exact."""
+    l1 = F.substring("text", 1, 60)
+    l2 = F.substring("text", 30, 45)
+    synth = F.concat_ws("\n", l1, l2, l1, F.col("text"), l2)
+    return _docs(spark, sf_dir).select("doc_id", synth.alias("text"))
+
+
+# Shared CTE: the SQL-side twin of _multiline_docs.
+_MULTILINE_CTE = """
+    WITH mdocs AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   substring(text, 1, 60), substring(text, 30, 45),
+                   substring(text, 1, 60), text, substring(text, 30, 45)
+               ) AS text
+        FROM documents
     )
-    return scored.groupBy("lang").agg(
-        F.count("*").alias("n"),
-        F.sum("t").cast("long").alias("total_tokens"),
-        F.sum("qm").cast("long").alias("total_q_micro"),
+"""
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """Within-document line dedup (the in-document half of repetition
+    cleanup, ref pipelines: CCNet/RefinedWeb): first occurrence of each line
+    survives, order preserved, rebuilt text returned so the value hash
+    proves the rebuild.  Shuffle-free array algebra (text/dedup.py)."""
+    from yirgacheffe_spark.text import dedup as D
+
+    return D.dedup_lines_within_doc(_multiline_docs(spark, sf_dir))
+
+
+def q_doc_c4_clean(spark, sf_dir):
+    """C4 cleaning rules end-to-end (Raffel et al. 2020 §2.2): line filter
+    (terminal punctuation, >=5 words, javascript blocklist) then page filter
+    (>=3 sentences, no 'lorem ipsum', no '{').  Line/sentence structure is
+    synthesised deterministically; both engines rebuild the full cleaned
+    text, and doc_id%11 / %13 plant '{' and 'lorem ipsum' pages that must
+    drop."""
+    from yirgacheffe_spark.text import c4
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lA = F.concat(F.substring("text", 1, 40), F.lit(" first sentence here."))
+    lB = F.lit("Enable javascript to view this page.")
+    lC = F.concat(F.substring("text", 50, 40), F.lit(" and more words here!"))
+    lD = F.concat(F.substring("text", 200, 25), F.lit(" tail."))
+    lE = F.substring("text", 20, 30)
+    lF = F.when(F.col("doc_id") % 11 == 0,
+                F.lit("code { example } block with braces here."))
+    lG = F.when(F.col("doc_id") % 13 == 0,
+                F.lit("lorem ipsum dolor sit amet consectetur."))
+    synth = F.concat_ws("\n", lA, lB, lC, lD, lE, lF, lG)
+    out = c4.c4_line_filter(docs.withColumn("text", synth))
+    return c4.c4_page_filter(out)
+
+
+def q_doc_gopher_signals(spark, sf_dir):
+    """Gopher quality signals (Rae et al. 2021 App. A), the JVM column-
+    algebra subset: word/line/paragraph statistics incl. duplicate-line and
+    duplicate-paragraph fractions, over synthesised multi-line multi-
+    paragraph text (dup lines/paras planted so the fractions are nonzero).
+    The n-gram repetition signals are pandas-UDF-backed and covered by the
+    Python differential in tests/test_gopher.py."""
+    from yirgacheffe_spark.text import gopher
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    l1 = F.substring("text", 1, 48)
+    para = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("- bullet list item"),
+        l1,
+        l1,
+        F.concat(F.lit("### sym "), F.substring("text", 10, 20), F.lit(" ...")),
+    )
+    synth = F.concat(
+        para, F.lit("\n\nshared dup paragraph\n\nshared dup paragraph")
+    )
+    sig = gopher.gopher_signals(docs.withColumn("text", synth))
+    return sig.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "frac_bullet_lines", "frac_ellipsis_lines", "frac_alpha_words",
+        "n_stop_hits", "frac_dup_lines", "frac_dup_line_chars",
+        "frac_dup_paras", "frac_dup_para_chars",
     )
 
 
@@ -489,16 +557,6 @@ def q_ann_topk_lsh(spark, sf_dir):
     return out.select("vec_id", F.col("rank").cast("long").alias("rank"))
 
 
-def q_events_hourly(spark, sf_dir):
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.floor(F.col("value"))).cast("double").alias("sum_floor_value"),
-    )
-
-
 def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -516,15 +574,6 @@ def q_spatial_cell_assign(spark, sf_dir):
     pts = harness.customer_points(spark, sf_dir)
     return pts.select(
         "c_custkey", joins.cell_expr("lat", "lng", RES).alias("cell")
-    )
-
-
-def q_spatial_pip(spark, sf_dir):
-    pts = harness.customer_points(spark, sf_dir).withColumn(
-        "cell", joins.cell_expr("lat", "lng", RES)
-    )
-    return joins.point_in_polygon_join(spark, pts, PIP_POLYGONS, res=RES).select(
-        "c_custkey", "poly_id"
     )
 
 
@@ -974,7 +1023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_pixel_coords_roundtrip": q_layer_pixel_coords_roundtrip,
         "events_topk_per_user": q_events_topk_per_user,
         "events_sessionize": q_events_sessionize,
-        "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
@@ -986,14 +1034,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curate_corpus": q_doc_curate_corpus,
         "doc_langid": q_doc_langid,
         "doc_quality_filter": q_doc_quality_filter,
-        "doc_lang_stats": q_doc_lang_stats,
+        # r5: events_hourly / doc_lang_stats / spatial_pip gave their slots
+        # (50-row gate cap) to the round's new curation operators — hourly
+        # agg is covered by pricing_summary, langid by doc_langid, and the
+        # PIP engine path by spatial_pip_table (same join, DataFrame side).
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_c4_clean": q_doc_c4_clean,
+        "doc_gopher_signals": q_doc_gopher_signals,
         "doc_dedup_components": q_doc_dedup_components,
         "lineage_resume": q_lineage_resume,
         "streaming_ingest": q_streaming_ingest,
         "ann_topk_multi": q_ann_topk_multi,
         "emb_cosine_near_dup_lsh": q_emb_cosine_near_dup_lsh,
         "spatial_cell_assign": q_spatial_cell_assign,
-        "spatial_pip": q_spatial_pip,
         "spatial_pip_table": q_spatial_pip_table,
         "spatial_knn": q_spatial_knn,
         "spatial_knn_table": q_spatial_knn_table,
@@ -1350,11 +1403,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         """,
-        "events_hourly": """
-            SELECT event_type, date_trunc('hour', ts) AS hour,
-                   COUNT(*) AS n, SUM(floor(value)) AS sum_floor_value
-            FROM events GROUP BY 1, 2
-        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    SUM(l_quantity) AS sum_qty,
@@ -1364,14 +1412,6 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cell_assign": (
             f"SELECT c_custkey, {cell_assign_sql(RES)} AS cell FROM ({POINTS_SQL})"
         ),
-        "spatial_pip": f"""
-            WITH pts AS ({POINTS_SQL})
-            SELECT c_custkey, CAST(1 AS BIGINT) AS poly_id FROM pts
-            WHERE lat >= 10 AND lat < 50 AND lng >= 0 AND lng < 40
-            UNION ALL
-            SELECT c_custkey, CAST(2 AS BIGINT) AS poly_id FROM pts
-            WHERE lat >= -40 AND lat < 0 AND lng >= -120 AND lng < -60
-        """,
         "spatial_pip_table": f"""
             WITH pts AS ({POINTS_SQL})
             SELECT c_custkey, CAST(r_regionkey AS BIGINT) AS poly_id
@@ -1447,17 +1487,138 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE q >= 0.3 AND lang = 'en' AND n_tokens >= 20
         """,
-        "doc_lang_stats": f"""
-            SELECT lang, COUNT(*) AS n,
-                   CAST(SUM(t) AS BIGINT) AS total_tokens,
-                   CAST(SUM(qm) AS BIGINT) AS total_q_micro
-            FROM (
-                SELECT {quality.language_id_sql("text")} AS lang,
-                       {quality.token_count_sql("text")} AS t,
-                       CAST(round({quality.quality_score_sql("text")} * 1000000)
-                            AS BIGINT) AS qm
+        # Within-doc line dedup: a line survives iff list_position finds it
+        # first at its own (1-based) index — the exact mirror of the Spark
+        # array_position filter.
+        "doc_line_dedup": _MULTILINE_CTE + """
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(
+                           string_split(text, chr(10)),
+                           (l, i) -> list_position(string_split(text, chr(10)), l) = i
+                       ), chr(10)) AS text
+            FROM mdocs
+        """,
+        "doc_c4_clean": """
+            WITH synth AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           substring(text, 1, 40) || ' first sentence here.',
+                           'Enable javascript to view this page.',
+                           substring(text, 50, 40) || ' and more words here!',
+                           substring(text, 200, 25) || ' tail.',
+                           substring(text, 20, 30),
+                           CASE WHEN doc_id % 11 = 0
+                                THEN 'code { example } block with braces here.' END,
+                           CASE WHEN doc_id % 13 = 0
+                                THEN 'lorem ipsum dolor sit amet consectetur.' END
+                       ) AS text
                 FROM documents
-            ) GROUP BY lang
+            ),
+            linef AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(
+                               string_split(text, chr(10)),
+                               l -> regexp_matches(trim(l), '[.!?"]$')
+                                    AND len(list_filter(
+                                            string_split_regex(trim(l), '\\s+'),
+                                            w -> w <> '')) >= 5
+                                    AND NOT contains(lower(l), 'javascript')
+                           ), chr(10)) AS text
+                FROM synth
+            )
+            -- Sentence count: the cleaned text never ends in whitespace, so
+            -- Spark's split-on-(?<=[.!?])\\s+ segment count equals
+            -- (count of [.!?]\\s+ matches) + 1, with every segment non-blank
+            -- by construction (RE2 has no lookbehind, hence the count form).
+            SELECT doc_id, text FROM linef
+            WHERE len(regexp_extract_all(text, '[.!?]\\s+'))
+                  + (CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) >= 3
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')
+        """,
+        "doc_gopher_signals": """
+            WITH synth AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           text,
+                           '- bullet list item',
+                           substring(text, 1, 48),
+                           substring(text, 1, 48),
+                           '### sym ' || substring(text, 10, 20) || ' ...'
+                       ) || chr(10) || chr(10) || 'shared dup paragraph'
+                         || chr(10) || chr(10) || 'shared dup paragraph' AS text
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w <> '') AS words,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> w <> '') AS words_lower,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> length(trim(l)) > 0) AS lines,
+                       list_filter(string_split_regex(text, chr(10) || chr(10)),
+                                   l -> length(trim(l)) > 0) AS paras
+                FROM synth
+            ),
+            nz AS (
+                SELECT *,
+                       CASE WHEN len(words) > 0
+                            THEN CAST(len(words) AS DOUBLE) ELSE 1.0 END AS nw,
+                       CASE WHEN len(lines) > 0
+                            THEN CAST(len(lines) AS DOUBLE) ELSE 1.0 END AS nl,
+                       CASE WHEN len(paras) > 0
+                            THEN CAST(len(paras) AS DOUBLE) ELSE 1.0 END AS np
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(words,
+                        w -> length(w))), 0) AS DOUBLE) / nw AS mean_word_len,
+                   CAST((length(text) - length(replace(text, '#', ''))) / 1
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        + (length(text) - length(replace(text, '…', ''))) / 1
+                        AS DOUBLE) / nw AS symbol_word_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '^[-*•●▪]')))
+                        AS DOUBLE) / nl AS frac_bullet_lines,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                        AS DOUBLE) / nl AS frac_ellipsis_lines,
+                   CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / nw AS frac_alpha_words,
+                   CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(words_lower, s)))
+                        AS BIGINT) AS n_stop_hits,
+                   CASE WHEN len(lines) > 0 THEN
+                        CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                        / len(lines) ELSE 0.0 END AS frac_dup_lines,
+                   CASE WHEN coalesce(list_sum(list_transform(lines,
+                             l -> length(l))), 0) > 0 THEN
+                        CAST(coalesce(list_sum(list_transform(
+                                 list_distinct(lines),
+                                 d -> (len(list_filter(lines, l -> l = d)) - 1)
+                                      * length(d))), 0) AS DOUBLE)
+                        / coalesce(list_sum(list_transform(lines,
+                                 l -> length(l))), 0)
+                        ELSE 0.0 END AS frac_dup_line_chars,
+                   CASE WHEN len(paras) > 0 THEN
+                        CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+                        / len(paras) ELSE 0.0 END AS frac_dup_paras,
+                   CASE WHEN coalesce(list_sum(list_transform(paras,
+                             p -> length(p))), 0) > 0 THEN
+                        CAST(coalesce(list_sum(list_transform(
+                                 list_distinct(paras),
+                                 d -> (len(list_filter(paras, p -> p = d)) - 1)
+                                      * length(d))), 0) AS DOUBLE)
+                        / coalesce(list_sum(list_transform(paras,
+                                 p -> length(p))), 0)
+                        ELSE 0.0 END AS frac_dup_para_chars
+            FROM nz
         """,
         "ann_topk_multi": """
             WITH q AS (

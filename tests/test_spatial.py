@@ -85,6 +85,19 @@ class TestPages:
         assert dtypes["warc_ts"] == "timestamp"
         assert dtypes["html"] == "binary"
 
+    def test_enrich_existing_table_matches_fused_generator(self, spark):
+        """enrich_pages_df (the cluster-ingest path over a stored crawl
+        table) must produce exactly what the fused synthesize+enrich pass
+        produces for the same pages."""
+        stored = pages.generate_pages(spark, 250, partitions=3)
+        a = (
+            pages.enrich_pages_df(stored, res=5)
+            .orderBy("url")
+            .collect()
+        )
+        b = pages.enriched_pages(spark, 250, res=5).orderBy("url").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
     def test_geocode_stable_per_url(self):
         urls = pd.Series(["https://a.example/1", "https://b.example/2"])
         g1 = pages.geocode_batch(urls)

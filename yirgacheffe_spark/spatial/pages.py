@@ -181,3 +181,28 @@ def enriched_pages(spark: SparkSession, n_rows: int, res: int = 7, seed: int = 4
 
     parts = max(spark.sparkContext.defaultParallelism, 1)
     return spark.range(0, n_rows, numPartitions=parts).mapInPandas(enrich, schema)
+
+
+def enrich_pages_df(df: DataFrame, res: int = 7, seed: int = 42) -> DataFrame:
+    """Enrich an EXISTING pages table (schema ``PAGES_SCHEMA``: url, warc_ts,
+    html, text, lang — the crawl-table shape) with extracted text, the
+    deterministic geocode, and the cell assignment, in one fused
+    mapInPandas pass over whatever partitioning the source already has
+    (one scan, zero shuffles — the cluster-ingest twin of
+    ``enriched_pages``, which synthesizes its input)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", extracted string, lat double, lng double, cell long"
+
+    def enrich(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["extracted"] = extract_text_batch(pdf["html"])
+            geo = geocode_batch(pdf["url"], seed)
+            pdf["lat"] = geo["lat"].to_numpy()
+            pdf["lng"] = geo["lng"].to_numpy()
+            pdf["cell"] = cellindex.latlng_to_cell(pdf["lat"].to_numpy(),
+                                                   pdf["lng"].to_numpy(), res)
+            yield pdf
+
+    return df.mapInPandas(enrich, schema)
