@@ -752,6 +752,77 @@ class TestRegisterCrs:
         np.testing.assert_allclose(lng2, lng, atol=1e-9)
         np.testing.assert_allclose(lat2, lat, atol=1e-9)
 
+    def test_conus_albers_builtin_and_snyder_anchor(self):
+        """epsg:5070 (NAD83 / Conus Albers) is pre-registered; forward
+        matches Snyder 1987's worked ellipsoidal Albers example (p. 292:
+        Clarke 1866, sp 29.5/45.5, origin 23/-96, point 35/-75 ->
+        1,885,472.7 E / 1,535,925.0 N) and CONUS round trips to ~1.5 mm
+        (the authalic-latitude series truncation)."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        snyder = R._Albers(R._NAMED_ELLIPSOIDS["clarke1866"],
+                           23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+        x, y = snyder.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(x[0] - 1_885_472.7) < 0.1 and abs(y[0] - 1_535_925.0) < 0.1
+
+        crs = yg.MapProjection("epsg:5070", 30.0, -30.0).crs
+        rng = np.random.default_rng(15)
+        lng = rng.uniform(-125.0, -66.0, 80)
+        lat = rng.uniform(24.0, 50.0, 80)
+        x, y = R.transform_points(self._wgs(), crs, lng, lat)
+        lng2, lat2 = R.transform_points(crs, self._wgs(), x, y)
+        np.testing.assert_allclose(lng2, lng, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=5e-8)
+
+    def test_albers_equal_area_property_and_registration(self):
+        """A user-registered Albers grid preserves area: the forward
+        Jacobian determinant equals M*N*cos(phi) (the ellipsoidal area
+        element) everywhere — the defining property, checked numerically
+        — and registering 5070's published parameters under a fresh code
+        reproduces the built-in bit-for-bit."""
+        import math
+
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:61768", "albers_equal_area", "grs80",
+                       lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5)
+        mine = yg.MapProjection("epsg:61768", 1.0, -1.0).crs
+        builtin = yg.MapProjection("epsg:5070", 1.0, -1.0).crs
+        rng = np.random.default_rng(16)
+        lng = rng.uniform(-125.0, -66.0, 60)
+        lat = rng.uniform(24.0, 50.0, 60)
+        x1, y1 = R.transform_points(self._wgs(), mine, lng, lat)
+        x2, y2 = R.transform_points(self._wgs(), builtin, lng, lat)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+        proj = R._projection_for(mine)
+        ell = R._ELL_GRS80
+        h = 1e-6
+        x0, y0 = proj.forward(lng, lat)
+        xl, yl = proj.forward(lng + h, lat)
+        xp, yp = proj.forward(lng, lat + h)
+        dxdl = (xl - x0) / math.radians(h)
+        dydl = (yl - y0) / math.radians(h)
+        dxdp = (xp - x0) / math.radians(h)
+        dydp = (yp - y0) / math.radians(h)
+        det = np.abs(dxdl * dydp - dydl * dxdp)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        m_rad = ell.a * (1 - ell.e2) / (1 - ell.e2 * s * s) ** 1.5
+        n_rad = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        np.testing.assert_allclose(det, m_rad * n_rad * np.cos(phi), rtol=1e-6)
+
+    def test_albers_missing_parallels_raise(self):
+        import pytest as _pt
+
+        from yirgacheffe_spark import reprojection as R
+
+        with _pt.raises(ValueError, match="sp1"):
+            R.register_crs("epsg:61769", "albers_equal_area", lat0=23.0)
+
     def test_helmert_registration_matches_builtin_27700(self):
         """Registering the British grid's published parameters (including
         the 7-param OSGB36 Helmert) under a fresh code must reproduce the

@@ -367,6 +367,81 @@ class _LCC2SP:
         return _datum_local_to_wgs84(self.ell, self.helmert, lng, lat)
 
 
+# -- Albers Equal-Area Conic, 2 standard parallels (Snyder 1987 §14) ----------
+
+
+class _Albers:
+    """Ellipsoidal Albers equal-area conic — the standard continental
+    analysis grid family (epsg:5070 NAD83/Conus Albers and siblings).
+    Forward: Snyder 14-1..14-4 via the authalic q function; inverse:
+    authalic latitude series (Snyder 3-18)."""
+
+    separable = False
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 sp1: float, sp2: float, e0: float, n0: float,
+                 helmert: "_Helmert | None" = None):
+        self.ell, self.lon0 = ell, lon0
+        self.e0, self.n0, self.helmert = e0, n0, helmert
+        e, e2 = ell.e, ell.e2
+
+        def m_of(phi):
+            s = math.sin(phi)
+            return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+        def q_of(phi):
+            s = math.sin(phi)
+            return (1 - e2) * (
+                s / (1 - e2 * s * s)
+                - (1.0 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+            )
+
+        p1, p2, p0 = (math.radians(v) for v in (sp1, sp2, lat0))
+        m1, m2 = m_of(p1), m_of(p2)
+        q1, q2, q0 = q_of(p1), q_of(p2), q_of(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = ell.a * math.sqrt(self.C - self.n * q0) / self.n
+        self._q_pole = q_of(math.pi / 2)
+
+    def _q_of(self, phi):
+        e, e2 = self.ell.e, self.ell.e2
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        lng, lat = _datum_wgs84_to_local(self.ell, self.helmert, lng, lat)
+        q = self._q_of(np.radians(lat))
+        rho = self.ell.a * np.sqrt(self.C - self.n * q) / self.n
+        theta = self.n * np.radians((lng - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.e0 + rho * np.sin(theta)
+        y = self.n0 + self.rho0 - rho * np.cos(theta)
+        return x, y
+
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, dtype=np.float64) - self.e0
+        yy = self.rho0 - (np.asarray(northing, dtype=np.float64) - self.n0)
+        rho = np.sign(self.n) * np.hypot(x, yy)
+        theta = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * yy)
+        q = (self.C - (rho * self.n / self.ell.a) ** 2) / self.n
+        beta = np.arcsin(np.clip(q / self._q_pole, -1.0, 1.0))
+        e2 = self.ell.e2
+        # Authalic -> geodetic latitude (Snyder 3-18).
+        phi = (
+            beta
+            + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040) * np.sin(2 * beta)
+            + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+            + (761 * e2**3 / 45360) * np.sin(6 * beta)
+        )
+        lng = self.lon0 + np.degrees(theta / self.n)
+        lat = np.degrees(phi)
+        return _datum_local_to_wgs84(self.ell, self.helmert, lng, lat)
+
+
 # -- Ellipsoidal Mercator (epsg:3395 World Mercator) -------------------------
 
 
@@ -458,6 +533,10 @@ def _projection_for(crs: "CRS"):
         proj = _PolarStereo(_ELL_WGS84, -71.0, 0.0, south=True)
     elif code == "epsg:3395":  # WGS84 World (ellipsoidal) Mercator
         proj = _EllipsoidalMercator(_ELL_WGS84)
+    elif code == "epsg:5070":  # NAD83 / Conus Albers (GRS80; datum ~ WGS84)
+        proj = _Albers(_ELL_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    elif code == "epsg:3577":  # GDA94 / Australian Albers (GRS80)
+        proj = _Albers(_ELL_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)
     if proj is not None:
         _PROJ_CACHE[code] = proj
     return proj
@@ -500,6 +579,9 @@ def register_crs(code: str, projection: str,
       false_northing (e.g. any national TM grid);
     * ``"lambert_conformal_conic_2sp"`` — lat0, lon0, sp1, sp2,
       false_easting, false_northing;
+    * ``"albers_equal_area"`` — same parameter set as LCC-2SP (the
+      equal-area conic: epsg:5070 Conus Albers, epsg:3577 Australian
+      Albers and every other continental analysis grid);
     * ``"polar_stereographic"`` — lat_ts (standard parallel), lon0,
       south, false_easting, false_northing;
     * ``"mercator"`` — ellipsoidal Mercator (no false origin).
@@ -534,6 +616,11 @@ def register_crs(code: str, projection: str,
         if sp1 is None or sp2 is None:
             raise ValueError("lambert_conformal_conic_2sp needs sp1 and sp2")
         proj = _LCC2SP(ell, lat0, lon0, sp1, sp2, false_easting,
+                       false_northing, helmert=shift)
+    elif kind == "albers_equal_area":
+        if sp1 is None or sp2 is None:
+            raise ValueError("albers_equal_area needs sp1 and sp2")
+        proj = _Albers(ell, lat0, lon0, sp1, sp2, false_easting,
                        false_northing, helmert=shift)
     elif kind == "polar_stereographic":
         if lat_ts is None:
