@@ -582,6 +582,121 @@ class TestNgramLM:
             assert n == len(grams)
             assert abs(avg - want) < 1e-12, r["doc_id"]
 
+    def test_dsir_logweights_match_python(self, spark):
+        """DSIR importance weights vs a full plain-python oracle: md5
+        bucket hashing, add-k smoothed hashed bag models, per-doc
+        log-ratio sum — to 1e-9."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from yirgacheffe_spark.text import lm
+
+        buckets, add_k = 64, 0.01
+        target = self._corpus(spark)  # cats and dogs
+        raw = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["stock market prices fell",
+                     "the cat sat on the mat",
+                     "buy cheap pills online now",
+                     "weather report rain tomorrow"]}))
+
+        tm = lm.train_hashed_ngram_model(target, n=2, buckets=buckets)
+        rm = lm.train_hashed_ngram_model(raw, n=2, buckets=buckets)
+        got = {r["doc_id"]: (r["n_grams"], r["log_weight"]) for r in
+               lm.dsir_logweights(raw, tm, rm, n=2, buckets=buckets,
+                                  add_k=add_k).collect()}
+
+        def bucket(gram):
+            return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % buckets
+
+        def model(df):
+            c = Counter()
+            for r in df.collect():
+                c.update(bucket(g) for g in self._py_grams(r["text"], 2))
+            return c
+
+        tc, rc = model(target), model(raw)
+        t_den = sum(tc.values()) + add_k * buckets
+        r_den = sum(rc.values()) + add_k * buckets
+        for r in raw.collect():
+            grams = [bucket(g) for g in self._py_grams(r["text"], 2)]
+            want = sum(
+                math.log((tc.get(b, 0) + add_k) / t_den)
+                - math.log((rc.get(b, 0) + add_k) / r_den)
+                for b in grams
+            )
+            n, w = got[r["doc_id"]]
+            assert n == len(grams)
+            assert abs(w - want) < 1e-9, r["doc_id"]
+
+    def test_dsir_select_gumbel_topk_matches_python_and_partitioning(self, spark):
+        """The Gumbel-top-k selection reproduces the python oracle (same
+        md5-unit noise) and is invariant under repartitioning."""
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        from yirgacheffe_spark.text import lm
+
+        buckets, seed, k = 64, 7, 3
+        target = self._corpus(spark)
+        texts = ["the cat sat on the mat",          # in-domain
+                 "a dog and a cat sat",             # in-domain
+                 "stock market prices fell today",  # off-domain
+                 "buy cheap pills online now",      # off-domain
+                 "the dog ate the fish",            # in-domain
+                 "weather report rain tomorrow"]    # off-domain
+        raw = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+        tm = lm.train_hashed_ngram_model(target, n=2, buckets=buckets)
+        rm = lm.train_hashed_ngram_model(raw, n=2, buckets=buckets)
+
+        got = sorted(r["doc_id"] for r in lm.dsir_select(
+            raw, tm, rm, k=k, n=2, buckets=buckets, seed=seed).collect())
+        got_repart = sorted(r["doc_id"] for r in lm.dsir_select(
+            raw.repartition(7), tm, rm, k=k, n=2, buckets=buckets,
+            seed=seed).collect())
+        assert got == got_repart
+
+        weights = {r["doc_id"]: r["log_weight"] for r in lm.dsir_logweights(
+            raw, tm, rm, n=2, buckets=buckets).collect()}
+
+        def gumbel(doc_id):
+            h = hashlib.md5(f"{doc_id} {seed}".encode()).hexdigest()[:16]
+            u = int(h, 16) / 2.0**64
+            return -math.log(-math.log(u))
+
+        keyed = sorted(((weights[d] + gumbel(d), d) for d in weights),
+                       key=lambda t: (-t[0], t[1]))
+        want = sorted(d for _, d in keyed[:k])
+        assert got == want
+
+    def test_dsir_select_prefers_target_like_documents(self, spark):
+        """Statistical sanity: with many repetitions, in-domain documents
+        dominate the selection (importance weights do their job)."""
+        import pandas as pd
+
+        from yirgacheffe_spark.text import lm
+
+        target = self._corpus(spark)
+        rows = []
+        for i in range(40):
+            rows.append((i, "the cat sat on the mat and the dog sat"))
+            rows.append((100 + i, "qqq zzz stock ticker pump dump spam"))
+        raw = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+             "text": [r[1] for r in rows]}))
+        tm = lm.train_hashed_ngram_model(target, n=2, buckets=512)
+        rm = lm.train_hashed_ngram_model(raw, n=2, buckets=512)
+        chosen = [r["doc_id"] for r in lm.dsir_select(
+            raw, tm, rm, k=20, n=2, buckets=512, seed=1).collect()]
+        in_domain = sum(1 for d in chosen if d < 100)
+        assert in_domain >= 18
+
     def test_quality_filter_keeps_fluent_docs(self, spark):
         import pandas as pd
 

@@ -11,7 +11,8 @@ pandas / pyspark only load when a submodule is first touched):
 * ``ann`` — brute-force / LSH / IVF cosine top-k and near-dup pairs;
 * ``sampling`` — deterministic content-keyed sampling, train/test and
   leakage-safe splits, fixed-token-budget sequence packing;
-* ``lm`` — n-gram LM training, scoring, and LM-based quality filtering;
+* ``lm`` — n-gram LM training, scoring, LM-based quality filtering, and
+  DSIR importance resampling (hashed-n-gram weights + Gumbel-top-k);
 * ``multimodal`` — binary media columns (decode honestly stubbed);
 * ``gopher`` — Gopher (Rae et al. 2021) quality signals + rule filter;
 * ``c4`` — C4 (Raffel et al. 2020) line/page rules + global

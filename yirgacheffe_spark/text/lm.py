@@ -1,9 +1,13 @@
-"""Distributed n-gram language-model training and scoring.
+"""Distributed n-gram language-model training, scoring, and DSIR selection.
 
 The CCNet/Gopher-style quality filter (public method): train word n-gram
 counts on a reference corpus, score candidate documents by average negative
 log-probability under the model (add-k smoothed), keep the well-scored
-tail.  Everything stays JVM-side column algebra:
+tail.  Plus DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, public method): hashed-n-gram bag models of a TARGET and the
+RAW distribution, per-document log importance weight = sum over grams of
+``log p_target(bucket) - log p_raw(bucket)``, then deterministic
+Gumbel-top-k resampling.  Everything stays JVM-side column algebra:
 
 * n-gram extraction is ``transform(sequence(...))`` over the split word
   array — whole-stage codegen, no Python;
@@ -18,6 +22,8 @@ Python.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -111,3 +117,130 @@ def quality_filter_by_lm(df: DataFrame, model: DataFrame, n: int = 2,
     # The keep set is corpus-sized (most documents pass a quality filter):
     # a shuffle semi-join on the id, never a broadcast.
     return df.join(keep, id_col, "left_semi")
+
+
+# -- DSIR: Data Selection via Importance Resampling ---------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling").  The reference engine has no counterpart (its domain is
+# rasters); this is part of the training-data curation layer the graft
+# adds on top of the reference's operator set.
+
+
+def hashed_bucket_column(text_col, n: int, buckets: int):
+    """array<bigint> of hashed n-gram feature buckets (JVM-side).
+
+    Bucket = first 15 hex chars of md5(gram) as an integer, mod ``buckets``
+    — 60 bits, exact in a signed bigint, and mirrorable in DuckDB as
+    ``('0x' || substr(md5(gram), 1, 15))::BIGINT % buckets``.
+    """
+    return F.transform(
+        ngram_column(text_col, n),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint") % buckets,
+    )
+
+
+def train_hashed_ngram_model(df: DataFrame, n: int = 2,
+                             buckets: int = 10_000,
+                             text_col: str = "text") -> DataFrame:
+    """(bucket, count) hashed bag-of-n-grams model: one explode + one
+    groupBy count.  The model table is <= ``buckets`` rows by construction
+    — always broadcastable, regardless of corpus size."""
+    b = df.select(
+        F.explode(hashed_bucket_column(F.col(text_col), n, buckets))
+        .alias("bucket")
+    )
+    return b.groupBy("bucket").agg(F.count("*").alias("count"))
+
+
+def dsir_logweights(df: DataFrame, target_model: DataFrame,
+                    raw_model: DataFrame, n: int = 2,
+                    buckets: int = 10_000, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    add_k: float = 0.01) -> DataFrame:
+    """(id, n_grams, log_weight): per-document DSIR importance weight.
+
+    ``log_weight = sum over grams of log p_target(bucket) - log p_raw
+    (bucket)`` with add-k smoothing over the ``buckets``-sized hashed
+    vocabulary.  The two models are folded into ONE (bucket, logratio)
+    table first (<= ``buckets`` rows) and broadcast, so the corpus side
+    pays exactly one explode + one broadcast join + one aggregation —
+    no shuffle proportional to gram volume.  Zero-gram documents keep a
+    row with ``n_grams = 0`` and ``log_weight`` NULL.
+    """
+    t_tot = target_model.agg(F.sum("count")).collect()[0][0] or 0
+    r_tot = raw_model.agg(F.sum("count")).collect()[0][0] or 0
+    t_den = float(t_tot) + add_k * buckets
+    r_den = float(r_tot) + add_k * buckets
+
+    ratio = (
+        target_model.withColumnRenamed("count", "_tc")
+        .join(raw_model.withColumnRenamed("count", "_rc"), "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(add_k))
+                      / F.lit(t_den))
+                - F.log((F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(add_k))
+                        / F.lit(r_den))
+            ).alias("_logratio"),
+        )
+    )
+    # Unseen-in-both buckets contribute log((k/t_den)/(k/r_den)) — a
+    # constant — folded in per-gram at the aggregation via coalesce.
+    default = math.log(add_k / t_den) - math.log(add_k / r_den)
+
+    doc_buckets = df.select(
+        F.col(id_col),
+        F.explode(hashed_bucket_column(F.col(text_col), n, buckets))
+        .alias("bucket"),
+    )
+    joined = doc_buckets.join(F.broadcast(ratio), "bucket", "left")
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_logratio"), F.lit(default)))
+        .alias("log_weight"),
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)))
+    )
+
+
+def dsir_select(df: DataFrame, target_model: DataFrame,
+                raw_model: DataFrame, k: int, n: int = 2,
+                buckets: int = 10_000, text_col: str = "text",
+                id_col: str = "doc_id", add_k: float = 0.01,
+                seed: int = 0) -> DataFrame:
+    """Select ``k`` documents by Gumbel-top-k importance resampling —
+    sampling without replacement proportional to the DSIR importance
+    weights, deterministically.
+
+    The Gumbel noise is derived from the CONTENT key: ``u = md5-unit(id,
+    seed)`` (the engine's salted-sample hash), ``g = -ln(-ln(u))``, and
+    the selection is the top ``k`` of ``log_weight + g`` — so membership
+    is invariant under repartitioning, retries, and cluster resizes,
+    like every other sampling path in this engine.  Zero-gram documents
+    (NULL weight) are never selected.
+
+    Scale: the top-k runs as per-partition partial top-k + one merge
+    (Spark's TakeOrderedAndProject), exact at any corpus size but
+    k-bounded on the merge side — for billion-row selections use a
+    threshold from ``dsir_logweights`` + ``salted_sample``-style
+    filtering instead.
+    """
+    from .sampling import _hash_unit  # pylint: disable=C0415
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = dsir_logweights(df, target_model, raw_model, n=n, buckets=buckets,
+                        text_col=text_col, id_col=id_col, add_k=add_k)
+    u = _hash_unit(F.col(id_col), seed)
+    gumbel = -F.log(-F.log(u))
+    keyed = w.where(F.col("log_weight").isNotNull()).select(
+        id_col, (F.col("log_weight") + gumbel).alias("_gumbel_key")
+    )
+    chosen = keyed.orderBy(F.col("_gumbel_key").desc(),
+                           F.col(id_col)).limit(k).select(id_col)
+    return df.join(chosen, id_col, "left_semi")
