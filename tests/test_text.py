@@ -1263,3 +1263,94 @@ def test_dedup_lines_within_doc(spark):
     plan = dedup.dedup_lines_within_doc(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestQualityClassifier:
+    """fastText-style hashed-n-gram logistic quality classifier: a
+    pyspark.ml pipeline (tokenize -> bigrams -> HashingTF -> logistic
+    regression), trained on a separable synthetic seed set."""
+
+    _GOOD = ["the quick brown fox jumps over the lazy dog",
+             "scientific research shows promising results in medicine",
+             "the committee published its annual report yesterday",
+             "a thorough analysis of the historical evidence follows",
+             "local libraries expand their community reading programs"]
+    _BAD = ["buy cheap pills viagra casino jackpot win now",
+            "click here free money casino jackpot bonus spins",
+            "hot singles near you click subscribe now free",
+            "lottery winner claim prize casino bonus click now",
+            "cheap replica watches free shipping buy buy buy"]
+
+    def _labeled(self, spark, reps=6):
+        rows = []
+        i = 0
+        for _ in range(reps):
+            for t in self._GOOD:
+                rows.append((i, t, 1)); i += 1
+            for t in self._BAD:
+                rows.append((i, t, 0)); i += 1
+        return spark.createDataFrame(pd.DataFrame(
+            {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+             "text": [r[1] for r in rows],
+             "label": np.array([r[2] for r in rows], dtype=np.int64)}))
+
+    def test_train_score_filter_separable(self, spark):
+        from yirgacheffe_spark.text import classifier
+
+        labeled = self._labeled(spark)
+        model = classifier.train_quality_classifier(
+            labeled, num_features=1 << 12)
+        held = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["the fox jumps over the dog and the committee report",
+                     "research analysis of historical evidence programs",
+                     "casino jackpot free bonus click now win pills",
+                     "buy cheap replica pills free shipping now"]}))
+        scored = {r["doc_id"]: r["quality_prob"]
+                  for r in classifier.score_quality(held, model).collect()}
+        assert scored[0] > 0.8 and scored[1] > 0.8
+        assert scored[2] < 0.2 and scored[3] < 0.2
+
+        kept = sorted(r["doc_id"] for r in classifier.quality_classifier_filter(
+            held, model, threshold=0.5).collect())
+        assert kept == [0, 1]
+        # input schema preserved, no pipeline intermediates leak
+        cols = classifier.quality_classifier_filter(held, model).columns
+        assert cols == ["doc_id", "text"]
+
+    def test_score_plan_is_shuffle_and_python_free(self, spark):
+        from yirgacheffe_spark.text import classifier
+
+        model = classifier.train_quality_classifier(
+            self._labeled(spark), num_features=1 << 12)
+        held = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": np.arange(2, dtype=np.int64),
+             "text": ["a b", "c d"]}))
+        plan = classifier.score_quality(held, model)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    def test_model_save_load_round_trip(self, spark, tmp_path):
+        from pyspark.ml import PipelineModel
+
+        from yirgacheffe_spark.text import classifier
+
+        labeled = self._labeled(spark)
+        model = classifier.train_quality_classifier(
+            labeled, num_features=1 << 12)
+        p = str(tmp_path / "qmodel")
+        model.write().overwrite().save(p)
+        loaded = PipelineModel.load(p)
+        a = {r["doc_id"]: r["quality_prob"]
+             for r in classifier.score_quality(labeled, model).collect()}
+        b = {r["doc_id"]: r["quality_prob"]
+             for r in classifier.score_quality(labeled, loaded).collect()}
+        assert a == b
+
+    def test_bad_threshold_raises(self, spark):
+        import pytest as _pt
+
+        from yirgacheffe_spark.text import classifier
+
+        with _pt.raises(ValueError, match="threshold"):
+            classifier.quality_classifier_filter(None, None, threshold=1.5)

@@ -9,6 +9,8 @@ pandas / pyspark only load when a submodule is first touched):
 * ``quality`` — token/char counts, quality score, fingerprint, language
   id, PII redaction/auditing;
 * ``ann`` — brute-force / LSH / IVF cosine top-k and near-dup pairs;
+* ``classifier`` — fastText-style hashed-n-gram logistic quality
+  classifier (pyspark.ml pipeline: train / score / filter);
 * ``sampling`` — deterministic content-keyed sampling, train/test and
   leakage-safe splits, fixed-token-budget sequence packing;
 * ``lm`` — n-gram LM training, scoring, LM-based quality filtering, and
@@ -24,8 +26,8 @@ pandas / pyspark only load when a submodule is first touched):
 
 import importlib
 
-_SUBMODULES = ("ann", "c4", "dedup", "gopher", "lm", "multimodal",
-               "pipeline", "quality", "sampling", "urls")
+_SUBMODULES = ("ann", "c4", "classifier", "dedup", "gopher", "lm",
+               "multimodal", "pipeline", "quality", "sampling", "urls")
 
 __all__ = list(_SUBMODULES) + ["curate_corpus"]
 
