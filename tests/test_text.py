@@ -1354,3 +1354,80 @@ class TestQualityClassifier:
 
         with _pt.raises(ValueError, match="threshold"):
             classifier.quality_classifier_filter(None, None, threshold=1.5)
+
+
+class TestBloomFilter:
+    """Distributed Bloom build/probe + index-backed exact dedup routing."""
+
+    def _keys(self, spark, n, offset=0):
+        return spark.range(offset, offset + n).selectExpr(
+            "concat('key-', id) AS k")
+
+    def test_no_false_negatives(self, spark):
+        from yirgacheffe_spark.text import bloom
+
+        m, k = bloom.bloom_parameters(500, fpp=0.01)
+        keys = self._keys(spark, 500)
+        bf = bloom.BloomFilter.build(keys, "k", m, k)
+        misses = keys.where(~bf.might_contain(F.col("k"))).count()
+        assert misses == 0  # the defining guarantee
+
+    def test_fpp_within_tolerance(self, spark):
+        from yirgacheffe_spark.text import bloom
+
+        m, k = bloom.bloom_parameters(1000, fpp=0.01)
+        bf = bloom.BloomFilter.build(self._keys(spark, 1000), "k", m, k)
+        others = self._keys(spark, 5000, offset=10_000)
+        fp = others.where(bf.might_contain(F.col("k"))).count()
+        assert fp / 5000 < 0.05  # nominal 1%, generous bound
+
+    def test_save_load_round_trip_and_format_guard(self, spark, tmp_path):
+        from yirgacheffe_spark.text import bloom
+
+        m, k = bloom.bloom_parameters(200, fpp=0.05)
+        bf = bloom.BloomFilter.build(self._keys(spark, 200), "k", m, k)
+        p = str(tmp_path / "bloom")
+        bf.save(spark, p)
+        loaded = bloom.BloomFilter.load(spark, p)
+        assert np.array_equal(loaded.words, bf.words)
+        assert (loaded.num_bits, loaded.num_hashes) == (m, k)
+
+        bad = spark.read.parquet(p).withColumn(
+            "format", F.lit("ygbloom-v0"))
+        p2 = str(tmp_path / "bloom_old")
+        bad.write.parquet(p2)
+        with pytest.raises(ValueError, match="format"):
+            bloom.BloomFilter.load(spark, p2)
+
+    def test_exact_dedup_against_index_differential(self, spark):
+        """The bloom-routed dedup equals the plain anti-join exactly,
+        even with a deliberately tiny (high-fpp) bloom — the filter only
+        routes rows, never decides membership."""
+        from yirgacheffe_spark.text import bloom
+
+        texts = [f"document number {i} body text" for i in range(60)]
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(60, dtype=np.int64), "text": texts}))
+        # index contains every third document's hash
+        index = new.where(F.col("doc_id") % 3 == 0).select(
+            F.xxhash64("text").alias("content_hash"))
+
+        plain = sorted(r["doc_id"] for r in bloom.exact_dedup_against_index(
+            new, index).collect())
+        assert plain == sorted(i for i in range(60) if i % 3 != 0)
+
+        for num_bits, k in [(64, 2), (1024, 5)]:  # saturated and roomy
+            bf = bloom.BloomFilter.build(index, "content_hash", num_bits, k)
+            routed = sorted(r["doc_id"] for r in bloom.exact_dedup_against_index(
+                new, index, bloom=bf).collect())
+            assert routed == plain, (num_bits, k)
+
+    def test_parameter_formulas_and_validation(self):
+        from yirgacheffe_spark.text import bloom
+
+        m, k = bloom.bloom_parameters(1_000_000, fpp=0.01)
+        assert m % 64 == 0 and 9_500_000 < m < 9_700_000 and k == 7
+        with pytest.raises(ValueError, match="expected_items"):
+            bloom.bloom_parameters(0)
+        with pytest.raises(ValueError, match="fpp"):
+            bloom.bloom_parameters(10, fpp=1.5)

@@ -9,6 +9,8 @@ pandas / pyspark only load when a submodule is first touched):
 * ``quality`` — token/char counts, quality score, fingerprint, language
   id, PII redaction/auditing;
 * ``ann`` — brute-force / LSH / IVF cosine top-k and near-dup pairs;
+* ``bloom`` — distributed Bloom-filter build/probe + index-backed exact
+  dedup pre-filtering (no-false-negative routing, exact results);
 * ``classifier`` — fastText-style hashed-n-gram logistic quality
   classifier (pyspark.ml pipeline: train / score / filter);
 * ``sampling`` — deterministic content-keyed sampling, train/test and
@@ -26,7 +28,7 @@ pandas / pyspark only load when a submodule is first touched):
 
 import importlib
 
-_SUBMODULES = ("ann", "c4", "classifier", "dedup", "gopher", "lm",
+_SUBMODULES = ("ann", "bloom", "c4", "classifier", "dedup", "gopher", "lm",
                "multimodal", "pipeline", "quality", "sampling", "urls")
 
 __all__ = list(_SUBMODULES) + ["curate_corpus"]
