@@ -34,7 +34,7 @@ from yirgacheffe_spark.harness import (
     scalar_df,
 )
 from yirgacheffe_spark.spatial import joins
-from yirgacheffe_spark.text import ann, dedup, multimodal, pipeline, quality
+from yirgacheffe_spark.text import ann, dedup, lm, multimodal, pipeline, quality
 
 RES = 5  # cell resolution used by the spatial oracle queries
 
@@ -961,6 +961,32 @@ def q_doc_dedup_best_of_group(spark, sf_dir):
     )
 
 
+# DSIR gate parameters: target = the English slice, raw = the full corpus.
+_DSIR_BUCKETS = 256
+_DSIR_K = 25
+_DSIR_SEED = 9
+_DSIR_ADD_K = 0.01
+
+
+def q_doc_dsir_select(spark, sf_dir):
+    """DSIR importance resampling end-to-end: hashed-bigram bucket models
+    of the English slice (target) and the full corpus (raw), per-document
+    log importance weights, content-keyed Gumbel-top-25 selection.  The
+    oracle mirrors every stage in DuckDB — the md5 bucket hash, the
+    add-k smoothed log-ratio sum, and the md5-unit Gumbel noise are all
+    bit-reproducible; selection gaps are macroscopic relative to float
+    fold-order noise, and the returned columns (ids + lang) are exact
+    integers/strings."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    target = docs.where(F.col("lang") == "en")
+    tm = lm.train_hashed_ngram_model(target, n=2, buckets=_DSIR_BUCKETS)
+    rm = lm.train_hashed_ngram_model(docs, n=2, buckets=_DSIR_BUCKETS)
+    chosen = lm.dsir_select(docs, tm, rm, k=_DSIR_K, n=2,
+                            buckets=_DSIR_BUCKETS, add_k=_DSIR_ADD_K,
+                            seed=_DSIR_SEED)
+    return chosen.select("doc_id", "lang")
+
+
 def q_events_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -1021,12 +1047,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_read_array_window": q_layer_read_array_window,
         "layer_multiband_sum": q_layer_multiband_sum,
         "layer_pixel_coords_roundtrip": q_layer_pixel_coords_roundtrip,
-        "events_topk_per_user": q_events_topk_per_user,
         "events_sessionize": q_events_sessionize,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "doc_dedup_best_of_group": q_doc_dedup_best_of_group,
         "doc_text_features": q_doc_text_features,
+        # r5: events_topk_per_user gave its slot (50-row cap) to the DSIR
+        # selection pipeline — window ranking stays gate-covered by
+        # events_sessionize and the rank stages inside spatial_knn_table.
+        "doc_dsir_select": q_doc_dsir_select,
         # The gate is capped at 50 rows; exact_dedup's standalone row gave
         # its slot to doc_curate_corpus, which oracles the SAME operator as
         # its first pipeline stage (md5 row_number mirror) — plus
@@ -1330,12 +1359,57 @@ def oracle_sql() -> dict[str, str]:
                 )
             ) WHERE rn = 1
         """,
-        "events_topk_per_user": """
-            SELECT user_id, event_id, rk FROM (
-                SELECT user_id, event_id, row_number() OVER (
-                    PARTITION BY user_id ORDER BY value DESC, event_id ASC
-                ) AS rk FROM events
-            ) WHERE rk <= 2
+        "doc_dsir_select": f"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang,
+                       CASE WHEN len(w) >= 2 THEN list_transform(
+                                generate_series(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1])
+                            WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                            ELSE [] END AS g
+                FROM w
+            ), db AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(ug), 1, 15))::BIGINT
+                           % {_DSIR_BUCKETS} AS bucket
+                FROM grams, unnest(g) AS t(ug)
+            ), tm AS (
+                SELECT bucket, COUNT(*) AS tc FROM db
+                WHERE lang = 'en' GROUP BY bucket
+            ), rm AS (
+                SELECT bucket, COUNT(*) AS rc FROM db GROUP BY bucket
+            ), dens AS (
+                SELECT (SELECT COALESCE(SUM(tc), 0) FROM tm)
+                           + {_DSIR_ADD_K} * {_DSIR_BUCKETS} AS t_den,
+                       (SELECT COALESCE(SUM(rc), 0) FROM rm)
+                           + {_DSIR_ADD_K} * {_DSIR_BUCKETS} AS r_den
+            ), weights AS (
+                SELECT db.doc_id,
+                       SUM(ln((COALESCE(tm.tc, 0) + {_DSIR_ADD_K})
+                              / (SELECT t_den FROM dens))
+                           - ln((COALESCE(rm.rc, 0) + {_DSIR_ADD_K})
+                                / (SELECT r_den FROM dens))) AS lw
+                FROM db
+                LEFT JOIN tm ON db.bucket = tm.bucket
+                LEFT JOIN rm ON db.bucket = rm.bucket
+                GROUP BY db.doc_id
+            ), keyed AS (
+                SELECT doc_id,
+                       lw - ln(-ln(
+                           ('0x' || substr(md5(doc_id::VARCHAR
+                                || ' ' || '{_DSIR_SEED}'), 1, 16))::UBIGINT
+                           / 18446744073709551616.0)) AS gk
+                FROM weights
+            )
+            SELECT k.doc_id, d.lang
+            FROM (SELECT doc_id FROM keyed
+                  ORDER BY gk DESC, doc_id ASC LIMIT {_DSIR_K}) k
+            JOIN documents d ON k.doc_id = d.doc_id
         """,
         "orders_customer_join": """
             SELECT n_name, COUNT(*) AS n_orders,

@@ -182,6 +182,33 @@ def main() -> int:
     check("gopher signals: one Arrow batch, rest JVM "
           f"(ArrowEvalPython x{n_arrow})", ok)
 
+    # 11. DSIR weights: the (bucket, logratio) table joins BROADCAST (it is
+    # <= buckets rows by construction) and the plan holds no cartesian /
+    # nested-loop join and no Python eval — pure JVM hash path.
+    from yirgacheffe_spark.text import lm
+    tgt = docs.where(docs["lang"] == "en")
+    tmod = lm.train_hashed_ngram_model(tgt, n=2, buckets=256)
+    rmod = lm.train_hashed_ngram_model(docs, n=2, buckets=256)
+    wplan = plan_of(lm.dsir_logweights(docs, tmod, rmod, n=2, buckets=256))
+    ok = ("BroadcastHashJoin" in wplan
+          and "CartesianProduct" not in wplan
+          and "BroadcastNestedLoopJoin" not in wplan
+          and "BatchEvalPython" not in wplan
+          and "ArrowEvalPython" not in wplan)
+    check("dsir weights: broadcast ratio join, JVM-only, no cartesian", ok)
+
+    # 12. Bloom probe: ONE Arrow batch (the bit test); the positions are
+    # JVM expressions, and the definite-new routing path has no join.
+    from yirgacheffe_spark.text import bloom
+    bf_m, bf_k = bloom.bloom_parameters(1000, fpp=0.01)
+    bf = bloom.BloomFilter.build(
+        docs.select(F.xxhash64("text").alias("h")), "h", bf_m, bf_k)
+    probe_plan = plan_of(docs.where(~bf.might_contain(F.xxhash64("text"))))
+    n_arrow = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", probe_plan)))
+    ok = (n_arrow == 1 and "Join" not in probe_plan
+          and "BatchEvalPython" not in probe_plan)
+    check(f"bloom probe: one Arrow batch, no join (ArrowEvalPython x{n_arrow})", ok)
+
     print("\nPLAN AUDIT:", "all checks passed" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
 
