@@ -1431,3 +1431,114 @@ class TestBloomFilter:
             bloom.bloom_parameters(0)
         with pytest.raises(ValueError, match="fpp"):
             bloom.bloom_parameters(10, fpp=1.5)
+
+
+class TestTokenBudgetSampling:
+    """Deterministic token-budget sampling + domain mixture."""
+
+    def _docs(self, spark, n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(50, 500, n),
+            "domain": [["web", "code", "books"][i % 3] for i in range(n)],
+        }))
+
+    @staticmethod
+    def _unit(doc_id, seed):
+        import hashlib
+
+        return int(hashlib.md5(f"{doc_id} {seed}".encode())
+                   .hexdigest()[:16], 16) / 2.0**64
+
+    def test_exact_matches_python_oracle(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark)
+        budget, seed = 10_000, 4
+        got = sorted(r["doc_id"] for r in sampling.sample_token_budget(
+            docs, budget, seed=seed).collect())
+
+        rows = sorted(docs.collect(),
+                      key=lambda r: (self._unit(r["doc_id"], seed), r["doc_id"]))
+        want, cum = [], 0
+        for r in rows:
+            if cum >= budget:
+                break
+            want.append(r["doc_id"])
+            cum += r["n_tokens"]
+        assert got == sorted(want)
+        # budget reached, overshoot at most one document
+        tok = {r["doc_id"]: r["n_tokens"] for r in rows}
+        total = sum(tok[d] for d in got)
+        assert total >= budget and total - max(tok[d] for d in got) < budget
+
+    def test_budget_growth_is_superset_and_partition_invariant(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark)
+        small = {r["doc_id"] for r in sampling.sample_token_budget(
+            docs, 5_000, seed=1).collect()}
+        large = {r["doc_id"] for r in sampling.sample_token_budget(
+            docs, 20_000, seed=1).collect()}
+        assert small < large
+        repart = {r["doc_id"] for r in sampling.sample_token_budget(
+            docs.repartition(7), 5_000, seed=1).collect()}
+        assert repart == small
+
+    def test_fast_path_is_threshold_filter(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark)
+        total = sum(r["n_tokens"] for r in docs.collect())
+        budget = 8_000
+        got = {r["doc_id"] for r in sampling.sample_token_budget(
+            docs, budget, seed=2, exact=False).collect()}
+        t = budget / total
+        want = {r["doc_id"] for r in docs.collect()
+                if self._unit(r["doc_id"], 2) < t}
+        assert got == want
+
+    def test_budget_covers_whole_corpus(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, n=20)
+        assert sampling.sample_token_budget(docs, 10**9).count() == 20
+
+    def test_mix_corpus_quotas_and_determinism(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, n=600)
+        weights = {"web": 0.6, "code": 0.4}  # books dropped
+        out = sampling.mix_corpus(docs, "domain", weights, 40_000, seed=5)
+        rows = out.collect()
+        assert {r["domain"] for r in rows} <= {"web", "code"}
+        by_dom = {}
+        for r in rows:
+            by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + r["n_tokens"]
+        # expected-size sampling: each domain lands near its quota
+        assert abs(by_dom["web"] - 24_000) / 24_000 < 0.35
+        assert abs(by_dom["code"] - 16_000) / 16_000 < 0.35
+        again = sorted(r["doc_id"] for r in sampling.mix_corpus(
+            docs.repartition(9), "domain", weights, 40_000, seed=5).collect())
+        assert again == sorted(r["doc_id"] for r in rows)
+
+    def test_mix_small_domain_contributes_everything(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, n=60)
+        out = sampling.mix_corpus(
+            docs, "domain", {"web": 0.01, "code": 0.99}, 10**8, seed=0)
+        n_code = out.where(F.col("domain") == "code").count()
+        assert n_code == docs.where(F.col("domain") == "code").count()
+
+    def test_validation(self, spark):
+        from yirgacheffe_spark.text import sampling
+
+        docs = self._docs(spark, n=5)
+        with pytest.raises(ValueError, match="token_budget"):
+            sampling.sample_token_budget(docs, 0)
+        with pytest.raises(ValueError, match="weights"):
+            sampling.mix_corpus(docs, "domain", {}, 100)
+        with pytest.raises(ValueError, match="weights"):
+            sampling.mix_corpus(docs, "domain", {"web": -1.0}, 100)

@@ -13,7 +13,8 @@ pandas / pyspark only load when a submodule is first touched):
   dedup pre-filtering (no-false-negative routing, exact results);
 * ``classifier`` — fastText-style hashed-n-gram logistic quality
   classifier (pyspark.ml pipeline: train / score / filter);
-* ``sampling`` — deterministic content-keyed sampling, train/test and
+* ``sampling`` — deterministic content-keyed sampling, token-budget and
+  domain-mixture sampling, train/test and
   leakage-safe splits, fixed-token-budget sequence packing;
 * ``lm`` — n-gram LM training, scoring, LM-based quality filtering, and
   DSIR importance resampling (hashed-n-gram weights + Gumbel-top-k);

@@ -223,3 +223,123 @@ def leakage_safe_split(df: DataFrame, dup_pairs: DataFrame,
     train = keyed.where(u >= test_fraction).drop("component", "_split_key")
     test = keyed.where(u < test_fraction).drop("component", "_split_key")
     return train, test
+
+
+def sample_token_budget(df: DataFrame, token_budget: int,
+                        tokens_col: str = "n_tokens",
+                        key_col: str = "doc_id",
+                        seed: int = 0, exact: bool = True) -> DataFrame:
+    """Deterministic sample holding ~``token_budget`` total tokens — the
+    "give me 100B tokens of this corpus" primitive.
+
+    Documents are ordered by their content-hash unit value (so membership
+    is layout/retry-invariant and a larger budget yields a SUPERSET of a
+    smaller one — budgets can be grown without resampling); the sample is
+    the shortest hash-prefix whose token sum reaches the budget.
+
+    Two passes: (1) one aggregate for the total token count sizes the
+    hash threshold at ``budget / total``; (2) the candidate band (1.25x
+    the estimate, bounded error under Chernoff at corpus sizes) is
+    exact-trimmed by cumulative token sum in hash order.  The cumulative
+    sum is DISTRIBUTED — range-partition the band on the hash, window
+    within each partition, add driver-computed per-partition offsets (a
+    task-count-sized list) — never a global single-task window.  With
+    ``exact=False`` the trim pass is skipped and the expected-size
+    threshold filter is the whole plan (one scan, zero shuffles — the
+    10^12-row fast path).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    u = _hash_unit(F.col(key_col), seed)
+    total = df.agg(F.sum(tokens_col)).collect()[0][0] or 0
+    if total <= token_budget:
+        return df
+    t = token_budget / total
+    if not exact:
+        return df.where(u < t)
+    from pyspark.sql import Window as W  # pylint: disable=C0415
+
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    band = (
+        df.withColumn("_u", u)
+        .where(F.col("_u") < min(1.0, t * 1.25))
+        .repartitionByRange(n_parts, F.col("_u").asc(), F.col(key_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin partitioning: offsets below
+        # are only valid for THIS physical layout
+    )
+    part_totals = {
+        r["_pid"]: r["_tok"]
+        for r in band.groupBy("_pid").agg(
+            F.sum(tokens_col).alias("_tok")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(part_totals):
+        offsets.append((pid, acc))
+        acc += part_totals[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   schema="_pid int, _offset bigint")
+    # Running token sum in hash order; keep every doc whose PREDECESSORS
+    # have not already filled the budget (so the sample overshoots by at
+    # most one document, and a grown budget keeps every current member).
+    local_cum = F.sum(tokens_col).over(
+        W.partitionBy("_pid")
+        .orderBy(F.col("_u").asc(), F.col(key_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        band.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum_before",
+                    F.col("_offset") + F.coalesce(local_cum, F.lit(0)))
+        .where(F.col("_cum_before") < token_budget)
+        .drop("_u", "_pid", "_offset", "_cum_before")
+    )
+
+
+def mix_corpus(df: DataFrame, domain_col: str, weights: dict,
+               token_budget: int, tokens_col: str = "n_tokens",
+               key_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic domain-mixture sample: ~``token_budget`` total
+    tokens split across domains by ``weights`` (the Pile/DoReMi-style
+    static mixture).  Weights are normalized; domains not listed are
+    dropped; a domain smaller than its quota contributes everything it
+    has (the shortfall is reported by the caller comparing token sums,
+    not silently rebalanced — rebalancing would make every domain's
+    membership depend on every other domain's size).
+
+    One aggregate sizes all domains at once; each domain then applies
+    the same hash-prefix rule as ``sample_token_budget`` (expected-size
+    thresholds; one scan, no shuffle, no per-domain jobs).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for v in weights.values():
+        if v < 0:
+            raise ValueError(f"weights must be >= 0, got {v}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    totals = {
+        r[domain_col]: r["_tok"]
+        for r in df.groupBy(domain_col).agg(
+            F.sum(tokens_col).alias("_tok")).collect()
+        if r[domain_col] in weights
+    }
+    rows = []
+    for dom, w in weights.items():
+        quota = token_budget * (w / wsum)
+        have = float(totals.get(dom, 0) or 0)
+        rows.append((dom, min(1.0, quota / have) if have > 0 else 0.0))
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        rows, schema=f"{domain_col} {dict(df.dtypes)[domain_col]}, _keep double"
+    )
+    return (
+        df.join(F.broadcast(frac_df), domain_col, "inner")
+        .where(_hash_unit(F.col(key_col), seed) < F.col("_keep"))
+        .drop("_keep")
+    )
