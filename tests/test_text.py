@@ -972,6 +972,63 @@ def test_curate_corpus_full_pipeline(spark):
     assert rep is None and lazy.count() > 0
 
 
+def test_curate_corpus_selection_stages(spark):
+    """The round-5 optional stages: classifier filter, DSIR selection, and
+    the token-budget cap compose with the base pipeline and fire in order."""
+    import pandas as pd
+
+    from yirgacheffe_spark.text import classifier, lm, pipeline
+
+    good = ("the committee published a thorough report on local research "
+            "and community programs across the region this year")
+    spam = "buy cheap pills casino jackpot click now free bonus spins win"
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", f"{good} extra{i} unique{i}", 1))
+    for i in range(20, 40):
+        rows.append((i, "en", f"{spam} extra{i} unique{i}", 0))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text", "label"])
+    ).withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+
+    model = classifier.train_quality_classifier(
+        docs.select("text", "label"), num_features=1 << 12)
+    target = docs.where(F.col("label") == 1)
+    tm = lm.train_hashed_ngram_model(target, n=2, buckets=512)
+    rm = lm.train_hashed_ngram_model(docs, n=2, buckets=512)
+
+    curated, report = pipeline.curate_corpus(
+        docs.drop("label"),
+        boilerplate_min_docs=None,
+        min_quality=None,
+        near_dup_threshold=None,
+        classifier_model=model,
+        classifier_threshold=0.5,
+        dsir_target_model=tm,
+        dsir_raw_model=rm,
+        dsir_k=10,
+        dsir_buckets=512,
+        token_budget=120,
+        tokens_col="n_tokens",
+    )
+    counts = dict(report)
+    assert counts["classifier_filter"] == 20        # spam half drops
+    assert counts["dsir_selection"] == 10
+    assert counts["token_budget_cap"] <= 10
+    out = curated.collect()
+    assert all(r["doc_id"] < 20 for r in out)       # only good docs survive
+    assert sum(r["n_tokens"] for r in out) >= 120   # budget reached
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dsir_k"):
+        pipeline.curate_corpus(docs.drop("label"), dsir_k=5,
+                               with_report=False)
+    with _pt.raises(ValueError, match="tokens_col"):
+        pipeline.curate_corpus(docs.drop("label"), token_budget=100,
+                               with_report=False)
+
+
 class TestCurationEdgeCases:
     """Empty corpora and null keys must flow through the curation stack
     without crashing or silently mislabeling."""

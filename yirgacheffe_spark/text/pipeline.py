@@ -8,8 +8,11 @@ composition and the per-stage accounting:
     URL canonical dedup + domain blocklist (optional)  ->  exact dedup
     ->  boilerplate line removal  ->  heuristic quality floor
     ->  Gopher rules (optional)  ->  LM quality floor (optional)
-    ->  MinHash cluster dedup  ->  eval-set decontamination (optional)
+    ->  classifier quality filter (optional)  ->  MinHash cluster dedup
+    ->  eval-set decontamination (optional)
     ->  stratified language sampling (optional)
+    ->  DSIR importance selection (optional)
+    ->  token-budget cap (optional)
 
 Every stage is a lazy DataFrame transform; nothing materialises until the
 caller acts.  The returned report runs ONE count per enabled stage — at
@@ -43,6 +46,14 @@ def curate_corpus(
     lang_fractions: "dict | None" = None,
     lang_col: str = "lang",
     sample_seed: int = 0,
+    classifier_model=None,
+    classifier_threshold: float = 0.5,
+    dsir_target_model: DataFrame | None = None,
+    dsir_raw_model: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
+    token_budget: int | None = None,
+    tokens_col: str | None = None,
     with_report: bool = True,
 ) -> "tuple[DataFrame, list[tuple[str, int]] | None]":
     """Returns ``(curated, report)`` — ``report`` is a list of
@@ -54,6 +65,14 @@ def curate_corpus(
     ``url_blocklist`` — a one-column ``domain`` table — domain blocking)
     before any text is read; ``eval_docs`` enables n-gram eval-set
     decontamination after near-dup removal.
+
+    ``classifier_model`` (a fitted ``classifier.train_quality_classifier``
+    PipelineModel) enables model-based quality filtering after the LM
+    floor.  ``dsir_target_model`` + ``dsir_raw_model`` + ``dsir_k``
+    (tables from ``lm.train_hashed_ngram_model``) enable DSIR importance
+    selection as the final selection stage.  ``token_budget`` +
+    ``tokens_col`` cap the output at ~``token_budget`` total tokens
+    (deterministic hash-prefix rule, ``sampling.sample_token_budget``).
     """
     stages: list[tuple[str, int]] = []
     cur = docs
@@ -113,6 +132,14 @@ def curate_corpus(
         )
         record("lm_filter")
 
+    if classifier_model is not None:
+        from . import classifier as clf_mod  # pylint: disable=C0415
+
+        cur = clf_mod.quality_classifier_filter(
+            cur, classifier_model, threshold=classifier_threshold
+        )
+        record("classifier_filter")
+
     if near_dup_threshold is not None:
         pairs = dedup.minhash_dedup_pairs(
             cur, text_col, id_col, num_perm=minhash_num_perm,
@@ -132,6 +159,31 @@ def curate_corpus(
             cur, lang_col, lang_fractions, id_col, seed=sample_seed
         )
         record("language_sampling")
+
+    if dsir_k is not None:
+        if dsir_target_model is None or dsir_raw_model is None:
+            raise ValueError(
+                "dsir_k needs dsir_target_model and dsir_raw_model "
+                "(lm.train_hashed_ngram_model tables)"
+            )
+        from . import lm as lm_mod  # pylint: disable=C0415
+
+        cur = lm_mod.dsir_select(
+            cur, dsir_target_model, dsir_raw_model, k=dsir_k,
+            buckets=dsir_buckets, text_col=text_col, id_col=id_col,
+            seed=sample_seed,
+        )
+        record("dsir_selection")
+
+    if token_budget is not None:
+        if tokens_col is None:
+            raise ValueError("token_budget needs tokens_col (a per-document "
+                             "token-count column)")
+        cur = sampling.sample_token_budget(
+            cur, token_budget, tokens_col=tokens_col, key_col=id_col,
+            seed=sample_seed,
+        )
+        record("token_budget_cap")
 
     for handle in pinned[:-1]:  # keep only the final stage cached
         handle.unpersist()
