@@ -5,6 +5,7 @@ adaptive cell splitting, lineage resume."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from yirgacheffe_spark.spatial import cells as ci
 from yirgacheffe_spark.spatial import joins, pages
@@ -77,6 +78,47 @@ class TestPages:
         df = pages.enriched_pages(spark, 300, res=6)
         mismatches = df.where("extracted != text").count()
         assert mismatches == 0
+
+    def test_html_text_column_real_markup(self, spark):
+        """The general JVM HTML extractor: scripts/styles/comments drop,
+        block structure becomes newlines, entities decode, whitespace
+        collapses — all per hand-computed expectations."""
+        import pandas as pd
+
+        cases = [
+            ("<html><head><title>T</title><style>p{color:red}</style></head>"
+             "<body><h1>Header</h1><p>First &amp; second.</p>"
+             "<script>var x = '<p>not text</p>';</script>"
+             "<div>Block one</div><div>Block two</div>"
+             "<!-- hidden comment --><ul><li>item a</li><li>item b</li></ul>"
+             "line1<br>line2&nbsp;&lt;tag&gt;</body></html>",
+             "T\nHeader\nFirst & second.\nBlock one\nBlock two\n"
+             "item a\nitem b\nline1\nline2 <tag>"),
+            ("no markup at all", "no markup at all"),
+            ("<p>a</p>\n\n\n<p>b</p>", "a\nb"),
+            ("&amp;amp;", "&amp;"),  # double-escape survives (&amp; last)
+        ]
+        df = spark.createDataFrame(pd.DataFrame({
+            "html": [c[0].encode() for c in cases]}))
+        got = [r["t"] for r in df.select(
+            pages.html_text_column(F.col("html")).alias("t")).collect()]
+        for (src, want), g in zip(cases, got):
+            assert g == want, (src[:40], g)
+        # string (non-binary) input path agrees
+        df2 = spark.createDataFrame(pd.DataFrame({"html": [c[0] for c in cases]}))
+        got2 = [r["t"] for r in df2.select(
+            pages.html_text_column(F.col("html"), binary=False).alias("t")
+        ).collect()]
+        assert got2 == got
+
+    def test_html_text_column_is_jvm_only(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame({"html": [b"<p>x</p>"]}))
+        plan = df.select(
+            pages.html_text_column(F.col("html")).alias("t")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
 
     def test_schema_matches_input_hint(self, spark):
         df = pages.generate_pages(spark, 10)

@@ -128,6 +128,46 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     return html.map(strip)
 
 
+def html_text_column(col, *, binary: bool = True):
+    """General HTML -> text extraction as a pure-JVM regexp chain — the
+    real-crawl counterpart of ``extract_text_batch`` (which handles the
+    synthetic generator's fixed ``<body>`` shape byte-exactly).
+
+    Stages, in order: drop ``<script>``/``<style>`` blocks and comments
+    (their content is not text), convert block-closing tags to newlines
+    (paragraph structure survives), strip every remaining tag, decode the
+    common named/numeric entities, collapse whitespace runs, trim.
+    Everything stays inside whole-stage codegen — no Python, no shuffle;
+    the same chain-of-``regexp_replace`` shape as ``quality.redact_pii``.
+
+    Lossy by design (a browser-grade parser is out of scope; malformed
+    markup degrades gracefully to over-stripping) — use it for feature
+    extraction and dedup keys, not for byte-exact re-rendering.
+    """
+    from pyspark.sql import functions as F  # pylint: disable=C0415
+
+    s = F.decode(col, "UTF-8") if binary else col
+    # Non-text containers and comments go first so their bodies never
+    # reach the tag-stripping stage as visible text.
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(
+        s,
+        r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote|section|article|title)\s*>",
+        "\n")
+    s = F.regexp_replace(s, r"(?i)<br\s*/?>", "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, repl in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                      ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+                      ("&amp;", "&")):  # &amp; LAST: double-escapes survive
+        s = F.replace(s, F.lit(ent), F.lit(repl))
+    s = F.regexp_replace(s, r"[ \t\x0b\f\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    # NOT F.trim: Spark's trim strips spaces only, never newlines.
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
 def geocode_batch(url: pd.Series, seed: int = 42) -> pd.DataFrame:
     """Deterministic url -> (lat, lng).
 
