@@ -1599,3 +1599,55 @@ class TestTokenBudgetSampling:
             sampling.mix_corpus(docs, "domain", {}, 100)
         with pytest.raises(ValueError, match="weights"):
             sampling.mix_corpus(docs, "domain", {"web": -1.0}, 100)
+
+
+def test_sample_token_budget_skewed_band_widens(spark):
+    """Heavy token skew: the 1.25x hash band may miss the budget; the
+    widening loop must still deliver the hash-prefix-rule sample instead
+    of silently undershooting."""
+    import hashlib
+
+    from yirgacheffe_spark.text import sampling
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(11, dtype=np.int64),
+        "n_tokens": np.array([1] * 10 + [1_000_000], dtype=np.int64),
+    }))
+    got = sorted(r["doc_id"] for r in sampling.sample_token_budget(
+        docs, 5, seed=6).collect())
+
+    def unit(d):
+        return int(hashlib.md5(f"{d} 6".encode()).hexdigest()[:16], 16) / 2.0**64
+
+    rows = sorted(docs.collect(), key=lambda r: (unit(r["doc_id"]), r["doc_id"]))
+    want, cum = [], 0
+    for r in rows:
+        if cum >= 5:
+            break
+        want.append(r["doc_id"])
+        cum += r["n_tokens"]
+    assert got == sorted(want) and got  # non-empty, oracle-exact
+
+
+def test_classifier_handles_null_text_and_reserved_columns(spark):
+    """NULL text scores (empty features) instead of NPE-ing the tokenizer,
+    and user columns named prediction/probability survive scoring."""
+    from yirgacheffe_spark.text import classifier
+
+    labeled = spark.createDataFrame(pd.DataFrame({
+        "text": (["good clean prose here"] * 6 + ["spam spam click now"] * 6),
+        "label": np.array([1] * 6 + [0] * 6, dtype=np.int64)}))
+    model = classifier.train_quality_classifier(labeled, num_features=1 << 10)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["good clean prose here", None, "spam spam click now"],
+        "prediction": ["keep-me-a", "keep-me-b", "keep-me-c"],
+        "probability": [0.1, 0.2, 0.3],
+    }))
+    out = classifier.score_quality(df, model).collect()
+    assert len(out) == 3
+    assert sorted(r["prediction"] for r in out) == ["keep-me-a", "keep-me-b",
+                                                    "keep-me-c"]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["quality_prob"] is not None  # null text still scores
+    assert by_id[0]["quality_prob"] > by_id[2]["quality_prob"]

@@ -486,7 +486,9 @@ def utm_zone_lon0(zone: int) -> float:
 
 def _parse_utm(crs: "CRS") -> tuple[int, bool] | None:
     code = crs.code
-    if not (code.startswith("epsg:32") or code.startswith("epsg:258")):
+    # ETRS89 (epsg:258xx) zones are routed in _projection_for, not here —
+    # their numbers never fall in the 326xx/327xx ranges below.
+    if not code.startswith("epsg:32"):
         return None
     try:
         num = int(code.split(":", 1)[1])
@@ -638,7 +640,7 @@ def register_crs(code: str, projection: str,
         raise ValueError(
             f"unknown projection kind {projection!r}; supported: "
             "transverse_mercator, lambert_conformal_conic_2sp, "
-            "polar_stereographic, mercator"
+            "albers_equal_area, polar_stereographic, mercator"
         )
 
     from .grid import CRS as _CRS  # pylint: disable=C0415

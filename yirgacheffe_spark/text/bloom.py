@@ -158,7 +158,6 @@ class BloomFilter:
 def exact_dedup_against_index(new_df: DataFrame, index_df: DataFrame,
                               bloom: "BloomFilter | None" = None,
                               text_col: str = "text",
-                              id_col: str = "doc_id",
                               index_hash_col: str = "content_hash") -> DataFrame:
     """Rows of ``new_df`` whose content hash is NOT in the index — exact,
     with or without a bloom.
@@ -177,8 +176,14 @@ def exact_dedup_against_index(new_df: DataFrame, index_df: DataFrame,
         return hashed.join(idx, "_h", "left_anti").drop("_h")
     # Probe with the SAME key the bloom was built over — the stored hash,
     # not the raw text (a key mismatch would silently void the
-    # no-false-negative guarantee and drop real duplicates).
-    probed = hashed.withColumn("_maybe", bloom.might_contain(F.col("_h")))
+    # no-false-negative guarantee and drop real duplicates).  The probed
+    # frame feeds BOTH union branches, so persist it: without the cache the
+    # scan + Arrow probe (the stage the bloom exists to amortize) would
+    # execute once per branch.  Batch-sized by contract (the rolling-crawl
+    # shape); the cache is dropped when the batch's plan is released.
+    probed = hashed.withColumn(
+        "_maybe", bloom.might_contain(F.col("_h"))
+    ).persist()
     definite_new = probed.where(~F.col("_maybe"))
     confirmed_new = probed.where(F.col("_maybe")).join(idx, "_h", "left_anti")
     return definite_new.unionByName(confirmed_new).drop("_h", "_maybe")

@@ -26,11 +26,22 @@ _BIGRAMS_COL = "_yg_bigrams"
 _ALLGRAMS_COL = "_yg_allgrams"
 
 
+_TEXT_COL = "_yg_text"
+_RAW_COL = "_yg_raw_pred"
+_PROB_COL = "_yg_prob"
+_PRED_COL = "_yg_pred"
+
+
 def _feature_stages(text_col: str, num_features: int):
     from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, SQLTransformer
 
     return [
-        RegexTokenizer(inputCol=text_col, outputCol=_WORDS_COL,
+        # NULL text must score, not NPE the tokenizer (crawl tables carry
+        # nulls); a null doc scores as an empty feature vector.
+        SQLTransformer(statement=(
+            f"SELECT *, coalesce({text_col}, '') AS {_TEXT_COL} FROM __THIS__"
+        )),
+        RegexTokenizer(inputCol=_TEXT_COL, outputCol=_WORDS_COL,
                        pattern=r"\s+", toLowercase=True),
         NGram(n=2, inputCol=_WORDS_COL, outputCol=_BIGRAMS_COL),
         SQLTransformer(statement=(
@@ -57,8 +68,13 @@ def train_quality_classifier(labeled: DataFrame, text_col: str = "text",
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
 
+    # _yg_-prefixed output columns: the defaults (prediction/probability/
+    # rawPrediction) would collide with same-named user columns and break
+    # the schema-preservation contract of score_quality.
     lr = LogisticRegression(
         featuresCol=_FEATURES_COL, labelCol=label_col,
+        rawPredictionCol=_RAW_COL, probabilityCol=_PROB_COL,
+        predictionCol=_PRED_COL,
         regParam=reg_param, maxIter=max_iter,
     )
     return Pipeline(stages=_feature_stages(text_col, num_features) + [lr]).fit(
@@ -75,10 +91,10 @@ def score_quality(df: DataFrame, model, prob_col: str = "quality_prob") -> DataF
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(df)
-    drop = [_WORDS_COL, _BIGRAMS_COL, _ALLGRAMS_COL, _FEATURES_COL,
-            "rawPrediction", "probability", "prediction"]
+    drop = [_TEXT_COL, _WORDS_COL, _BIGRAMS_COL, _ALLGRAMS_COL,
+            _FEATURES_COL, _RAW_COL, _PROB_COL, _PRED_COL]
     return scored.withColumn(
-        prob_col, vector_to_array(F.col("probability")).getItem(1)
+        prob_col, vector_to_array(F.col(_PROB_COL)).getItem(1)
     ).drop(*drop)
 
 

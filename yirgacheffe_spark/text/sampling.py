@@ -261,19 +261,34 @@ def sample_token_budget(df: DataFrame, token_budget: int,
 
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    band = (
-        df.withColumn("_u", u)
-        .where(F.col("_u") < min(1.0, t * 1.25))
-        .repartitionByRange(n_parts, F.col("_u").asc(), F.col(key_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin partitioning: offsets below
-        # are only valid for THIS physical layout
-    )
-    part_totals = {
-        r["_pid"]: r["_tok"]
-        for r in band.groupBy("_pid").agg(
-            F.sum(tokens_col).alias("_tok")).collect()
-    }
+
+    def banded(cutoff: float):
+        b = df.withColumn("_u", u)
+        if cutoff < 1.0:
+            b = b.where(F.col("_u") < cutoff)
+        return (
+            b.repartitionByRange(n_parts, F.col("_u").asc(),
+                                 F.col(key_col).asc())
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)  # pin partitioning: offsets below
+            # are only valid for THIS physical layout
+        )
+
+    # The 1.25x band is an expectation, not a guarantee: under heavy token
+    # skew (one giant document holding most of the mass) the band can fall
+    # short of the budget — widen geometrically until it covers, ending at
+    # the whole corpus.  Each attempt costs one aggregate on the band.
+    cutoff = min(1.0, t * 1.25)
+    while True:
+        band = banded(cutoff)
+        part_totals = {
+            r["_pid"]: r["_tok"]
+            for r in band.groupBy("_pid").agg(
+                F.sum(tokens_col).alias("_tok")).collect()
+        }
+        if sum(part_totals.values()) >= token_budget or cutoff >= 1.0:
+            break
+        cutoff = min(1.0, cutoff * 8)
     offsets, acc = [], 0
     for pid in sorted(part_totals):
         offsets.append((pid, acc))
