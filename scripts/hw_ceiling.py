@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import sys
 import time
 
@@ -96,11 +97,11 @@ def _decode_worker(args):
 def find_bench_mb() -> str | None:
     import glob
 
-    hits = sorted(
-        glob.glob("/dev/shm/yg_spark_rasters/*/bench_mb16_r*/**/*.parquet",
-                  recursive=True)
-    )
-    return hits[-1] if hits else None
+    # Top-level part files only: the fixture dir also holds nested side
+    # tables (price_i32/...) whose schema/row-group layout is not the
+    # multiband raster this kernel models.  Largest file = the scaled run.
+    hits = glob.glob("/dev/shm/yg_spark_rasters/*/bench_mb16_r*/part-*.parquet")
+    return max(hits, key=os.path.getsize) if hits else None
 
 
 def run_decode(workers: int) -> float | None:
@@ -110,8 +111,12 @@ def run_decode(workers: int) -> float | None:
     if path is None:
         return None
     n_rg = pq.ParquetFile(path).metadata.num_row_groups
-    chunks = [(path, list(range(i, n_rg, workers))) for i in range(workers)]
-    with mp.Pool(workers) as pool:
+    chunks = [
+        (path, list(range(i, n_rg, workers)))
+        for i in range(workers)
+        if list(range(i, n_rg, workers))  # workers > row groups → idle worker
+    ]
+    with mp.Pool(min(workers, len(chunks))) as pool:
         times = pool.map(_decode_worker, chunks)
     return max(times)
 

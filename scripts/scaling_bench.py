@@ -168,7 +168,7 @@ def main() -> int:
             "live on tmpfs because the sandbox's single ~130 MB/s disk and its\n"
             "aggressive page-cache reclaim (DAMON pageout) are properties of\n"
             "this VM, not of a cluster whose storage bandwidth scales with\n"
-            "nodes; min over 2 runs per level (one untimed warmup pass inside\n"
+            "nodes; min over 3 runs per level (one untimed warmup pass inside\n"
             "each run absorbs JVM/codegen warmup a long-lived cluster\n"
             "amortises).  `scripts/hw_ceiling.py` bounds what this VM can\n"
             "show at all: pure numpy/pandas kernels in N worker processes\n"
