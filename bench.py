@@ -67,7 +67,27 @@ def build_spark():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "48g"))
+        # Compact heap, deliberately: this sandbox reclaims idle anonymous
+        # memory (DAMON pageout) and re-faults it at only ~200 MB/s, so a
+        # 48g heap turns every GC cycle that walks cold regions into a
+        # random 10-60s stall (measured: the same string-heavy query timed
+        # [0.9s .. 58.9s] across passes at 48g, [0.7s .. 0.9s] at 6-12g).
+        # A heap sized near the working set stays resident and measures the
+        # engine, not the VM's reclaim policy.  Override via env if a
+        # workload genuinely needs more.
+        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "12g"))
+        # Pin the heap (-Xms == -Xmx) and fault it in once at startup:
+        # G1 UNCOMMITS regions back to the OS on every full GC (including
+        # the inter-query System.gc() barrier below), and this VM re-faults
+        # returned pages at ~200 MB/s — so without the pin, each query
+        # after a barrier pays seconds of re-fault tax for heap the
+        # previous query released (measured: text_quality 1.1s isolated vs
+        # 7.7-10.8s in-suite; pinned, the gap closes).  AlwaysPreTouch
+        # moves the one-time faulting cost into untimed startup.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('YG_SPARK_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+        )
         .getOrCreate()
     )
 

@@ -33,7 +33,7 @@ def main():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "12g")  # compact heap: see bench.py note on DAMON reclaim
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -22,7 +22,7 @@ def main():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "48g").getOrCreate())
+        .config("spark.driver.memory", "12g").getOrCreate())  # compact heap: see bench.py
     spark.sparkContext.setLogLevel("ERROR")
 
     paths = harness.bench_mosaic_children("/root/testdata/sf0.1", repeat=REPEAT)

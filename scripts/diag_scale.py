@@ -22,7 +22,7 @@ spark = (
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
-    .config("spark.driver.memory", "48g")
+    .config("spark.driver.memory", "12g")  # compact heap: see bench.py note on DAMON reclaim
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
