@@ -24,7 +24,10 @@ one-sidedly (identical back-to-back suite runs have measured 12.7/14.5/
 15.2 s with *different* per-query distributions), so a single timed pass
 cannot support round-over-round conclusions; the min estimates noise-free
 capability, and the per-query spread (max-min over the passes) is emitted
-alongside so a reader can see which numbers are trustworthy.  Run
+alongside so a reader can see which numbers are trustworthy.  Because the
+VM's stall windows can outlast three back-to-back passes, passes continue
+adaptively (up to ``$YG_BENCH_MAX_PASSES``, default 7) while any query's
+min is still falling >10% per pass.  Run
 scripts/scaling_bench.py for the N-vs-4N-cores scaling measurement.
 """
 
@@ -246,11 +249,24 @@ def main() -> int:
         for fn in suite.values():
             fn()
 
-    # Min-over-REPEATS per query (pass-major order: the whole suite runs,
+    # Min-over-passes per query (pass-major order: the whole suite runs,
     # then runs again — so pass k's host-state drift hits every query
     # equally instead of the repeats of one query sharing a stall).
+    #
+    # The pass count is ADAPTIVE: after the mandatory REPEATS passes, extra
+    # passes (up to YG_BENCH_MAX_PASSES) run while any query's min is still
+    # falling by >10% per pass.  Rationale: this VM's stall windows last
+    # minutes — long enough to inflate ALL of three back-to-back passes of
+    # one query (measured: mosaic_sum min-of-3 3.03 s inside a turbulent
+    # suite run vs 0.727 s isolated minutes earlier).  A min that is still
+    # dropping means the floor has not been observed yet; a calm host
+    # converges at REPEATS passes and pays nothing extra.
     samples: dict[str, list[float]] = {name: [] for name in suite}
-    for _ in range(REPEATS):
+    max_passes = max(REPEATS, int(os.environ.get("YG_BENCH_MAX_PASSES", "7")))
+    pass_no = 0
+    while True:
+        pass_no += 1
+        improved = False
         for name, fn in suite.items():
             # Untimed GC barrier (YG_BENCH_GC=0 disables): frees the previous
             # query's lingering blocks (localCheckpoint RDDs and unpersisted
@@ -260,7 +276,15 @@ def main() -> int:
             # back-to-back suite must do it explicitly.
             if os.environ.get("YG_BENCH_GC", "1") == "1":
                 spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-            samples[name].append(timed(fn))
+            prev = min(samples[name]) if samples[name] else None
+            t = timed(fn)
+            samples[name].append(t)
+            if prev is not None and t < prev * 0.9:
+                improved = True
+        if pass_no >= max_passes:
+            break
+        if pass_no >= REPEATS and not improved:
+            break
 
     queries = {name: round(min(ts), 3) for name, ts in samples.items()}
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
@@ -282,7 +306,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": queries,
                 "query_spread": spread,
-                "timed_passes": REPEATS,
+                "timed_passes": pass_no,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
                 "n_pages": n_pages,

@@ -1,0 +1,209 @@
+"""Structural validation of the from-scratch S2 cell-id implementation.
+
+No s2 library exists in this environment, so these tests pin the published
+invariants that jointly determine the algorithm: face-cell tokens, leaf
+round-trips, hierarchy prefix nesting, Hilbert-curve continuity, exact
+ST/UV inverses, and center re-encoding stability at every level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yirgacheffe_spark.spatial import s2
+
+
+def _rand_latlng(n, seed=0):
+    rng = np.random.default_rng(seed)
+    # uniform on the sphere (not in lat/lng) so faces are hit evenly
+    z = rng.uniform(-1, 1, n)
+    lng = rng.uniform(-180.0, 180.0, n)
+    lat = np.degrees(np.arcsin(z))
+    return lat, lng
+
+
+class TestFaceStructure:
+    def test_face_cell_tokens(self):
+        # The six level-0 face cells have the published tokens 1 3 5 7 9 b
+        # (id = (2*face + 1) << 60).  Axis points land on their face.
+        pts = [
+            (0.0, 0.0, "1"),      # +x axis -> face 0
+            (0.0, 90.0, "3"),     # +y axis -> face 1
+            (90.0, 0.0, "5"),     # +z (north pole) -> face 2
+            (0.0, 180.0, "7"),    # -x axis -> face 3
+            (0.0, -90.0, "9"),    # -y axis -> face 4
+            (-90.0, 0.0, "b"),    # -z (south pole) -> face 5
+        ]
+        for face, (lat, lng, tok) in enumerate(pts):
+            cell = s2.latlng_to_cell(np.array([lat]), np.array([lng]), 0)
+            assert s2.cell_token(cell)[0] == tok, (lat, lng)
+            # id = (2*face + 1) << 60, read through the signed int64 view
+            expect = np.array([(2 * face + 1) << 60], dtype=np.uint64).view(np.int64)[0]
+            assert int(cell[0]) == int(expect)
+
+    def test_face_cell_centers_are_axes(self):
+        for face, (lat, lng) in enumerate(
+            [(0, 0), (0, 90), (90, 0), (0, 180), (0, -90), (-90, 0)]
+        ):
+            cell = np.array([(2 * face + 1) << 60], dtype=np.uint64).view(np.int64)
+            clat, clng = s2.cell_to_latlng(cell)
+            assert abs(clat[0] - lat) < 1e-9
+            if abs(lat) < 89:  # lng undefined at poles
+                assert abs(((clng[0] - lng + 180) % 360) - 180) < 1e-9
+
+    def test_all_faces_hit(self):
+        lat, lng = _rand_latlng(20000, seed=1)
+        faces = np.asarray(s2.latlng_to_cell(lat, lng, 30), dtype=np.uint64) >> np.uint64(61)
+        assert set(faces.tolist()) == {0, 1, 2, 3, 4, 5}
+        # uniform-on-sphere points should split roughly evenly across faces
+        counts = np.bincount(faces.astype(int), minlength=6)
+        assert counts.min() > 20000 / 6 * 0.7
+
+    def test_level_encoding(self):
+        lat, lng = _rand_latlng(500, seed=2)
+        for level in (0, 1, 7, 15, 29, 30):
+            ids = s2.latlng_to_cell(lat, lng, level)
+            assert np.all(s2.cell_level(ids) == level)
+            # faces 0-3 read positive through the int64 view; 4-5 negative
+            faces = np.asarray(ids).view(np.uint64) >> np.uint64(61)
+            assert np.all(faces <= 5)
+            assert np.array_equal(np.asarray(ids) < 0, faces >= 4)
+
+
+class TestHierarchy:
+    def test_parent_is_prefix(self):
+        lat, lng = _rand_latlng(2000, seed=3)
+        leaf = s2.latlng_to_cell(lat, lng, 30)
+        for level in (0, 5, 12, 22, 29):
+            coarse = s2.latlng_to_cell(lat, lng, level)
+            assert np.array_equal(s2.cell_parent(leaf, level), coarse)
+            assert np.all(s2.cell_contains(coarse, leaf))
+
+    def test_children_partition_parent(self):
+        lat, lng = _rand_latlng(50, seed=4)
+        for level in (0, 3, 10, 29):
+            cells = np.unique(s2.latlng_to_cell(lat, lng, level))
+            for c in cells[:5]:
+                kids = s2.cell_children(int(c))
+                assert len(kids) == 4
+                assert np.all(s2.cell_level(kids) == level + 1)
+                assert np.all(s2.cell_parent(kids, level) == c)
+                # children are contiguous in curve order and distinct
+                assert len(set(kids.tolist())) == 4
+
+    def test_contains_excludes_siblings(self):
+        c = s2.latlng_to_cell(np.array([10.0]), np.array([20.0]), 10)
+        kids = s2.cell_children(int(c[0]))
+        other = s2.latlng_to_cell(np.array([-40.0]), np.array([120.0]), 11)
+        assert not s2.cell_contains(c, other)[0]
+        for k in kids:
+            assert s2.cell_contains(c, np.array([k]))[0]
+
+
+class TestRoundTrip:
+    def test_center_reencodes_to_same_cell(self):
+        lat, lng = _rand_latlng(3000, seed=5)
+        for level in (2, 8, 16, 24, 30):
+            ids = s2.latlng_to_cell(lat, lng, level)
+            clat, clng = s2.cell_to_latlng(ids)
+            again = s2.latlng_to_cell(clat, clng, level)
+            assert np.array_equal(np.asarray(ids), np.asarray(again)), level
+
+    def test_leaf_center_close_to_input(self):
+        lat, lng = _rand_latlng(2000, seed=6)
+        ids = s2.latlng_to_cell(lat, lng, 30)
+        clat, clng = s2.cell_to_latlng(ids)
+        # leaf cells are ~1cm: centers must be within a microdegree
+        assert np.max(np.abs(clat - lat)) < 1e-5
+        dlng = np.abs(((clng - lng + 180) % 360) - 180)
+        assert np.max(dlng * np.cos(np.radians(lat))) < 1e-5
+
+    def test_token_round_trip(self):
+        lat, lng = _rand_latlng(300, seed=7)
+        for level in (0, 9, 30):
+            ids = np.asarray(s2.latlng_to_cell(lat, lng, level))
+            toks = s2.cell_token(ids)
+            assert np.array_equal(s2.token_to_cell(toks), ids)
+            # tokens never end in '0' and are at most 16 hex chars
+            assert all(1 <= len(t) <= 16 and not t.endswith("0") for t in toks)
+
+    def test_st_uv_exact_inverse(self):
+        s = np.linspace(0.0, 1.0, 10001)
+        assert np.allclose(s2.uv_to_st(s2.st_to_uv(s)), s, atol=1e-15)
+        u = np.linspace(-1.0, 1.0, 10001)
+        assert np.allclose(s2.st_to_uv(s2.uv_to_st(u)), u, atol=1e-15)
+
+
+class TestHilbertCurve:
+    def test_consecutive_positions_are_edge_adjacent(self):
+        """The defining property of a Hilbert curve: positions p and p+1 map
+        to (i,j) cells exactly one edge apart.  This pins the lookup tables
+        (any transcription error in kPosToIJ / kPosToOrientation breaks it)."""
+        rng = np.random.default_rng(8)
+        for face in range(6):
+            pos = rng.integers(0, 1 << 59, 500, dtype=np.uint64)  # leaf curve positions
+            ids_a = ((np.uint64(face) << np.uint64(61)) | (pos << np.uint64(1))) | np.uint64(1)
+            ids_b = ((np.uint64(face) << np.uint64(61)) | ((pos + np.uint64(1)) << np.uint64(1))) | np.uint64(1)
+            fa, ia, ja = s2._to_face_ij(ids_a)
+            fb, ib, jb = s2._to_face_ij(ids_b)
+            manhattan = np.abs(ia - ib) + np.abs(ja - jb)
+            assert np.all(manhattan == 1), f"face {face}"
+
+    def test_from_to_face_ij_inverse(self):
+        rng = np.random.default_rng(9)
+        face = rng.integers(0, 6, 2000).astype(np.int64)
+        i = rng.integers(0, 1 << 30, 2000).astype(np.int64)
+        j = rng.integers(0, 1 << 30, 2000).astype(np.int64)
+        ids = s2._from_face_ij(face, i, j)
+        f2, i2, j2 = s2._to_face_ij(ids)
+        assert np.array_equal(f2, face)
+        assert np.array_equal(i2, i)
+        assert np.array_equal(j2, j)
+
+    def test_spatial_locality(self):
+        """Nearby points share long id prefixes far more often than far
+        points — the property that makes S2 ids good partition keys."""
+        rng = np.random.default_rng(10)
+        lat = rng.uniform(-60, 60, 2000)
+        lng = rng.uniform(-170, 170, 2000)
+        near = s2.latlng_to_cell(lat + 1e-4, lng + 1e-4, 30)
+        same12 = np.mean(
+            np.asarray(s2.cell_parent(s2.latlng_to_cell(lat, lng, 30), 12))
+            == np.asarray(s2.cell_parent(near, 12))
+        )
+        assert same12 > 0.95
+
+
+class TestSparkIntegration:
+    def test_s2_cell_column(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"lat": [37.77, -33.86, 51.5], "lng": [-122.42, 151.21, -0.12]})
+        df = spark.createDataFrame(pdf)
+        out = df.withColumn("s2", s2.s2_cell_column("lat", "lng", 12))
+        rows = {(round(r.lat, 2)): r.s2 for r in out.collect()}
+        expect = s2.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), 12)
+        for k, v in zip(pdf["lat"].round(2), expect):
+            assert rows[k] == int(v)
+
+    def test_s2_token_column(self, spark):
+        df = spark.createDataFrame([(37.77, -122.42)], "lat double, lng double")
+        out = (
+            df.withColumn("s2", s2.s2_cell_column("lat", "lng", 9))
+            .withColumn("tok", s2.s2_token_column("s2"))
+            .collect()[0]
+        )
+        assert out.tok == s2.cell_token(np.array([out.s2]))[0]
+
+
+def test_parent_level_guard():
+    c = s2.latlng_to_cell(np.array([1.0]), np.array([2.0]), 5)
+    with pytest.raises(ValueError):
+        s2.cell_parent(c, 9)  # deeper than the cell itself
+
+
+def test_leaf_has_no_children():
+    c = s2.latlng_to_cell(np.array([1.0]), np.array([2.0]), 30)
+    with pytest.raises(ValueError):
+        s2.cell_children(int(c[0]))

@@ -1,3 +1,4 @@
 from . import cells
+from . import s2
 from . import joins
 from . import lineage

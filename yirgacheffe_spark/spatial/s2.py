@@ -1,0 +1,301 @@
+"""Genuine S2 cell ids (64-bit, Hilbert-curve, bit-compatible layout).
+
+The engine's default cell index (``spatial.cells``) is a rectangular
+lat/lng quantisation — exact, closed-form, and sufficient for join keys and
+ring-expansion kNN.  What it is *not* is a standard: a user with S2 cell ids
+already stored in their tables (the common case for web-scale geo corpora)
+could not join against it.  This module implements the real thing, from the
+published algorithm (the Apache-2.0 `s2geometry` library's documented cell-id
+scheme: cube-face projection + quadratic ST transform + Hilbert space-filling
+curve; see s2geometry.io and `s2/s2cell_id.cc` upstream — reimplemented here
+in vectorised numpy, no code copied, no library available in this env).
+
+Layout of an id (unsigned 64-bit; stored in Spark as the two's-complement
+int64 view — faces 4 and 5 have the top bit set, so their ids read as
+negative longs, exactly as standard S2 ids do when kept in a signed BIGINT
+column):
+
+    [3 bits face][2*level bits Hilbert position][1][00...0]
+
+The trailing ``1`` sentinel marks the level: a level-``L`` cell has its
+lowest set bit at position ``2*(30-L)``.
+
+Validation: no s2 library exists in this environment, so correctness rests
+on structural property tests (``tests/test_s2.py``) that pin the published
+invariants — the six face-cell tokens ``1 3 5 7 9 b``, leaf round-trips,
+parent/child prefix nesting, Hilbert-curve continuity (consecutive leaf
+positions are edge-adjacent in (i,j)), ST/UV exact inverses, and center
+re-encoding stability at every level.  These jointly fix the algorithm up to
+the published constants, which are transcribed below.
+
+All functions are batch numpy (no per-row Python) and slot directly into
+pandas UDFs; ``s2_cell_column`` wires them to a DataFrame.
+
+Reference parity: the reference engine has no cell index of its own (it is
+single-node); cells exist in this engine for distributed join keys and
+partition pruning (SURVEY.md section 2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MAX_LEVEL = 30
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+
+# Published Hilbert sub-cell traversal constants (s2coords.h):
+# kPosToIJ[orientation][position] = (i << 1) | j of that position's sub-cell.
+_POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical order
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped & inverted
+)
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT | _SWAP)
+
+
+def _build_lookups() -> tuple[np.ndarray, np.ndarray]:
+    """The 4-bits-at-a-time Hilbert lookup tables (s2cell_id.cc
+    InitLookupCell), built by the same recursion the upstream library uses."""
+    size = 1 << (2 * _LOOKUP_BITS + 2)
+    lookup_pos = np.zeros(size, dtype=np.uint64)
+    lookup_ij = np.zeros(size, dtype=np.uint64)
+
+    def init(level: int, i: int, j: int, orig: int, pos: int, orient: int) -> None:
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig] = (pos << 2) + orient
+            lookup_ij[(pos << 2) + orig] = (ij << 2) + orient
+            return
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = _POS_TO_IJ[orient]
+        for index in range(4):
+            init(level + 1, i + (r[index] >> 1), j + (r[index] & 1),
+                 orig, pos + index, orient ^ _POS_TO_ORIENT[index])
+
+    for orient in range(4):
+        init(0, 0, 0, orient, 0, orient)
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookups()
+
+
+# -- ST <-> UV (quadratic transform, s2coords.h) ------------------------------
+
+def st_to_uv(s):
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def uv_to_st(u):
+    u = np.asarray(u, dtype=np.float64)
+    # np.where evaluates both branches; each sqrt goes negative on the other
+    # branch's domain (|u| > 1/3), so silence the spurious invalid warning.
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+# -- face projection -----------------------------------------------------------
+
+def _xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(axis, (x, y, z))
+    face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
+    # Per-face (u, v) = components of the gnomonic projection onto that face.
+    # np.choose evaluates every branch, so zero components divide-by-zero in
+    # the branches that are NOT selected; silence those (never the chosen one:
+    # the face axis component is the largest by construction, hence nonzero).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.choose(face, (y / x, -x / y, -x / z, z / x, z / y, -y / z))
+        v = np.choose(face, (z / x, z / y, -y / z, y / x, -x / y, -x / z))
+    return face, u, v
+
+
+def _face_uv_to_xyz(face, u, v):
+    one = np.ones_like(u)
+    x = np.choose(face, (one, -u, -u, -one, v, v))
+    y = np.choose(face, (u, one, -v, -v, -one, u))
+    z = np.choose(face, (v, v, one, -u, -u, -one))
+    return x, y, z
+
+
+# -- core encode/decode ---------------------------------------------------------
+
+def _from_face_ij(face, i, j):
+    """(face, leaf i, leaf j) -> leaf cell id.  Vectorised port of the
+    published FromFaceIJ loop (8 lookup rounds of 4 bits each)."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    n = face << np.uint64(60)
+    bits = face & np.uint64(_SWAP)
+    mask = np.uint64((1 << _LOOKUP_BITS) - 1)
+    for k in range(7, -1, -1):
+        kk = np.uint64(k * _LOOKUP_BITS)
+        bits += ((i >> kk) & mask) << np.uint64(_LOOKUP_BITS + 2)
+        bits += ((j >> kk) & mask) << np.uint64(2)
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP | _INVERT)
+    return (n << np.uint64(1)) + np.uint64(1)
+
+
+def _as_u64(cell) -> np.ndarray:
+    """Reinterpret signed-int64 ids (how Spark stores them) as uint64."""
+    arr = np.atleast_1d(np.asarray(cell))
+    if arr.dtype == np.uint64:
+        return arr
+    return arr.astype(np.int64, copy=False).view(np.uint64)
+
+
+def _to_face_ij(cell):
+    """Cell id -> (face, leaf i, leaf j) of the cell's min-corner leaf
+    position (the inverse lookup loop, ToFaceIJOrientation)."""
+    cell = _as_u64(cell)
+    face = cell >> np.uint64(61)
+    bits = face & np.uint64(_SWAP)
+    i = np.zeros_like(cell)
+    j = np.zeros_like(cell)
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * _LOOKUP_BITS) if k == 7 else _LOOKUP_BITS
+        pos_mask = np.uint64((1 << (2 * nbits)) - 1)
+        bits += ((cell >> np.uint64(k * 2 * _LOOKUP_BITS + 1)) & pos_mask) << np.uint64(2)
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> np.uint64(_LOOKUP_BITS + 2)) << np.uint64(k * _LOOKUP_BITS)
+        j += ((bits >> np.uint64(2)) & np.uint64((1 << _LOOKUP_BITS) - 1)) << np.uint64(k * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP | _INVERT)
+    return face.astype(np.int64), i.astype(np.int64), j.astype(np.int64)
+
+
+def latlng_to_cell(lat, lng, level: int = MAX_LEVEL):
+    """Vectorised (lat, lng) degrees -> S2 cell id at ``level`` (int64)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lng = np.radians(np.asarray(lng, dtype=np.float64))
+    cos_lat = np.cos(lat)
+    x = cos_lat * np.cos(lng)
+    y = cos_lat * np.sin(lng)
+    z = np.sin(lat)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    lim = (1 << MAX_LEVEL) - 1
+    i = np.clip(np.floor(uv_to_st(u) * (1 << MAX_LEVEL)).astype(np.int64), 0, lim)
+    j = np.clip(np.floor(uv_to_st(v) * (1 << MAX_LEVEL)).astype(np.int64), 0, lim)
+    leaf = _from_face_ij(face, i, j)
+    if level == MAX_LEVEL:
+        return leaf.view(np.int64)
+    return cell_parent(leaf.view(np.int64), level)
+
+
+def cell_level(cell):
+    """Level of each id: 30 - tz(id)/2 where tz is the trailing-zero count."""
+    cell = _as_u64(cell)
+    lsb = cell & (~cell + np.uint64(1))
+    # log2 of a power of two is exact in float64 up to 2^63.
+    exp = np.rint(np.log2(lsb.astype(np.float64))).astype(np.int64)
+    return MAX_LEVEL - (exp >> 1)
+
+
+def cell_parent(cell, level: int):
+    cell = _as_u64(cell)
+    if np.any(cell_level(cell) < level):
+        raise ValueError("parent level must be <= cell level")
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return ((cell & ~(lsb - np.uint64(1))) | lsb).view(np.int64)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The four child cells one level down, in Hilbert order."""
+    cell = _as_u64(cell)[0]
+    lvl = int(cell_level(cell)[0])
+    if lvl >= MAX_LEVEL:
+        raise ValueError("leaf cells have no children")
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - lvl))
+    child_lsb = lsb >> np.uint64(2)
+    base = cell - lsb + child_lsb  # first child: clear own sentinel, set child's
+    kids = base + np.arange(4, dtype=np.uint64) * (child_lsb << np.uint64(1))
+    return kids.view(np.int64)
+
+
+def cell_to_latlng(cell):
+    """Cell center (lat, lng) in degrees — GetCenterSiTi semantics."""
+    cell = _as_u64(cell)
+    face, i, j = _to_face_ij(cell)
+    is_leaf = (cell & np.uint64(1)).astype(bool)
+    # Non-leaf: the decoded leaf (i, j) sits at the cell's min corner or its
+    # center-adjacent corner depending on traversal parity; delta corrects to
+    # the true center in si/ti (2^31) coordinates.
+    odd = ((i ^ (cell >> np.uint64(2)).astype(np.int64)) & 1).astype(bool)
+    delta = np.where(is_leaf, 1, np.where(odd, 2, 0)).astype(np.int64)
+    si = 2 * i + delta
+    ti = 2 * j + delta
+    scale = 1.0 / (1 << (MAX_LEVEL + 1))
+    u = st_to_uv(si * scale)
+    v = st_to_uv(ti * scale)
+    x, y, z = _face_uv_to_xyz(face, u, v)
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    lng = np.degrees(np.arctan2(y, x))
+    return lat, lng
+
+
+def cell_token(cell) -> np.ndarray:
+    """Canonical hex token: 16 hex digits with trailing zeros stripped."""
+    cell = _as_u64(cell)
+    out = []
+    for c in cell:
+        s = format(int(c), "016x").rstrip("0")
+        out.append(s if s else "X")  # the (invalid) zero id
+    return np.array(out, dtype=object)
+
+
+def token_to_cell(token) -> np.ndarray:
+    tokens = np.atleast_1d(np.asarray(token, dtype=object))
+    vals = np.array([int(str(t).ljust(16, "0"), 16) for t in tokens],
+                    dtype=np.uint64)
+    return vals.view(np.int64)
+
+
+def cell_contains(ancestor, descendant) -> np.ndarray:
+    """True where ``ancestor`` contains ``descendant`` (prefix test)."""
+    a = _as_u64(ancestor)
+    d = _as_u64(descendant)
+    lsb = a & (~a + np.uint64(1))
+    lo = a - lsb  # range_min - 1 is a + ... keep simple: [a - (lsb-1), a + (lsb-1)]
+    return ((d >= a - (lsb - np.uint64(1))) & (d <= a + (lsb - np.uint64(1))))
+
+
+# -- Spark wiring ----------------------------------------------------------------
+
+def s2_cell_column(lat_col: str, lng_col: str, level: int):
+    """A pandas-UDF Column producing S2 cell ids (LongType) — Arrow-batched,
+    no per-row Python; the join-key path for tables with stored S2 ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _s2(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        ids = latlng_to_cell(lat.to_numpy(np.float64), lng.to_numpy(np.float64), level)
+        return pd.Series(np.asarray(ids, dtype=np.int64))
+
+    from pyspark.sql import functions as F
+    return _s2(F.col(lat_col), F.col(lng_col))
+
+
+def s2_token_column(cell_col: str):
+    """Hex tokens for stored interchange (matches the standard token form)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _tok(cell: pd.Series) -> pd.Series:
+        return pd.Series(cell_token(cell.to_numpy(np.int64)).astype(object))
+
+    from pyspark.sql import functions as F
+    return _tok(F.col(cell_col))
