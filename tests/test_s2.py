@@ -207,3 +207,59 @@ def test_leaf_has_no_children():
     c = s2.latlng_to_cell(np.array([1.0]), np.array([2.0]), 30)
     with pytest.raises(ValueError):
         s2.cell_children(int(c[0]))
+
+
+class TestNeighbors:
+    def test_four_distinct_same_level(self):
+        lat, lng = _rand_latlng(80, seed=11)
+        for level in (1, 5, 12, 30):
+            for c in np.asarray(s2.latlng_to_cell(lat[:20], lng[:20], level)):
+                nbrs = s2.edge_neighbors(int(c))
+                assert len(set(nbrs.tolist())) == 4
+                assert np.all(s2.cell_level(nbrs) == level)
+                assert int(c) not in set(nbrs.tolist())
+
+    def test_symmetry(self):
+        """Edge adjacency is symmetric: b in N(a) <=> a in N(b) — including
+        across cube-face boundaries (the FromFaceIJWrap path)."""
+        lat, lng = _rand_latlng(60, seed=12)
+        for level in (0, 1, 4, 10):
+            for c in np.unique(np.asarray(s2.latlng_to_cell(lat, lng, level)))[:10]:
+                for n in s2.edge_neighbors(int(c)):
+                    back = set(s2.edge_neighbors(int(n)).tolist())
+                    assert int(c) in back, (level, hex(int(c)), hex(int(n)))
+
+    def test_face_cell_neighbors_are_adjacent_faces(self):
+        # face 0 (+x) touches faces 1 (+y), 2 (+z), 4 (-y), 5 (-z) — never
+        # its antipode face 3 (-x).
+        face0 = np.array([1 << 60], dtype=np.uint64).view(np.int64)[0]
+        toks = sorted(s2.cell_token(s2.edge_neighbors(int(face0))).tolist())
+        assert toks == ["3", "5", "9", "b"]
+
+    def test_neighbor_centers_are_close(self):
+        lat, lng = _rand_latlng(50, seed=13)
+        level = 8
+        cells = np.asarray(s2.latlng_to_cell(lat, lng, level))
+        # level-8 cells are ~0.3 degrees; neighbor centers must be within a
+        # few cell pitches, never across the globe
+        for c in cells[:15]:
+            clat, clng = s2.cell_to_latlng(np.array([c]))
+            nlat, nlng = s2.cell_to_latlng(s2.edge_neighbors(int(c)))
+            # great-circle via chord distance on unit sphere
+            def xyz(la, ln):
+                la, ln = np.radians(la), np.radians(ln)
+                return np.stack([np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)])
+            d = np.linalg.norm(xyz(nlat, nlng) - xyz(clat, clng), axis=0)
+            assert np.all(d < 0.05), d  # ~3 degrees of arc
+
+    def test_grid_disk_ring(self):
+        c = int(np.asarray(s2.latlng_to_cell(np.array([20.0]), np.array([30.0]), 10))[0])
+        d0 = s2.grid_disk(c, 0)
+        assert d0.tolist() == [c]
+        d1 = s2.grid_disk(c, 1)
+        assert len(d1) == 5 and c in d1.tolist()
+        d2 = s2.grid_disk(c, 2)
+        assert set(d1.tolist()) < set(d2.tolist())
+        r2 = s2.grid_ring(c, 2)
+        assert set(r2.tolist()) == set(d2.tolist()) - set(d1.tolist())
+        assert np.all(s2.cell_level(d2) == 10)

@@ -226,6 +226,84 @@ def cell_children(cell: int) -> np.ndarray:
     return kids.view(np.int64)
 
 
+_MAX_SIZE = 1 << MAX_LEVEL
+
+
+def _from_face_ij_wrap(face: int, i: int, j: int) -> int:
+    """Leaf id for (i, j) coordinates that fall just OUTSIDE ``face`` —
+    projected through xyz onto the correct adjacent face (the published
+    FromFaceIJWrap: linear u=2s-1 projection both ways, coordinates clamped
+    to one step beyond the boundary so the point lands on an adjacent face,
+    never the antipodal one)."""
+    i = max(-1, min(_MAX_SIZE, i))
+    j = max(-1, min(_MAX_SIZE, j))
+    scale = 1.0 / _MAX_SIZE
+    limit = float(np.nextafter(1.0, 2.0))
+    u = max(-limit, min(limit, scale * (2.0 * (i - _MAX_SIZE // 2) + 1.0)))
+    v = max(-limit, min(limit, scale * (2.0 * (j - _MAX_SIZE // 2) + 1.0)))
+    x, y, z = _face_uv_to_xyz(np.array([face]), np.array([u]), np.array([v]))
+    nf, nu, nv = _xyz_to_face_uv(x, y, z)
+
+    def st_to_ij(s: float) -> int:
+        return int(max(0, min(_MAX_SIZE - 1, round(_MAX_SIZE * s - 0.5))))
+
+    ni = st_to_ij(0.5 * (float(nu[0]) + 1.0))
+    nj = st_to_ij(0.5 * (float(nv[0]) + 1.0))
+    return int(_from_face_ij(np.array([int(nf[0])]), np.array([ni]), np.array([nj]))[0])
+
+
+def edge_neighbors(cell: int) -> np.ndarray:
+    """The four edge-adjacent cells at the same level (down/right/up/left in
+    (i, j) space), wrapping across cube-face boundaries — GetEdgeNeighbors."""
+    arr = _as_u64(cell)
+    level = int(cell_level(arr)[0])
+    size = 1 << (MAX_LEVEL - level)
+    fij = _to_face_ij(arr)
+    face, i, j = int(fij[0][0]), int(fij[1][0]), int(fij[2][0])
+    leaves = []
+    for ni, nj, same in (
+        (i, j - size, j - size >= 0),
+        (i + size, j, i + size < _MAX_SIZE),
+        (i, j + size, j + size < _MAX_SIZE),
+        (i - size, j, i - size >= 0),
+    ):
+        if same:
+            leaves.append(int(_from_face_ij(
+                np.array([face]), np.array([ni]), np.array([nj]))[0]))
+        else:
+            leaves.append(_from_face_ij_wrap(face, ni, nj))
+    leaf_ids = np.array(leaves, dtype=np.uint64).view(np.int64)
+    return cell_parent(leaf_ids, level)
+
+
+def grid_disk(cell: int, k: int) -> np.ndarray:
+    """All cells within ``k`` edge-adjacency steps (BFS over edge
+    neighbors) — the S2 counterpart of ``cells.grid_disk``, the
+    ring-expansion primitive for kNN over stored S2 keys."""
+    start = int(_as_u64(cell).view(np.int64)[0])
+    seen = {start}
+    frontier = [start]
+    for _ in range(k):
+        nxt = []
+        for c in frontier:
+            for n in edge_neighbors(c):
+                ni = int(n)
+                if ni not in seen:
+                    seen.add(ni)
+                    nxt.append(ni)
+        frontier = nxt
+    return np.array(sorted(seen), dtype=np.int64)
+
+
+def grid_ring(cell: int, k: int) -> np.ndarray:
+    """Only the cells at exactly ``k`` edge-adjacency steps."""
+    if k == 0:
+        return np.array([int(_as_u64(cell).view(np.int64)[0])], dtype=np.int64)
+    disk = set(grid_disk(cell, k).tolist())
+    inner = set(grid_disk(cell, k - 1).tolist())
+    return np.array(sorted(disk - inner), dtype=np.int64)
+
+
 def cell_to_latlng(cell):
     """Cell center (lat, lng) in degrees — GetCenterSiTi semantics."""
     cell = _as_u64(cell)
