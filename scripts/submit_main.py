@@ -9,9 +9,12 @@ assumes local mode.
 
 Jobs:
 
-  enrich   --input PAGES --output DIR [--res 7]
+  enrich   --input PAGES --output DIR [--res 7] [--s2-level L]
            extract text + geocode + cell-assign an (url, warc_ts, html,
            text, lang) crawl table — one mapInPandas pass, no shuffle.
+           --s2-level additionally emits a genuine S2 cell id column
+           (``s2_cell``) so the output joins against tables with stored
+           S2 keys.
   curate   --input DOCS --output DIR [--min-quality F] [--near-dup T]
            the one-call curation pipeline (exact dedup, boilerplate,
            quality floor, MinHash near-dup clusters).
@@ -49,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--polygons")
     p.add_argument("--queries")
     p.add_argument("--res", type=int, default=7)
+    p.add_argument("--s2-level", type=int, default=None,
+                   help="also emit a genuine S2 cell id column at this level")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--min-quality", type=float, default=0.1)
     p.add_argument("--near-dup", type=float, default=0.8)
@@ -66,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
         out = pages.enrich_pages_df(
             _read(spark, args.input, args.format), res=args.res
         )
+        if args.s2_level is not None:
+            from yirgacheffe_spark.spatial import s2
+
+            out = out.withColumn(
+                "s2_cell", s2.s2_cell_column("lat", "lng", args.s2_level)
+            )
     elif args.job == "curate":
         from yirgacheffe_spark.text import pipeline
 

@@ -263,3 +263,24 @@ class TestNeighbors:
         r2 = s2.grid_ring(c, 2)
         assert set(r2.tolist()) == set(d2.tolist()) - set(d1.tolist())
         assert np.all(s2.cell_level(d2) == 10)
+
+
+def test_submit_enrich_s2_level(spark, tmp_path):
+    """The cluster entrypoint's --s2-level flag adds a genuine S2 id column
+    to the enriched output that matches direct numpy encoding."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import submit_main
+    from yirgacheffe_spark.spatial import pages
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "pages_out")
+    pages.generate_pages(spark, 60, partitions=2).write.parquet(src)
+    rc = submit_main.main(
+        ["enrich", "--input", src, "--output", out, "--res", "5",
+         "--s2-level", "11"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).select("lat", "lng", "s2_cell").toPandas()
+    expect = s2.latlng_to_cell(got["lat"].to_numpy(), got["lng"].to_numpy(), 11)
+    assert np.array_equal(got["s2_cell"].to_numpy(np.int64), np.asarray(expect))
