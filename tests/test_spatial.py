@@ -767,3 +767,23 @@ def test_interval_join_fractional_time(spark):
     got = {(r["pid"], r["iv_id"]) for r in
            asof.interval_join(pts, ivs, on="t", bucket_width=1).collect()}
     assert got == {(1, 7)}  # 10.2 inside [0.5, 10.5); 10.6 outside
+
+
+def test_asof_string_tiebreak_keeps_own_type(spark):
+    """A non-numeric tiebreak column must order by its own type — the old
+    cast-to-long silently NULLed string sequence ids and degraded ties to
+    shuffle order."""
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import asof
+
+    left = spark.createDataFrame(pd.DataFrame(
+        {"user_id": [1], "ts": [100], "what": ["trade"]}))
+    rp = pd.DataFrame({"user_id": [1, 1, 1], "ts": [100, 100, 100],
+                       "seq": ["a-0001", "a-0003", "a-0002"],
+                       "px": [1.0, 3.0, 2.0]})
+    for parts in (1, 3, 7):
+        right = spark.createDataFrame(rp).repartition(parts)
+        out = asof.asof_join(left, right, on="ts", by="user_id",
+                             tiebreak_col="seq").collect()
+        assert out[0]["r_px"] == 3.0  # max string seq wins on every layout

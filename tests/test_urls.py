@@ -116,3 +116,59 @@ def test_curate_corpus_url_and_decontam_stages(spark):
     assert r["url_canonical_dedup"] == 2
     assert r["decontamination"] == 1
     assert [x["doc_id"] for x in cur.collect()] == [1]
+
+
+def test_domain_filter_deep_host_cannot_bypass_blocklist(spark):
+    """A host with more labels than the suffix cap must still match its
+    short tail suffixes — prepending subdomain labels is the trivial
+    blocklist-evasion move."""
+    import pandas as pd
+
+    deep = "a.b.c.d.e.f.g.h.i.j.k.l.evil.com"   # 14 labels
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "url": [f"https://{deep}/x", "https://fine.org/y"],
+    }))
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["evil.com"]}))
+    kept = sorted(r["doc_id"] for r in urls.domain_filter(df, bl).collect())
+    assert kept == [2]
+    # exact full-host entry must also match for deep hosts
+    bl2 = spark.createDataFrame(pd.DataFrame({"domain": [deep]}))
+    kept2 = sorted(r["doc_id"] for r in urls.domain_filter(df, bl2).collect())
+    assert kept2 == [2]
+
+
+def test_domain_filter_refuses_ambiguous_domains_table(spark):
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "url": ["https://x.com/"]}))
+    multi = spark.createDataFrame(pd.DataFrame({
+        "reason": ["spam"], "host": ["x.com"]}))
+    with pytest.raises(ValueError, match="refusing to guess"):
+        urls.domain_filter(df, multi)
+    # but a named 'domain' column among others is fine
+    named = spark.createDataFrame(pd.DataFrame({
+        "reason": ["spam"], "domain": ["x.com"]}))
+    assert urls.domain_filter(df, named).count() == 0
+
+
+def test_url_windows_have_no_null_partition(spark):
+    """The dedup/cap windows must never partition on a literal NULL key
+    (web-scale junk URLs would serialise into one task): every row with an
+    unparseable URL gets a singleton salted key, and results keep all of
+    them."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(1, 8)),
+        "url": ["::junk::", "not a url", "also junk", "%%%", "http://a.com/1",
+                "http://a.com/1", "http://a.com/2"],
+    }))
+    out = urls.dedup_by_canonical_url(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3, 4, 5, 7]  # junk all kept; 6 is a dup of 5
+    capped = urls.cap_per_domain(df, 1)
+    kept2 = sorted(r["doc_id"] for r in capped.collect())
+    assert kept2 == [1, 2, 3, 4, 5]  # one per a.com; junk exempt

@@ -136,20 +136,24 @@ def to_geotiff(tree, path: str, nodata: float | None = None, spark=None,
 
         est = w.xsize * w.ysize * _np0.dtype(out_dtype).itemsize * len(roots)
         bigtiff = est > int(3.5 * (1 << 30))
-    elif not bigtiff:
-        # Plan-time fail-fast for a hopeless explicit bigtiff=False: deflate
-        # on real rasters rarely beats 8:1, so past 32 GiB uncompressed the
-        # classic 4 GiB offset ceiling is a certainty — better to refuse now
-        # than after streaming most of the gather.  Borderline sizes still
-        # get the exact mid-write check in TiffStreamWriter.write_tile.
+    elif not bigtiff and not sparse:
+        # Plan-time fail-fast for a hopeless explicit bigtiff=False —
+        # compression-aware: uncompressed data offers no headroom at all,
+        # while deflate/lzw on real rasters rarely beats 8:1, so past 8x
+        # the 4 GiB offset ceiling failure is a certainty — better to
+        # refuse now than after streaming most of the gather.  sparse=True
+        # is exempt (file size depends on the nodata fraction, unknowable
+        # at plan time).  Borderline sizes still get the exact mid-write
+        # check in TiffStreamWriter.write_tile.
         import numpy as _np1  # pylint: disable=C0415
 
         est = w.xsize * w.ysize * _np1.dtype(out_dtype).itemsize * len(roots)
-        if est > 8 * (4 << 30):
+        ceiling = (4 << 30) if compression == "none" else 8 * (4 << 30)
+        if est > ceiling:
             raise ValueError(
                 f"~{est >> 30} GiB of pixels cannot fit classic TIFF's "
-                "4 GiB offset ceiling even at 8:1 deflate; pass "
-                "bigtiff=True (or bigtiff=None for auto-selection)"
+                f"4 GiB offset ceiling with compression={compression!r}; "
+                "pass bigtiff=True (or bigtiff=None for auto-selection)"
             )
     writer = TiffStreamWriter(
         path, w.xsize, w.ysize, out_dtype, roots[0].area, nodata=nodata,

@@ -53,12 +53,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 
     # Union with a side tag: right rows sort BEFORE left rows at equal
     # timestamps so an exactly-simultaneous quote is visible to the trade.
-    tie = (F.col(tiebreak_col).cast("long") if tiebreak_col
-           else F.xxhash64(*[F.col(c) for c in [on] + r_cols]))
+    # The tiebreak keeps its OWN type (strings, timestamps and decimals are
+    # all orderable) — casting to long would silently NULL a non-numeric
+    # sequence column and degrade ties back to shuffle order.
+    if tiebreak_col:
+        if tiebreak_col not in right.columns:
+            raise ValueError(f"tiebreak_col {tiebreak_col!r} not in right")
+        tie_type = dict(right.dtypes)[tiebreak_col]
+        if tie_type.startswith("map<"):
+            raise ValueError("tiebreak_col must be an orderable type, not map")
+        tie = F.col(tiebreak_col)
+    else:
+        tie_type = "bigint"
+        tie = F.xxhash64(*[F.col(c) for c in [on] + r_cols])
     lhs = left.select(
         F.col(by), F.col(on),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rtie"),
+        F.lit(None).cast(tie_type).alias("_rtie"),
         F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
         F.lit(None).cast(
             "struct<" + ",".join(

@@ -115,5 +115,11 @@ class CheckpointedRun:
                 stream.close()
             if fs.exists(final):
                 fs.delete(final, False)
-            fs.rename(tmp, final)
+            # Hadoop rename reports failure as FALSE, not an exception —
+            # an unchecked rename would silently skip the commit point and
+            # the task would re-run on every resume forever.
+            if not fs.rename(tmp, final):
+                raise IOError(
+                    f"lineage commit rename failed: {tmp} -> {final}"
+                )
         return self.spark.read.parquet(os.path.join(self.data_dir, "task=*"))

@@ -177,13 +177,16 @@ def exact_dedup_against_index(new_df: DataFrame, index_df: DataFrame,
     # Probe with the SAME key the bloom was built over — the stored hash,
     # not the raw text (a key mismatch would silently void the
     # no-false-negative guarantee and drop real duplicates).  The probed
-    # frame feeds BOTH union branches, so persist it: without the cache the
-    # scan + Arrow probe (the stage the bloom exists to amortize) would
-    # execute once per branch.  Batch-sized by contract (the rolling-crawl
-    # shape); the cache is dropped when the batch's plan is released.
+    # frame feeds BOTH union branches, so materialize it once: without
+    # reuse the scan + Arrow probe (the stage the bloom exists to
+    # amortize) would execute once per branch.  localCheckpoint, NOT
+    # persist(): CacheManager entries live until an explicit unpersist the
+    # caller cannot issue (the handle is internal), so a rolling-crawl
+    # loop calling this per batch would leak one cache entry per batch —
+    # checkpointed RDDs are ContextCleaner-collected with the plan.
     probed = hashed.withColumn(
         "_maybe", bloom.might_contain(F.col("_h"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     definite_new = probed.where(~F.col("_maybe"))
     confirmed_new = probed.where(F.col("_maybe")).join(idx, "_h", "left_anti")
     return definite_new.unionByName(confirmed_new).drop("_h", "_maybe")

@@ -763,12 +763,22 @@ def minhash_lsh_candidates_incremental(new_sigs: DataFrame,
                 f"bucket-format versioning; re-sign it with "
                 f"minhash_signatures (current format {MINHASH_SIG_FORMAT!r})"
             )
-        got = side.select("sig_format").limit(1).collect()
-        if got and got[0][0] != MINHASH_SIG_FORMAT:
+        # Check EVERY row's format, not a sample: an index directory can mix
+        # batches written by different revisions (mergeSchema fills missing
+        # columns with NULL), and a one-row probe would pass while the old
+        # batches silently join to zero candidates.  One column-pruned
+        # aggregate over a dictionary-encoded column — cheap relative to
+        # the pair join it guards.
+        got = side.select(
+            F.collect_set(F.coalesce(F.col("sig_format"), F.lit("<null>")))
+            .alias("fmts")
+        ).collect()[0]["fmts"]
+        bad = [f for f in got if f != MINHASH_SIG_FORMAT]
+        if bad:
             raise ValueError(
-                f"{name} bucket format {got[0][0]!r} != engine format "
-                f"{MINHASH_SIG_FORMAT!r}: bucket ids are not comparable "
-                "across derivations; re-sign the index"
+                f"{name} holds bucket format(s) {sorted(bad)!r} != engine "
+                f"format {MINHASH_SIG_FORMAT!r}: bucket ids are not "
+                "comparable across derivations; re-sign those batches"
             )
     new_b = new_sigs.select(
         F.col(id_col).alias("id_new"), F.explode("buckets").alias("bucket")

@@ -14,10 +14,15 @@ composition and the per-stage accounting:
     ->  DSIR importance selection (optional)
     ->  token-budget cap (optional)
 
-Every stage is a lazy DataFrame transform; nothing materialises until the
-caller acts.  The returned report runs ONE count per enabled stage — at
-10^12 rows, skip the report (``with_report=False``) and the whole pipeline
-is a single composed plan.
+Most stages are lazy DataFrame transforms, but ``with_report=False`` does
+NOT make the whole call lazy: stages whose PLAN depends on the data run
+bounded Spark jobs at composition time — boilerplate removal counts its
+hot-line set to pick broadcast vs shuffle (one aggregate over the corpus),
+and a token-budget cap runs the banded prefix-sum trim.  Expect the call
+itself to take corpus-scan time when those stages are enabled; pass
+``boilerplate_min_docs=None`` / ``token_budget=None`` (or pre-compute
+outside) if construction must return instantly.  The returned report adds
+ONE count per enabled stage on top — at 10^12 rows, skip it.
 """
 
 from __future__ import annotations

@@ -277,18 +277,25 @@ def sample_token_budget(df: DataFrame, token_budget: int,
     # The 1.25x band is an expectation, not a guarantee: under heavy token
     # skew (one giant document holding most of the mass) the band can fall
     # short of the budget — widen geometrically until it covers, ending at
-    # the whole corpus.  Each attempt costs one aggregate on the band.
+    # the whole corpus.  Coverage is probed with a shuffle-free aggregate
+    # (filter + sum, no range partitioning), so the expensive
+    # checkpoint-pinned layout is built exactly ONCE, after the cutoff
+    # converges — a failed attempt leaves no abandoned checkpoint blocks
+    # behind.
     cutoff = min(1.0, t * 1.25)
-    while True:
-        band = banded(cutoff)
-        part_totals = {
-            r["_pid"]: r["_tok"]
-            for r in band.groupBy("_pid").agg(
-                F.sum(tokens_col).alias("_tok")).collect()
-        }
-        if sum(part_totals.values()) >= token_budget or cutoff >= 1.0:
+    while cutoff < 1.0:
+        covered = (
+            df.where(u < cutoff).agg(F.sum(tokens_col)).collect()[0][0] or 0
+        )
+        if covered >= token_budget:
             break
         cutoff = min(1.0, cutoff * 8)
+    band = banded(cutoff)
+    part_totals = {
+        r["_pid"]: r["_tok"]
+        for r in band.groupBy("_pid").agg(
+            F.sum(tokens_col).alias("_tok")).collect()
+    }
     offsets, acc = [], 0
     for pid in sorted(part_totals):
         offsets.append((pid, acc))

@@ -61,16 +61,21 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
                            id_col: str = "doc_id") -> DataFrame:
     """One row per canonical URL (lowest id wins — deterministic); rows
     whose URL cannot be parsed are kept (nothing to collide on).  One
-    window over the canonical key, no driver rows."""
+    window over the canonical key, no driver rows.
+
+    Unparseable rows get a per-row salted key (``\\0`` + id — the NUL
+    prefix cannot appear in a canonical URL) so the window never gathers
+    the whole junk-URL slice into one NULL partition: at web scale that
+    slice is a material fraction of the crawl and would serialise into a
+    single straggler task."""
     canon = canonicalize_url(F.col(url_col))
-    w = W.partitionBy("_curl").orderBy(F.col(id_col).asc())
+    key = F.coalesce(
+        F.col("_curl"), F.concat(F.lit("\0"), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(key).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("_curl", canon)
-        .withColumn(
-            "_rn",
-            F.when(F.col("_curl").isNull(), F.lit(1))
-            .otherwise(F.row_number().over(w)),
-        )
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_curl", "_rn")
     )
@@ -80,13 +85,21 @@ def _host_suffixes(host_col) -> "F.Column":
     """array of the host and every parent-domain suffix
     (``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
     com]) — the standard way to make blocklist matching an equi-join
-    instead of a per-row suffix scan."""
+    instead of a per-row suffix scan.
+
+    Suffixes are TAIL-anchored: for a host deeper than ``_MAX_HOST_LABELS``
+    the emitted set is the full host (exact-match entry) plus the last
+    ``_MAX_HOST_LABELS`` suffixes — the short tails (``evil.com``, ``com``)
+    are what blocklists actually contain, so those must never be dropped,
+    no matter how many subdomain labels an adversarial host prepends."""
     labels = F.split(host_col, r"\.")
     n = F.size(labels)
-    return F.transform(
-        F.sequence(F.lit(0), F.least(n - 1, F.lit(_MAX_HOST_LABELS - 1))),
-        lambda i: F.array_join(F.slice(labels, i + 1, _MAX_HOST_LABELS + 1), "."),
+    tail = F.transform(
+        F.sequence(F.greatest(F.lit(1), n - F.lit(_MAX_HOST_LABELS - 1)), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
     )
+    return F.when(n > _MAX_HOST_LABELS,
+                  F.concat(F.array(host_col), tail)).otherwise(tail)
 
 
 def domain_filter(df: DataFrame, domains: DataFrame, url_col: str = "url",
@@ -104,8 +117,15 @@ def domain_filter(df: DataFrame, domains: DataFrame, url_col: str = "url",
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be block|allow, got {mode!r}")
-    if domains.columns != ["domain"]:
+    if "domain" in domains.columns:
+        domains = domains.select("domain")
+    elif len(domains.columns) == 1:
         domains = domains.select(F.col(domains.columns[0]).alias("domain"))
+    else:
+        raise ValueError(
+            "domains needs a 'domain' column (or exactly one column); got "
+            f"{domains.columns} — refusing to guess which one holds the domain"
+        )
     sfx = df.select(
         F.col(id_col),
         F.explode_outer(_host_suffixes(url_host(F.col(url_col)))).alias("domain"),
@@ -125,14 +145,15 @@ def cap_per_domain(df: DataFrame, max_docs: int, url_col: str = "url",
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
     order = ([F.col(order_col).desc()] if order_col else []) + [F.col(id_col).asc()]
-    w = W.partitionBy("_host").orderBy(*order)
+    # Same NULL-salting as dedup_by_canonical_url: exempt rows become
+    # singleton partitions instead of one giant NULL window partition.
+    key = F.coalesce(
+        F.col("_host"), F.concat(F.lit("\0"), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_host", url_host(F.col(url_col)))
-        .withColumn(
-            "_rn",
-            F.when(F.col("_host").isNull(), F.lit(1))
-            .otherwise(F.row_number().over(w)),
-        )
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_docs)
         .drop("_host", "_rn")
     )
