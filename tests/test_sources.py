@@ -890,3 +890,90 @@ class TestRegisterCrs:
             R.register_crs("epsg:61767", "polar_stereographic")
         with _pt.raises(ValueError, match="projection kind"):
             R.register_crs("epsg:61767", "oblique_mercator", lon0=0.0)
+
+
+class TestSinusoidal:
+    """Sinusoidal family (Snyder section 30): the MODIS land grid
+    (sphere) and ESRI:54008 World Sinusoidal (WGS84 ellipsoid)."""
+
+    def _wgs(self):
+        import yirgacheffe_spark as yg
+
+        return yg.MapProjection("epsg:4326", 1.0, -1.0).crs
+
+    def test_modis_grid_constants_and_round_trip(self):
+        """Sphere sinusoidal on the authalic radius reproduces the
+        published MODIS grid half-width (pi*R = 20015109.355 m; the MODIS
+        docs round to 20015109.354) and round trips to double precision."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        crs = yg.MapProjection("esri:53008", 1000.0, -1000.0).crs
+        proj = R._projection_for(crs)
+        x, _ = proj.forward(np.array([180.0 - 1e-12]), np.array([0.0]))
+        assert abs(x[0] - 20015109.354) < 5e-3
+        # equator: x = R * lam exactly; central meridian: y = R * phi
+        x0, y0 = proj.forward(np.array([90.0]), np.array([0.0]))
+        assert abs(x0[0] - 6371007.181 * np.pi / 2) < 1e-6
+        _, y1 = proj.forward(np.array([0.0]), np.array([45.0]))
+        assert abs(y1[0] - 6371007.181 * np.pi / 4) < 1e-6
+
+        rng = np.random.default_rng(21)
+        lng = rng.uniform(-179.0, 179.0, 100)
+        lat = rng.uniform(-85.0, 85.0, 100)
+        x, y = R.transform_points(self._wgs(), crs, lng, lat)
+        lng2, lat2 = R.transform_points(crs, self._wgs(), x, y)
+        np.testing.assert_allclose(lng2, lng, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_ellipsoidal_equal_area_property(self):
+        """ESRI:54008 (WGS84 ellipsoid): the forward Jacobian determinant
+        equals M*N*cos(phi) everywhere — sinusoidal is equal-area by
+        construction, which pins both the meridian-arc series and the
+        parallel scaling."""
+        import math
+
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        crs = yg.MapProjection("esri:54008", 1000.0, -1000.0).crs
+        proj = R._projection_for(crs)
+        ell = R._ELL_WGS84
+        rng = np.random.default_rng(22)
+        lng = rng.uniform(-170.0, 170.0, 80)
+        lat = rng.uniform(-80.0, 80.0, 80)
+        h = 1e-6
+        x0, y0 = proj.forward(lng, lat)
+        xl, yl = proj.forward(lng + h, lat)
+        xp, yp = proj.forward(lng, lat + h)
+        dxdl = (xl - x0) / math.radians(h)
+        dydl = (yl - y0) / math.radians(h)
+        dxdp = (xp - x0) / math.radians(h)
+        dydp = (yp - y0) / math.radians(h)
+        det = np.abs(dxdl * dydp - dydl * dxdp)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        m_rad = ell.a * (1 - ell.e2) / (1 - ell.e2 * s * s) ** 1.5
+        n_rad = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        np.testing.assert_allclose(det, m_rad * n_rad * np.cos(phi), rtol=1e-5)
+        # ellipsoidal round trip
+        lng2, lat2 = proj.inverse(x0, y0)
+        np.testing.assert_allclose(lng2, lng, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_user_registered_modis_matches_builtin(self):
+        """register_crs('sinusoidal', 'authalic_sphere') reproduces the
+        built-in sphere grid bit-for-bit — the MODIS-grid user path."""
+        import yirgacheffe_spark as yg
+        from yirgacheffe_spark import reprojection as R
+
+        R.register_crs("epsg:61770", "sinusoidal", "authalic_sphere")
+        mine = yg.MapProjection("epsg:61770", 1.0, -1.0).crs
+        builtin = yg.MapProjection("esri:53008", 1.0, -1.0).crs
+        rng = np.random.default_rng(23)
+        lng = rng.uniform(-179.0, 179.0, 50)
+        lat = rng.uniform(-85.0, 85.0, 50)
+        x1, y1 = R.transform_points(self._wgs(), mine, lng, lat)
+        x2, y2 = R.transform_points(self._wgs(), builtin, lng, lat)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)

@@ -67,6 +67,8 @@ class _Ellipsoid:
 _ELL_WGS84 = _Ellipsoid(6378137.0, 298.257223563)
 _ELL_GRS80 = _Ellipsoid(6378137.0, 298.257222101)
 _ELL_AIRY1830 = _Ellipsoid(6377563.396, 299.3249646)
+# GRS80 authalic sphere (MODIS sinusoidal grid radius).
+_ELL_AUTHALIC_SPHERE = _Ellipsoid(6371007.181, float("inf"))
 
 
 class _Helmert:
@@ -480,6 +482,68 @@ class _EllipsoidalMercator:
         return lng, np.degrees(phi)
 
 
+# -- Sinusoidal (Snyder 1987 section 30, ellipsoidal; equal-area) --------------
+
+
+class _Sinusoidal:
+    """Ellipsoidal sinusoidal (Snyder 30-8/30-9) — the MODIS / ESRI:54008
+    family.  Equal-area, pseudocylindrical; on a sphere (inv_f = inf) it
+    reduces to x = R*lam*cos(phi), y = R*phi — the MODIS land grid, whose
+    published half-width pi*R = 20015109.354 m pins the constant."""
+
+    separable = False  # x depends on both lng and lat
+
+    def __init__(self, ell: _Ellipsoid, lon0: float = 0.0,
+                 e0: float = 0.0, n0: float = 0.0,
+                 helmert: "_Helmert | None" = None):
+        self.ell, self.lon0, self.e0, self.n0 = ell, lon0, e0, n0
+        self.helmert = helmert
+        e2 = ell.e2
+        # Meridian-arc series (Snyder 3-21) and its inverse (3-26).
+        self._m = (
+            1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256,
+            3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024,
+            15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024,
+            35 * e2 ** 3 / 3072,
+        )
+        se = math.sqrt(1.0 - e2)
+        e1 = (1.0 - se) / (1.0 + se)
+        self._inv = (
+            3 * e1 / 2 - 27 * e1 ** 3 / 32,
+            21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32,
+            151 * e1 ** 3 / 96,
+            1097 * e1 ** 4 / 512,
+        )
+
+    def forward(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        lng, lat = _datum_wgs84_to_local(self.ell, self.helmert, lng, lat)
+        lam = np.radians((lng - self.lon0 + 180.0) % 360.0 - 180.0)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        x = self.ell.a * lam * np.cos(phi) / np.sqrt(1.0 - self.ell.e2 * s * s)
+        m0, m2, m4, m6 = self._m
+        merid = self.ell.a * (m0 * phi - m2 * np.sin(2 * phi)
+                              + m4 * np.sin(4 * phi) - m6 * np.sin(6 * phi))
+        return self.e0 + x, self.n0 + merid
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.e0
+        y = np.asarray(y, dtype=np.float64) - self.n0
+        mu = y / (self.ell.a * self._m[0])
+        i2, i4, i6, i8 = self._inv
+        phi = (mu + i2 * np.sin(2 * mu) + i4 * np.sin(4 * mu)
+               + i6 * np.sin(6 * mu) + i8 * np.sin(8 * mu))
+        s = np.sin(phi)
+        cos_phi = np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = x * np.sqrt(1.0 - self.ell.e2 * s * s) / (self.ell.a * cos_phi)
+        lam = np.where(np.abs(cos_phi) < 1e-12, 0.0, lam)
+        lng, lat = self.lon0 + np.degrees(lam), np.degrees(phi)
+        return _datum_local_to_wgs84(self.ell, self.helmert, lng, lat)
+
+
 def utm_zone_lon0(zone: int) -> float:
     return float(zone * 6 - 183)
 
@@ -539,6 +603,11 @@ def _projection_for(crs: "CRS"):
         proj = _Albers(_ELL_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     elif code == "epsg:3577":  # GDA94 / Australian Albers (GRS80)
         proj = _Albers(_ELL_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)
+    elif code == "esri:54008":  # World Sinusoidal (WGS84 ellipsoid)
+        proj = _Sinusoidal(_ELL_WGS84)
+    elif code == "esri:53008":  # Sphere Sinusoidal (authalic sphere; the
+        # MODIS land grid uses this radius: half-width pi*R = 20015109.354 m)
+        proj = _Sinusoidal(_ELL_AUTHALIC_SPHERE)
     if proj is not None:
         _PROJ_CACHE[code] = proj
     return proj
@@ -550,6 +619,8 @@ def _projection_for(crs: "CRS"):
 # the set national grids are defined on.  Custom ellipsoids pass (a, 1/f).
 _NAMED_ELLIPSOIDS = {
     "wgs84": _ELL_WGS84,
+    # GRS80 authalic sphere — the MODIS sinusoidal grid radius.
+    "authalic_sphere": _ELL_AUTHALIC_SPHERE,
     "grs80": _ELL_GRS80,
     "airy1830": _ELL_AIRY1830,
     "intl1924": _Ellipsoid(6378388.0, 297.0),
@@ -636,11 +707,14 @@ def register_crs(code: str, projection: str,
         if shift is not None or false_easting or false_northing:
             raise ValueError("mercator takes no helmert/false origin here")
         proj = _EllipsoidalMercator(ell)
+    elif kind == "sinusoidal":
+        proj = _Sinusoidal(ell, lon0, false_easting, false_northing,
+                           helmert=shift)
     else:
         raise ValueError(
             f"unknown projection kind {projection!r}; supported: "
             "transverse_mercator, lambert_conformal_conic_2sp, "
-            "albers_equal_area, polar_stereographic, mercator"
+            "albers_equal_area, polar_stereographic, mercator, sinusoidal"
         )
 
     from .grid import CRS as _CRS  # pylint: disable=C0415
