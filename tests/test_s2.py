@@ -284,3 +284,54 @@ def test_submit_enrich_s2_level(spark, tmp_path):
     got = spark.read.parquet(out).select("lat", "lng", "s2_cell").toPandas()
     expect = s2.latlng_to_cell(got["lat"].to_numpy(), got["lng"].to_numpy(), 11)
     assert np.array_equal(got["s2_cell"].to_numpy(np.int64), np.asarray(expect))
+
+
+class TestNullSafety:
+    def test_nonfinite_latlng_yields_sentinel_zero(self):
+        lat = np.array([np.nan, 10.0, np.inf, 20.0])
+        lng = np.array([5.0, np.nan, 5.0, 30.0])
+        ids = s2.latlng_to_cell(lat, lng, 12)
+        assert list(np.asarray(ids)[:3]) == [0, 0, 0]
+        assert ids[3] != 0
+
+    def test_token_round_trip_includes_invalid_x(self):
+        assert s2.cell_token(np.array([0], dtype=np.int64))[0] == "X"
+        assert s2.token_to_cell(np.array(["X"], dtype=object))[0] == 0
+        assert s2.token_to_cell(np.array(["x"], dtype=object))[0] == 0
+
+    def test_s2_cell_column_null_coords_give_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (None, 2.0), (1.0, None), (None, None)],
+            "lat double, lng double",
+        )
+        rows = df.withColumn("s2", s2.s2_cell_column("lat", "lng", 9)).collect()
+        assert rows[0].s2 is not None
+        assert all(r.s2 is None for r in rows[1:])
+
+    def test_s2_token_column_null_ids_no_precision_loss(self, spark):
+        """A NULL in the id column must neither crash the token UDF nor
+        corrupt the other ids in the batch (nullable long -> pandas float64
+        loses bits above 2^53 — the ids must be coalesced before Arrow)."""
+        big = int(s2.latlng_to_cell(np.array([-50.0]), np.array([-170.0]), 30)[0])
+        assert big < 0  # face >= 4: top bit set, the precision-critical case
+        df = spark.createDataFrame([(big,), (None,)], "cell long")
+        rows = (
+            df.withColumn("tok", s2.s2_token_column("cell"))
+            .orderBy(F_isnull_last("cell"))
+            .collect()
+        )
+        by_cell = {r.cell: r.tok for r in rows}
+        assert by_cell[None] is None
+        assert s2.token_to_cell(np.array([by_cell[big]], dtype=object))[0] == big
+
+    def test_grid_ring_equals_disk_difference(self):
+        c = int(np.asarray(s2.latlng_to_cell(np.array([-15.0]), np.array([60.0]), 9))[0])
+        for k in (1, 2, 3):
+            ring = set(s2.grid_ring(c, k).tolist())
+            want = set(s2.grid_disk(c, k).tolist()) - set(s2.grid_disk(c, k - 1).tolist())
+            assert ring == want
+
+
+def F_isnull_last(col):
+    from pyspark.sql import functions as F
+    return F.col(col).isNull()

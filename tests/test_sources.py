@@ -902,13 +902,14 @@ class TestSinusoidal:
         return yg.MapProjection("epsg:4326", 1.0, -1.0).crs
 
     def test_modis_grid_constants_and_round_trip(self):
-        """Sphere sinusoidal on the authalic radius reproduces the
-        published MODIS grid half-width (pi*R = 20015109.355 m; the MODIS
-        docs round to 20015109.354) and round trips to double precision."""
+        """crs:modis_sinusoidal (the authalic-sphere MODIS land grid)
+        reproduces the published half-width (pi*R = 20015109.355 m; the
+        MODIS docs round to 20015109.354) and round trips to double
+        precision; esri:53008 is the DIFFERENT 6371000 m ESRI sphere."""
         import yirgacheffe_spark as yg
         from yirgacheffe_spark import reprojection as R
 
-        crs = yg.MapProjection("esri:53008", 1000.0, -1000.0).crs
+        crs = yg.MapProjection("crs:modis_sinusoidal", 1000.0, -1000.0).crs
         proj = R._projection_for(crs)
         x, _ = proj.forward(np.array([180.0 - 1e-12]), np.array([0.0]))
         assert abs(x[0] - 20015109.354) < 5e-3
@@ -917,6 +918,12 @@ class TestSinusoidal:
         assert abs(x0[0] - 6371007.181 * np.pi / 2) < 1e-6
         _, y1 = proj.forward(np.array([0.0]), np.array([45.0]))
         assert abs(y1[0] - 6371007.181 * np.pi / 4) < 1e-6
+
+        # ESRI:53008 must use ESRI's GCS_Sphere radius, not the MODIS one
+        esri = R._projection_for(
+            yg.MapProjection("esri:53008", 1000.0, -1000.0).crs)
+        xe, _ = esri.forward(np.array([180.0 - 1e-12]), np.array([0.0]))
+        assert abs(xe[0] - 6371000.0 * np.pi) < 5e-3
 
         rng = np.random.default_rng(21)
         lng = rng.uniform(-179.0, 179.0, 100)
@@ -969,7 +976,7 @@ class TestSinusoidal:
 
         R.register_crs("epsg:61770", "sinusoidal", "authalic_sphere")
         mine = yg.MapProjection("epsg:61770", 1.0, -1.0).crs
-        builtin = yg.MapProjection("esri:53008", 1.0, -1.0).crs
+        builtin = yg.MapProjection("crs:modis_sinusoidal", 1.0, -1.0).crs
         rng = np.random.default_rng(23)
         lng = rng.uniform(-179.0, 179.0, 50)
         lat = rng.uniform(-85.0, 85.0, 50)

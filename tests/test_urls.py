@@ -172,3 +172,19 @@ def test_url_windows_have_no_null_partition(spark):
     capped = urls.cap_per_domain(df, 1)
     kept2 = sorted(r["doc_id"] for r in capped.collect())
     assert kept2 == [1, 2, 3, 4, 5]  # one per a.com; junk exempt
+
+
+def test_null_doc_id_junk_urls_all_kept(spark):
+    """Rows whose URL is junk AND whose id is NULL must all survive dedup
+    and cap (the salt falls back to a unique monotonic id instead of
+    collapsing every such row into one NULL partition)."""
+    df = spark.createDataFrame(
+        [(None, "%%%"), (None, "%%%"), (None, "::junk::"),
+         (7, "http://a.com/x"), (8, "http://a.com/x")],
+        "doc_id int, url string",
+    )
+    out = urls.dedup_by_canonical_url(df).collect()
+    assert sum(1 for r in out if r.doc_id is None) == 3
+    assert sorted(r.doc_id for r in out if r.doc_id is not None) == [7]
+    capped = urls.cap_per_domain(df, 1).collect()
+    assert sum(1 for r in capped if r.doc_id is None) == 3

@@ -605,8 +605,12 @@ def _projection_for(crs: "CRS"):
         proj = _Albers(_ELL_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)
     elif code == "esri:54008":  # World Sinusoidal (WGS84 ellipsoid)
         proj = _Sinusoidal(_ELL_WGS84)
-    elif code == "esri:53008":  # Sphere Sinusoidal (authalic sphere; the
-        # MODIS land grid uses this radius: half-width pi*R = 20015109.354 m)
+    elif code == "esri:53008":  # Sphere Sinusoidal — ESRI's GCS_Sphere is
+        # the 6371000 m sphere, NOT the MODIS radius (that grid is below).
+        proj = _Sinusoidal(_Ellipsoid(6371000.0, float("inf")))
+    elif code == "crs:modis_sinusoidal":  # The MODIS land grid: sinusoidal
+        # on the GRS80 authalic sphere, half-width pi*R = 20015109.355 m
+        # (docs round to 20015109.354); no EPSG code exists for it.
         proj = _Sinusoidal(_ELL_AUTHALIC_SPHERE)
     if proj is not None:
         _PROJ_CACHE[code] = proj

@@ -177,23 +177,31 @@ def _to_face_ij(cell):
 
 
 def latlng_to_cell(lat, lng, level: int = MAX_LEVEL):
-    """Vectorised (lat, lng) degrees -> S2 cell id at ``level`` (int64)."""
+    """Vectorised (lat, lng) degrees -> S2 cell id at ``level`` (int64).
+
+    Non-finite coordinates (NaN/inf — a NULL lat/lng upstream) yield the
+    invalid sentinel id 0, never a real-looking cell: NaN comparisons are
+    all false, so without the mask every bad row would silently land on
+    one concrete cell and become both a spurious join hit and a hot key."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
-    lat = np.radians(np.asarray(lat, dtype=np.float64))
-    lng = np.radians(np.asarray(lng, dtype=np.float64))
-    cos_lat = np.cos(lat)
-    x = cos_lat * np.cos(lng)
-    y = cos_lat * np.sin(lng)
-    z = np.sin(lat)
+    lat0 = np.asarray(lat, dtype=np.float64)
+    lng0 = np.asarray(lng, dtype=np.float64)
+    finite = np.isfinite(lat0) & np.isfinite(lng0)
+    lat_r = np.radians(np.where(finite, lat0, 0.0))
+    lng_r = np.radians(np.where(finite, lng0, 0.0))
+    cos_lat = np.cos(lat_r)
+    x = cos_lat * np.cos(lng_r)
+    y = cos_lat * np.sin(lng_r)
+    z = np.sin(lat_r)
     face, u, v = _xyz_to_face_uv(x, y, z)
     lim = (1 << MAX_LEVEL) - 1
     i = np.clip(np.floor(uv_to_st(u) * (1 << MAX_LEVEL)).astype(np.int64), 0, lim)
     j = np.clip(np.floor(uv_to_st(v) * (1 << MAX_LEVEL)).astype(np.int64), 0, lim)
-    leaf = _from_face_ij(face, i, j)
-    if level == MAX_LEVEL:
-        return leaf.view(np.int64)
-    return cell_parent(leaf.view(np.int64), level)
+    ids = _from_face_ij(face, i, j).view(np.int64)
+    if level != MAX_LEVEL:
+        ids = cell_parent(ids, level)
+    return np.where(finite, ids, np.int64(0))
 
 
 def cell_level(cell):
@@ -276,10 +284,8 @@ def edge_neighbors(cell: int) -> np.ndarray:
     return cell_parent(leaf_ids, level)
 
 
-def grid_disk(cell: int, k: int) -> np.ndarray:
-    """All cells within ``k`` edge-adjacency steps (BFS over edge
-    neighbors) — the S2 counterpart of ``cells.grid_disk``, the
-    ring-expansion primitive for kNN over stored S2 keys."""
+def _bfs(cell: int, k: int) -> "tuple[set, list]":
+    """(all cells within k steps, cells at exactly k steps) in one BFS."""
     start = int(_as_u64(cell).view(np.int64)[0])
     seen = {start}
     frontier = [start]
@@ -292,16 +298,22 @@ def grid_disk(cell: int, k: int) -> np.ndarray:
                     seen.add(ni)
                     nxt.append(ni)
         frontier = nxt
+    return seen, frontier
+
+
+def grid_disk(cell: int, k: int) -> np.ndarray:
+    """All cells within ``k`` edge-adjacency steps (BFS over edge
+    neighbors) — the S2 counterpart of ``cells.grid_disk``, the
+    ring-expansion primitive for kNN over stored S2 keys."""
+    seen, _ = _bfs(cell, k)
     return np.array(sorted(seen), dtype=np.int64)
 
 
 def grid_ring(cell: int, k: int) -> np.ndarray:
-    """Only the cells at exactly ``k`` edge-adjacency steps."""
-    if k == 0:
-        return np.array([int(_as_u64(cell).view(np.int64)[0])], dtype=np.int64)
-    disk = set(grid_disk(cell, k).tolist())
-    inner = set(grid_disk(cell, k - 1).tolist())
-    return np.array(sorted(disk - inner), dtype=np.int64)
+    """Only the cells at exactly ``k`` edge-adjacency steps (the final BFS
+    frontier — one traversal, not a disk/disk set difference)."""
+    _, frontier = _bfs(cell, k)
+    return np.array(sorted(frontier), dtype=np.int64)
 
 
 def cell_to_latlng(cell):
@@ -336,9 +348,14 @@ def cell_token(cell) -> np.ndarray:
 
 
 def token_to_cell(token) -> np.ndarray:
+    """Inverse of ``cell_token`` — including the standard ``X`` spelling of
+    the invalid id 0 (which ``cell_token`` itself emits)."""
     tokens = np.atleast_1d(np.asarray(token, dtype=object))
-    vals = np.array([int(str(t).ljust(16, "0"), 16) for t in tokens],
-                    dtype=np.uint64)
+    vals = np.array(
+        [0 if str(t).lower() == "x" else int(str(t).ljust(16, "0"), 16)
+         for t in tokens],
+        dtype=np.uint64,
+    )
     return vals.view(np.int64)
 
 
@@ -355,7 +372,11 @@ def cell_contains(ancestor, descendant) -> np.ndarray:
 
 def s2_cell_column(lat_col: str, lng_col: str, level: int):
     """A pandas-UDF Column producing S2 cell ids (LongType) — Arrow-batched,
-    no per-row Python; the join-key path for tables with stored S2 ids."""
+    no per-row Python; the join-key path for tables with stored S2 ids.
+
+    NULL (or non-finite) coordinates yield NULL, never a real-looking id —
+    inside the kernel they become the sentinel 0, nullified Spark-side."""
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -363,17 +384,24 @@ def s2_cell_column(lat_col: str, lng_col: str, level: int):
         ids = latlng_to_cell(lat.to_numpy(np.float64), lng.to_numpy(np.float64), level)
         return pd.Series(np.asarray(ids, dtype=np.int64))
 
-    from pyspark.sql import functions as F
-    return _s2(F.col(lat_col), F.col(lng_col))
+    return F.nullif(_s2(F.col(lat_col), F.col(lng_col)), F.lit(0))
 
 
 def s2_token_column(cell_col: str):
-    """Hex tokens for stored interchange (matches the standard token form)."""
+    """Hex tokens for stored interchange (matches the standard token form).
+
+    NULL ids map to NULL tokens.  The NULLs are coalesced to the sentinel 0
+    BEFORE the UDF so Arrow hands the kernel a true int64 batch: a nullable
+    long column converts to float64 in pandas, which silently corrupts every
+    id above 2^53 in the batch — including the non-null ones."""
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _tok(cell: pd.Series) -> pd.Series:
         return pd.Series(cell_token(cell.to_numpy(np.int64)).astype(object))
 
-    from pyspark.sql import functions as F
-    return _tok(F.col(cell_col))
+    return F.when(
+        F.col(cell_col).isNotNull(),
+        _tok(F.coalesce(F.col(cell_col), F.lit(0))),
+    )

@@ -158,7 +158,8 @@ class BloomFilter:
 def exact_dedup_against_index(new_df: DataFrame, index_df: DataFrame,
                               bloom: "BloomFilter | None" = None,
                               text_col: str = "text",
-                              index_hash_col: str = "content_hash") -> DataFrame:
+                              index_hash_col: str = "content_hash",
+                              reuse: str = "checkpoint") -> DataFrame:
     """Rows of ``new_df`` whose content hash is NOT in the index — exact,
     with or without a bloom.
 
@@ -169,24 +170,37 @@ def exact_dedup_against_index(new_df: DataFrame, index_df: DataFrame,
     indexed); only probe-passers anti-join the index, cutting the join
     input to the duplicate rate + fpp of the batch.  Output schema =
     ``new_df``.
+
+    ``reuse`` picks how the probed frame (consumed by BOTH union
+    branches) is shared — every option has a real trade-off, so it is
+    explicit:
+
+    * ``"checkpoint"`` (default): ``localCheckpoint`` — freed by the
+      ContextCleaner with the plan (no per-batch cache leak), but the
+      blocks are unreplicated with truncated lineage, so losing the
+      executor that holds them fails the job instead of recomputing
+      (avoid with aggressive dynamic allocation);
+    * ``"persist"``: recomputable on executor loss, but the CacheManager
+      entry lives until the CALLER unpersists (call
+      ``spark.catalog.clearCache()`` between batches, or leak one entry
+      per batch);
+    * ``"none"``: no shared state at all — the batch scan + Arrow probe
+      simply run once per branch (2x batch cost, always safe).
     """
+    if reuse not in ("checkpoint", "persist", "none"):
+        raise ValueError(f"reuse must be checkpoint|persist|none, got {reuse!r}")
     hashed = new_df.withColumn("_h", F.xxhash64(F.col(text_col)))
     idx = index_df.select(F.col(index_hash_col).alias("_h")).distinct()
     if bloom is None:
         return hashed.join(idx, "_h", "left_anti").drop("_h")
     # Probe with the SAME key the bloom was built over — the stored hash,
     # not the raw text (a key mismatch would silently void the
-    # no-false-negative guarantee and drop real duplicates).  The probed
-    # frame feeds BOTH union branches, so materialize it once: without
-    # reuse the scan + Arrow probe (the stage the bloom exists to
-    # amortize) would execute once per branch.  localCheckpoint, NOT
-    # persist(): CacheManager entries live until an explicit unpersist the
-    # caller cannot issue (the handle is internal), so a rolling-crawl
-    # loop calling this per batch would leak one cache entry per batch —
-    # checkpointed RDDs are ContextCleaner-collected with the plan.
-    probed = hashed.withColumn(
-        "_maybe", bloom.might_contain(F.col("_h"))
-    ).localCheckpoint(eager=False)
+    # no-false-negative guarantee and drop real duplicates).
+    probed = hashed.withColumn("_maybe", bloom.might_contain(F.col("_h")))
+    if reuse == "checkpoint":
+        probed = probed.localCheckpoint(eager=False)
+    elif reuse == "persist":
+        probed = probed.persist()
     definite_new = probed.where(~F.col("_maybe"))
     confirmed_new = probed.where(F.col("_maybe")).join(idx, "_h", "left_anti")
     return definite_new.unionByName(confirmed_new).drop("_h", "_maybe")

@@ -57,6 +57,21 @@ def canonicalize_url(col) -> "F.Column":
     )
 
 
+
+def _salted_null_key(key_col: str, id_col: str) -> "F.Column":
+    """Window partition key where NULL keys become per-row singletons: NUL
+    prefix (which no canonical URL/host can contain) + the row id, falling
+    back to a unique monotonic id when the row id is ALSO NULL — a NULL
+    anywhere in the salt would otherwise collapse every such row back into
+    the one giant NULL partition the salt exists to prevent (and the
+    dedup/cap windows would then silently drop all but one of them)."""
+    row = F.coalesce(
+        F.col(id_col).cast("string"),
+        F.monotonically_increasing_id().cast("string"),
+    )
+    return F.coalesce(F.col(key_col), F.concat(F.lit("\0"), row))
+
+
 def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
                            id_col: str = "doc_id") -> DataFrame:
     """One row per canonical URL (lowest id wins — deterministic); rows
@@ -69,10 +84,8 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
     slice is a material fraction of the crawl and would serialise into a
     single straggler task."""
     canon = canonicalize_url(F.col(url_col))
-    key = F.coalesce(
-        F.col("_curl"), F.concat(F.lit("\0"), F.col(id_col).cast("string"))
-    )
-    w = W.partitionBy(key).orderBy(F.col(id_col).asc())
+    w = W.partitionBy(_salted_null_key("_curl", id_col)).orderBy(
+        F.col(id_col).asc())
     return (
         df.withColumn("_curl", canon)
         .withColumn("_rn", F.row_number().over(w))
@@ -147,10 +160,7 @@ def cap_per_domain(df: DataFrame, max_docs: int, url_col: str = "url",
     order = ([F.col(order_col).desc()] if order_col else []) + [F.col(id_col).asc()]
     # Same NULL-salting as dedup_by_canonical_url: exempt rows become
     # singleton partitions instead of one giant NULL window partition.
-    key = F.coalesce(
-        F.col("_host"), F.concat(F.lit("\0"), F.col(id_col).cast("string"))
-    )
-    w = W.partitionBy(key).orderBy(*order)
+    w = W.partitionBy(_salted_null_key("_host", id_col)).orderBy(*order)
     return (
         df.withColumn("_host", url_host(F.col(url_col)))
         .withColumn("_rn", F.row_number().over(w))
