@@ -335,3 +335,68 @@ class TestNullSafety:
 def F_isnull_last(col):
     from pyspark.sql import functions as F
     return F.col(col).isNull()
+
+
+class TestS2CellLayer:
+    def test_mask_matches_index_membership(self, spark):
+        """Every pixel of the rasterized mask must equal the exact index
+        test at the pixel center — and the mask must be fully contained in
+        the layer's declared extent (the conservative bound holds)."""
+        import yirgacheffe_spark as yg
+
+        proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+        cell = int(np.asarray(s2.latlng_to_cell(
+            np.array([46.3]), np.array([7.7]), 8))[0])
+        layer = yg.s2_tile(cell, proj)
+        arr = layer.to_numpy(spark=spark)
+        a = layer.area
+        lngs = a.left + (np.arange(arr.shape[1]) + 0.5) * proj.xstep
+        lats = a.top + (np.arange(arr.shape[0]) + 0.5) * proj.ystep
+        glng, glat = np.meshgrid(lngs, lats)
+        want = (np.asarray(s2.latlng_to_cell(glat.ravel(), glng.ravel(), 8))
+                .reshape(arr.shape) == cell).astype(np.float64)
+        np.testing.assert_array_equal(arr, want)
+        assert arr.sum() > 0
+        # the cell must not be clipped: a one-pixel ring of centers JUST
+        # OUTSIDE the declared extent must contain no members
+        ring_lng = np.concatenate([lngs, lngs,
+                                   [a.left - 0.5 * proj.xstep] * len(lats),
+                                   [a.right + 0.5 * proj.xstep] * len(lats)])
+        ring_lat = np.concatenate([[a.top - 0.5 * proj.ystep] * len(lngs),
+                                   [a.bottom + 0.5 * proj.ystep] * len(lngs),
+                                   lats, lats])
+        outside = np.asarray(s2.latlng_to_cell(ring_lat, ring_lng, 8))
+        assert not np.any(outside == cell)
+
+    def test_neighbors_never_double_claim(self, spark):
+        """A cell and its 4 edge neighbors, rasterized on one grid, must
+        never both claim a pixel (exact tessellation through the engine)."""
+        import yirgacheffe_spark as yg
+
+        proj = yg.MapProjection("epsg:4326", 0.02, -0.02)
+        cell = int(np.asarray(s2.latlng_to_cell(
+            np.array([-12.0]), np.array([131.0]), 7))[0])
+        masks = [yg.s2_tile(cell, proj)]
+        masks += [yg.s2_tile(int(n), proj) for n in s2.edge_neighbors(cell)]
+        overlap = yg.where(yg.sum(masks) > 1, 1, 0).sum(spark=spark)
+        assert overlap == 0
+
+    def test_children_exactly_tile_parent(self, spark):
+        import yirgacheffe_spark as yg
+
+        proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+        parent = int(np.asarray(s2.latlng_to_cell(
+            np.array([38.0]), np.array([-9.1]), 9))[0])
+        kids = [yg.s2_tile(int(k), proj) for k in s2.cell_children(parent)]
+        diff = (yg.sum(kids) != yg.s2_tile(parent, proj)).sum(spark=spark)
+        assert diff == 0
+
+    def test_pole_cell_has_full_longitude_span(self):
+        import yirgacheffe_spark as yg
+
+        proj = yg.MapProjection("epsg:4326", 0.5, -0.5)
+        pole = int(np.asarray(s2.latlng_to_cell(
+            np.array([90.0]), np.array([0.0]), 3))[0])
+        layer = yg.s2_tile(pole, proj)
+        assert layer.area.left == -180.0 and layer.area.right == 180.0
+        assert layer.area.top == 90.0

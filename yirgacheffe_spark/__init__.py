@@ -279,6 +279,14 @@ def h3_tile(cell_id: int, projection: MapProjection) -> CellLayer:
     return CellLayer(cell_id, projection)
 
 
+def s2_tile(cell_id: int, projection: MapProjection):
+    """Rasterize one genuine S2 cell (spatial/s2.py ids) to a 1.0/0.0 mask
+    layer — raster <-> stored-S2-key interop (e.g. zonal stats per S2 cell)."""
+    from .sources.cells import S2CellLayer
+
+    return S2CellLayer(cell_id, projection)
+
+
 __all__ = [
     "DataType", "CRS", "Area", "MapProjection", "Window",
     "LayerOperation", "WindowOp", "Op",
@@ -290,7 +298,7 @@ __all__ = [
     "AreaPerPixelLayer", "ParquetRasterLayer", "GroupLayer",
     "TiledGroupLayer", "VectorLayer", "CellLayer", "ReprojectedLayer",
     "read_raster", "read_rasters", "read_shape", "constant", "from_array",
-    "area_raster", "read_narrow_raster", "h3_tile", "to_geotiff",
+    "area_raster", "read_narrow_raster", "h3_tile", "s2_tile", "to_geotiff",
     "write_array_as_raster_table", "save_multiband", "zonal_sum",
     "zonal_stats",
     "load_geojson",
