@@ -1,0 +1,181 @@
+"""Regressions for the round-5 core-engine review findings: multi-ring halo
+exchange, GeoTIFF/parquet nodata parity, reader-cache invalidation, the
+save_multiband square-tile guard, write_geotiff abort, the no-EPSG guard,
+and process-stable leaf CSE hashes."""
+
+from __future__ import annotations
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import yirgacheffe_spark as yg
+from yirgacheffe_spark.grid import Area, MapProjection
+from yirgacheffe_spark.plans import kernel
+
+
+def _proj(step=0.02):
+    return MapProjection("epsg:4326", step, -step)
+
+
+class TestMultiRingHalo:
+    def test_conv2d_pad_exceeding_tile_size_on_aligned_leaf(self, spark, tmp_path):
+        """Stencil pad (5) > computation tile size (4): the aligned
+        body+halo path must reach ring-2 neighbours; the old 1-ring
+        exchange silently zeroed the outer halo rows."""
+        rng = np.random.default_rng(17)
+        data = rng.normal(size=(20, 24)).astype(np.float32)
+        path = str(tmp_path / "big_pad")
+        yg.write_array_as_raster_table(path, data, Area(10.0, 50.0, 10.0 + 24 * 0.02,
+                                                        50.0 - 20 * 0.02, _proj()),
+                                       tile_size=4)
+        layer = yg.read_raster(path)
+        k = np.ones((11, 11), dtype=np.float32)  # pad 5 > tile 4
+        expr = layer.conv2d(k)
+        got = expr.to_numpy(spark=spark)
+        want = kernel.evaluate_window(expr)
+        np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+    def test_conv2d_pad_exceeding_tile_repartition_fallback(self, spark, tmp_path,
+                                                            monkeypatch):
+        """Same case through the non-broadcast (repartition) halo path."""
+        monkeypatch.setenv("YG_HALO_BROADCAST_MAX", "1")
+        rng = np.random.default_rng(18)
+        data = rng.normal(size=(16, 16)).astype(np.float32)
+        path = str(tmp_path / "big_pad_rep")
+        yg.write_array_as_raster_table(path, data, Area(10.0, 50.0, 10.0 + 16 * 0.02,
+                                                        50.0 - 16 * 0.02, _proj()),
+                                       tile_size=4)
+        layer = yg.read_raster(path)
+        expr = layer.conv2d(np.ones((11, 11), dtype=np.float32))
+        got = expr.to_numpy(spark=spark)
+        want = kernel.evaluate_window(expr)
+        np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+
+class TestNodataFormatParity:
+    def test_int_nodata_same_result_geotiff_and_parquet(self, spark, tmp_path):
+        """A uint8 raster with nodata=255 must aggregate identically whether
+        it is read from GeoTIFF or from a parquet tile table (the GeoTIFF
+        path used to skip NaN substitution for integer dtypes)."""
+        from yirgacheffe_spark.sources.geotiff import write_geotiff
+
+        data = np.array([[1, 2, 255], [4, 255, 6]], dtype=np.uint8)
+        area = Area(0.0, 2.0, 3 * 0.5, 2.0 - 2 * 0.5, _proj(0.5))
+        tif = str(tmp_path / "n.tif")
+        write_geotiff(tif, data, area, nodata=255)
+        pq = str(tmp_path / "n_pq")
+        yg.write_array_as_raster_table(pq, data, area, tile_size=4, nodata=255)
+
+        g = yg.read_raster(tif)
+        p = yg.read_raster(pq)
+        # nodata pixels become NaN in both paths -> identical windows
+        gw = np.asarray(g.read_window(0, 0, 3, 2, g.window))
+        pw = np.asarray(p.read_window(0, 0, 3, 2, p.window))
+        np.testing.assert_array_equal(np.isnan(gw), np.isnan(pw))
+        np.testing.assert_array_equal(np.nan_to_num(gw), np.nan_to_num(pw))
+        assert np.isnan(gw).sum() == 2
+
+
+class TestReaderCacheInvalidation:
+    def test_overwrite_loop_rereads_fresh_table(self, spark, tmp_path):
+        """save -> read -> save (overwrite) -> read must return the NEW data
+        (the reader cache used to pin the first read's file listing)."""
+        import time
+
+        path = str(tmp_path / "loop")
+        area = Area(10.0, 50.0, 10.0 + 8 * 0.02, 50.0 - 8 * 0.02, _proj())
+        a = np.full((8, 8), 1.0, dtype=np.float64)
+        yg.write_array_as_raster_table(path, a, area, tile_size=4)
+        s1 = yg.read_raster(path).sum(spark=spark)
+        assert s1 == 64.0
+        time.sleep(1.1)  # ensure a distinct dir mtime on coarse filesystems
+        b = np.full((8, 8), 3.0, dtype=np.float64)
+        import shutil
+
+        shutil.rmtree(path)
+        yg.write_array_as_raster_table(path, b, area, tile_size=4)
+        s2 = yg.read_raster(path).sum(spark=spark)
+        assert s2 == 192.0
+
+
+def test_save_multiband_requires_square_tiles(spark, monkeypatch):
+    import yirgacheffe_spark.constants as C
+    from yirgacheffe_spark.plans.executor import save_multiband
+
+    monkeypatch.setattr(C, "TILE_XSIZE", 8)  # YSIZE stays 4 via conftest
+    layer = yg.from_array(np.ones((4, 4), dtype=np.float32), (10.0, 50.0), _proj())
+    with pytest.raises(ValueError, match="square computation tiles"):
+        save_multiband([layer, layer], "/tmp/never_written", spark=spark)
+
+
+def test_write_geotiff_aborts_cleanly_on_midwrite_failure(tmp_path, monkeypatch):
+    from yirgacheffe_spark.sources import geotiff as gt
+
+    calls = {"n": 0}
+    orig = gt.TiffStreamWriter.write_tile
+
+    def boom(self, tile):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise ValueError("simulated mid-write failure")
+        return orig(self, tile)
+
+    monkeypatch.setattr(gt.TiffStreamWriter, "write_tile", boom)
+    path = str(tmp_path / "fail.tif")
+    area = Area(0.0, 2.0, 4.0, 0.0, _proj(0.5))
+    with pytest.raises(ValueError, match="simulated"):
+        gt.write_geotiff(path, np.ones((8, 8), dtype=np.float32), area,
+                         tile_size=4)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".part")
+
+
+def test_geotiff_without_epsg_geokey_is_refused(tmp_path, monkeypatch):
+    from yirgacheffe_spark.sources import geotiff as gt
+
+    area = Area(0.0, 2.0, 2.0, 0.0, _proj(0.5))
+    path = str(tmp_path / "noepsg.tif")
+    gt.write_geotiff(path, np.ones((4, 4), dtype=np.float32), area)
+
+    real = gt._read_tiff_header
+
+    def strip_epsg(p):
+        parsed = real(p)
+        parsed.epsg = None
+        return parsed
+
+    monkeypatch.setattr(gt, "_read_tiff_header", strip_epsg)
+    with pytest.raises(ValueError, match="no resolvable EPSG"):
+        yg.read_raster(path)
+
+
+def test_leaf_cse_hash_stable_across_hash_seeds(tmp_path):
+    """Leaf cse_hash must be process-stable: it is computed on the driver
+    (shared-subexpression census) and recomputed on workers (kernel cache
+    lookups); a str-salted hash() made every worker lookup silently miss."""
+    from yirgacheffe_spark.sources.geotiff import write_geotiff
+
+    area = Area(0.0, 2.0, 2.0, 0.0, _proj(0.5))
+    tif = str(tmp_path / "h.tif")
+    write_geotiff(tif, np.ones((4, 4), dtype=np.float32), area)
+    layer = yg.read_raster(tif)
+    pk = str(tmp_path / "leaf.pkl")
+    with open(pk, "wb") as f:
+        pickle.dump(layer, f)
+
+    code = (
+        "import sys, pickle; sys.path.insert(0, '/root/repo'); "
+        "print(pickle.load(open(sys.argv[1], 'rb')).cse_hash)"
+    )
+    outs = []
+    for seed in ("1", "9"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        r = subprocess.run([sys.executable, "-c", code, pk],
+                           capture_output=True, text=True, env=env, check=True)
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1] == str(layer.cse_hash)

@@ -188,7 +188,7 @@ def test_read_lzw_compressed_file(tmp_path):
                 code = {3: "H", 4: "I", 12: "d"}[ftype]
                 f.write(struct.pack("<" + code * count, *values))
         f.write(payload)
-    layer = yg.read_raster(path)
+    layer = yg.read_raster(path, crs="epsg:4326")
     np.testing.assert_array_equal(layer.read_array(0, 0, 64, 8), data)
 
 
@@ -271,10 +271,10 @@ def test_multiband_read(tmp_path, planar):
     path = str(tmp_path / f"mb{planar}.tif")
     _write_multiband_tiff(path, bands, planar, _area(9, 6))
     for b in range(3):
-        layer = yg.read_raster(path, band=b + 1)
+        layer = yg.read_raster(path, band=b + 1, crs="epsg:4326")
         np.testing.assert_array_equal(layer.read_array(0, 0, 9, 6), bands[b])
     with pytest.raises(ValueError, match="band"):
-        yg.read_raster(path, band=4)
+        yg.read_raster(path, band=4, crs="epsg:4326")
 
 
 def test_read_bigtiff(tmp_path):
@@ -321,7 +321,7 @@ def test_read_bigtiff(tmp_path):
                 code = {3: "H", 12: "d", 16: "Q"}[ftype]
                 f.write(struct.pack("<" + code * count, *values))
         f.write(payload)
-    layer = yg.read_raster(path)
+    layer = yg.read_raster(path, crs="epsg:4326")
     np.testing.assert_array_equal(layer.read_array(0, 0, 12, 4), data)
     assert layer.area.left == 10.0 and layer.area.top == 50.0
 

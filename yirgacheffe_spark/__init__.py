@@ -73,17 +73,22 @@ H3CellLayer = CellLayer
 
 # -- reference-parity entry points (yirgacheffe/_core.py) --------------------
 
-def read_raster(path: str, band: int = 1, ignore_nodata: bool = False):
+def read_raster(path: str, band: int = 1, ignore_nodata: bool = False,
+                crs: "str | None" = None):
     """Open a raster as a layer: a parquet tile table (this engine's native
     format), or a GeoTIFF file (the reference's native format, read with the
-    pure-stdlib bridge — reference ``_layers/rasters.py:173-370``)."""
+    pure-stdlib bridge — reference ``_layers/rasters.py:173-370``).
+
+    ``crs`` overrides the file's CRS — required for GeoTIFFs that carry no
+    EPSG geokey (the engine refuses to guess a projection silently)."""
     if os.path.isfile(path):
         with open(path, "rb") as f:
             magic = f.read(4)
         if magic[:2] in (b"II", b"MM"):
             from .sources.geotiff import GeoTIFFLayer  # pylint: disable=C0415
 
-            return GeoTIFFLayer(path, band=band, ignore_nodata=ignore_nodata)
+            return GeoTIFFLayer(path, band=band, ignore_nodata=ignore_nodata,
+                                crs=crs)
     return ParquetRasterLayer(path, band=band, ignore_nodata=ignore_nodata)
 
 

@@ -65,7 +65,7 @@ _PA_UNIQUE = pa.schema(
     [("value", pa.float64()), ("is_nan", pa.bool_()), ("count", pa.int64())]
 )
 
-_reader_cache: dict[tuple[int, str], DataFrame] = {}
+_reader_cache: dict[tuple[int, str, float], DataFrame] = {}
 
 
 def _as_root(tree) -> LayerOperation:
@@ -73,7 +73,11 @@ def _as_root(tree) -> LayerOperation:
 
 
 def _read_raster_table(spark: SparkSession, path: str) -> DataFrame:
-    key = (id(spark), path)
+    # mtime in the key (like the footer/manifest caches): an overwrite of
+    # the table replaces the part files, and the cached DataFrame's file
+    # index would keep pointing at the deleted names — FileNotFoundException
+    # on the next action, or stale data on a name collision.
+    key = (id(spark), path, os.stat(path).st_mtime_ns)
     if key not in _reader_cache:
         _reader_cache[key] = spark.read.parquet(path)
     return _reader_cache[key]
@@ -273,8 +277,13 @@ def _halo_strips(spark: SparkSession, payload: dict, slot: int,
                 px_base = sx * s_sz
                 wy0 = py_base - ayoff  # window coords of this tile's pixels
                 wx0 = px_base - axoff
-                for dty in (-1, 0, 1):
-                    for dtx in (-1, 0, 1):
+                # Pad can exceed one tile (stacked/huge stencils): reach
+                # ceil(p / tile) rings; the per-strip overlap test below
+                # already handles arbitrary distances.
+                ring_y = -(-p // ty_size)
+                ring_x = -(-p // tx_size)
+                for dty in range(-ring_y, ring_y + 1):
+                    for dtx in range(-ring_x, ring_x + 1):
                         if dty == 0 and dtx == 0:
                             continue
                         t_ty, t_tx = own_ty + dty, own_tx + dtx
@@ -713,12 +722,19 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                 bc = spark.sparkContext.broadcast(payload)
                 return spark, root, payload, bc, df
 
-        slot_rows = []
-        covs = []
-        for slot in range(n_slots):
-            rows, aligned, cov, _src = _slot_rows(spark, payload, slot, tile_box)
-            slot_rows.append(rows)
-            covs.append(cov)
+        if n_slots == 1:
+            # Unaligned single leaf: the body_only plan above IS the general
+            # plan (body_only only matters on aligned geometry) — reuse it
+            # instead of rebuilding the scan + selectExpr chain.
+            slot_rows = [rows]
+            covs = [cov]
+        else:
+            slot_rows = []
+            covs = []
+            for slot in range(n_slots):
+                rows, aligned, cov, _src = _slot_rows(spark, payload, slot, tile_box)
+                slot_rows.append(rows)
+                covs.append(cov)
 
         df = reduce(lambda a, b: a.unionByName(b), slot_rows)
         # Tiles no leaf stores a row for still exist as zeros (see above).
@@ -1395,6 +1411,11 @@ def save_multiband(trees: list, path: str, spark: SparkSession | None = None) ->
 
     spark = get_spark(spark)
     roots = [_as_root(t) for t in trees]
+    if constants.TILE_YSIZE != constants.TILE_XSIZE:
+        # Same guard as save(): write_meta records ONE tile_size, so
+        # non-square computation tiles would be read back on a wrong grid
+        # (every tile column displaced) — refuse instead.
+        raise ValueError("save_multiband requires square computation tiles")
     windows = {r.window for r in roots}
     if len(windows) != 1:
         raise ValueError("All bands must share the same extent/window")

@@ -9,6 +9,7 @@ metre-threshold rounding rules (semantics of the reference's
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 from typing import Any
 
@@ -17,6 +18,20 @@ import numpy as np
 from ..dtypes import DataType
 from ..grid import Area, MapProjection, Window
 from ..operators import LayerMathMixin
+
+
+def stable_hash(*parts) -> int:
+    """Process-stable structural hash for leaf identity tuples.
+
+    Python's ``hash()`` salts str/bytes per process; leaf ``cse_hash`` is
+    computed on the DRIVER (collect_hash_counts) but recomputed on WORKERS
+    (kernel.eval_tree), so a salted hash makes the shared-subexpression
+    membership test silently miss on every worker and leaf-level per-tile
+    CSE never fires.  This hashes the repr (deterministic for the str /
+    float / int / Area / MapProjection / DataType members leaves use) via
+    blake2b — identical in every process, no PYTHONHASHSEED assumption."""
+    digest = hashlib.blake2b(repr(parts).encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "big", signed=True)
 
 
 class Layer(LayerMathMixin):

@@ -21,7 +21,7 @@ import numpy as np
 from ..dtypes import DataType
 from ..grid import Area, MapProjection, Window
 from ..spatial import cells as cellindex
-from .base import Layer
+from .base import Layer, stable_hash
 
 
 class CellLayer(Layer):
@@ -47,7 +47,8 @@ class CellLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.cell_id, self._underlying_area, self.projection))
+        return stable_hash("cell", self.cell_id, self._underlying_area,
+                           self.projection)
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         if xsize <= 0 or ysize <= 0:
@@ -164,7 +165,8 @@ class S2CellLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash(("s2", self.cell_id, self._underlying_area, self.projection))
+        return stable_hash("s2", self.cell_id, self._underlying_area,
+                           self.projection)
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int,
                     window: Window) -> Any:

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..dtypes import DataType
 from ..grid import Area, MapProjection, Window
-from .base import Layer
+from .base import Layer, stable_hash
 
 # TIFF tag ids used here.
 _T_WIDTH = 256
@@ -321,7 +321,8 @@ class GeoTIFFLayer(Layer):
     ``(band-1) * blocks_per_band``)."""
 
     def __init__(self, path: str, name: str | None = None,
-                 ignore_nodata: bool = False, band: int = 1):
+                 ignore_nodata: bool = False, band: int = 1,
+                 crs: "str | None" = None):
         self.path = os.path.abspath(path)
         self.band = int(band)
         p = _read_tiff_header(self.path)
@@ -336,7 +337,18 @@ class GeoTIFFLayer(Layer):
         # (0, 0) corner.
         left = float(p.tiepoint[3]) - float(p.tiepoint[0]) * xstep
         top = float(p.tiepoint[4]) - float(p.tiepoint[1]) * ystep
-        epsg = f"epsg:{p.epsg}" if p.epsg else "epsg:4326"
+        if crs is not None:
+            epsg = crs
+        elif not p.epsg or p.epsg == 32767:  # absent, 0, or "user-defined"
+            raise ValueError(
+                f"{path}: GeoTIFF carries no resolvable EPSG geokey "
+                f"(got {p.epsg!r}) — refusing to assume epsg:4326, which "
+                "would silently pass the projection-mismatch check against "
+                "genuine 4326 layers; pass crs=epsg:NNNN (read_raster/"
+                "GeoTIFFLayer) or rewrite the file with a CRS geokey"
+            )
+        else:
+            epsg = f"epsg:{p.epsg}"
         projection = MapProjection(epsg, xstep, ystep)
         area = Area(
             left, top, left + p.width * xstep, top + p.height * ystep, projection
@@ -356,7 +368,8 @@ class GeoTIFFLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.path, self.band, self._mtime, self._ignore_nodata))
+        return stable_hash("geotiff", self.path, self.band, self._mtime,
+                           self._ignore_nodata)
 
     def __getstate__(self):
         state = {s: getattr(self, s) for s in (
@@ -433,7 +446,11 @@ class GeoTIFFLayer(Layer):
                     out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = block[
                         sy0 - gy0 : sy1 - gy0, sx0 - gx0 : sx1 - gx0
                     ]
-        if not self._ignore_nodata and p.nodata is not None and out.dtype.kind == "f":
+        if not self._ignore_nodata and p.nodata is not None:
+            # Unconditional, like the reference (rasters.py:366-369) and the
+            # parquet path (parquet.py apply_nodata): np.where upcasts int
+            # rasters to float64 so nodata really becomes NaN — gating on
+            # float dtype made the same data aggregate differently by format.
             out = np.where(out == p.nodata, np.nan, out)
         return out
 
@@ -694,7 +711,13 @@ def write_geotiff(path: str, data: np.ndarray, area: Area,
                          nodata=nodata, tile_size=tile_size, bigtiff=bigtiff,
                          compression=compression, sparse=sparse)
     s = tile_size
-    for ty in range(w.tiles_y):
-        for tx in range(w.tiles_x):
-            w.write_tile(data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s])
-    w.close()
+    try:
+        for ty in range(w.tiles_y):
+            for tx in range(w.tiles_x):
+                w.write_tile(data[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s])
+        w.close()
+    except BaseException:
+        # Same contract as to_geotiff: a mid-write failure (e.g. the classic
+        # 4 GiB ceiling) must not leak the handle or a stale .part file.
+        w.abort()
+        raise

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..dtypes import DataType
 from ..grid import Window
-from .base import Layer
+from .base import Layer, stable_hash
 
 
 class GroupLayerEmpty(ValueError):
@@ -64,7 +64,7 @@ class GroupLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash(tuple(x.cse_hash for x in self._layers_reversed))
+        return stable_hash(tuple(x.cse_hash for x in self._layers_reversed))
 
     def read_window(self, xoffset: int, yoffset: int, xsize: int, ysize: int, window: Window) -> Any:
         if xsize <= 0 or ysize <= 0:

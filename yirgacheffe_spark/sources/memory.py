@@ -19,7 +19,7 @@ import numpy as np
 from ..dtypes import DataType
 from ..grid import Area, MapProjection, Window
 from ..reprojection import WGS84_A_B, area_of_pixel_m2
-from .base import Layer, pad_to_window
+from .base import Layer, pad_to_window, stable_hash
 
 
 class ArrayLayer(Layer):
@@ -66,8 +66,8 @@ class ArrayLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.name, self._underlying_area, self.projection, self.datatype,
-                     self._ignore_nodata))
+        return stable_hash(self.name, self._underlying_area, self.projection,
+                           self.datatype, self._ignore_nodata)
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         if xsize <= 0 or ysize <= 0:
@@ -144,7 +144,8 @@ class UniformAreaLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.name, self._underlying_area, self.projection, self.datatype))
+        return stable_hash(self.name, self._underlying_area, self.projection,
+                           self.datatype)
 
     def read_window(self, _xoff: int, yoff: int, _xsize: int, ysize: int, window: Window) -> Any:
         if ysize <= 0:
@@ -192,7 +193,7 @@ class AreaPerPixelLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.name, self._underlying_area, self.projection))
+        return stable_hash(self.name, self._underlying_area, self.projection)
 
     def operation_area(
         self, projection: MapProjection | None = None, _force_union: bool = False,

@@ -32,7 +32,7 @@ import numpy as np
 from ..dtypes import DataType
 from ..grid import Area, CRS, MapProjection, Window
 from .. import constants
-from .base import Layer, pad_to_window
+from .base import Layer, pad_to_window, stable_hash
 
 META_FILENAME = "_raster_meta.json"
 
@@ -196,8 +196,8 @@ class ParquetRasterLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash((self.path, self._underlying_area, self.projection, self._dtype,
-                     self._ignore_nodata, self.band))
+        return stable_hash(self.path, self._underlying_area, self.projection,
+                           self._dtype, self._ignore_nodata, self.band)
 
     @property
     def stored_tiles(self) -> tuple[int, int]:

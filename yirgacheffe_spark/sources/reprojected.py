@@ -24,7 +24,7 @@ import numpy as np
 from ..dtypes import DataType
 from ..grid import MapProjection, Window
 from ..reprojection import separable_pair, transform_point, transform_points
-from .base import Layer
+from .base import Layer, stable_hash
 
 RESAMPLING_METHODS = ("nearest", "sum", "average", "min", "max", "mode", "med", "rms")
 # Methods the segmented (reduceat) path supports: any coarsening factor,
@@ -88,7 +88,8 @@ class ReprojectedLayer(Layer):
         src = self._source.cse_hash
         if src is None:
             return None
-        return hash((src, self._underlying_area, self.projection, self._method))
+        return stable_hash(src, self._underlying_area, self.projection,
+                           self._method)
 
     def _block_stats_general(self, px0: int, py0: int, xsize: int, ysize: int) -> Any:
         """Segmented block statistics for arbitrary coarsening factors: each

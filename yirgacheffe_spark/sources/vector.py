@@ -23,7 +23,7 @@ import numpy as np
 
 from ..dtypes import DataType, scalar_datatype
 from ..grid import Area, MapProjection, Window
-from .base import Layer
+from .base import Layer, stable_hash
 
 _NUM = r"[-+0-9.eE]+"
 _RING_RE = re.compile(r"\(([^()]+)\)")
@@ -383,16 +383,14 @@ class VectorLayer(Layer):
 
     @property
     def cse_hash(self) -> int | None:
-        return hash(
-            (
-                self.name,
-                self._underlying_area,
-                self.projection,
-                self._datatype,
-                str(self._burn_key),
-                len(self._features),
-                self._all_touched,
-            )
+        return stable_hash(
+            self.name,
+            self._underlying_area,
+            self.projection,
+            self._datatype,
+            str(self._burn_key),
+            len(self._features),
+            self._all_touched,
         )
 
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
