@@ -179,3 +179,44 @@ def test_leaf_cse_hash_stable_across_hash_seeds(tmp_path):
                            capture_output=True, text=True, env=env, check=True)
         outs.append(r.stdout.strip())
     assert outs[0] == outs[1] == str(layer.cse_hash)
+
+
+class TestManifestBandPruning:
+    def test_single_band_read_prunes_other_bands_row_groups(self, spark, tmp_path):
+        """A one-band query over a non-interleaved multiband table must drop
+        the other bands' row groups at planning time (files are band-pure),
+        not decode them only to discard every row — and still be correct."""
+        from yirgacheffe_spark.plans import executor as ex
+
+        path = str(tmp_path / "mb")
+        area = Area(10.0, 50.0, 10.0 + 8 * 0.02, 50.0 - 8 * 0.02, _proj())
+        layers = [
+            yg.from_array(np.full((8, 8), float(v), dtype=np.float64),
+                          (10.0, 50.0), _proj())
+            for v in (1.0, 2.0, 3.0)
+        ]
+        ex.save_multiband(layers, path, spark=spark)
+
+        band2 = yg.read_raster(path, band=2)
+        assert band2.sum(spark=spark) == 2.0 * 64
+
+        # Planner-level check: the footer stats carry band ranges and the
+        # band filter keeps strictly fewer row groups than all three bands.
+        total_rgs = 0
+        kept_files = set()
+        import os as _os
+
+        for f in sorted(_os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            stats = ex._footer_stats(_os.path.join(path, f))
+            total_rgs += len(stats)
+            for _rg, _ymm, _xmm, bmm in stats:
+                assert bmm is not None  # v2 manifest carries band stats
+                if bmm[0] <= 2 <= bmm[1]:
+                    kept_files.add(f)
+        # band-pure files: only band-2 files may survive the band filter
+        assert kept_files and len(kept_files) < total_rgs
+        for f in kept_files:
+            stats = ex._footer_stats(_os.path.join(path, f))
+            assert all(bmm == (2, 2) for _rg, _y, _x, bmm in stats)

@@ -451,37 +451,23 @@ def _footer_cache_put(key: tuple[str, float], value: list) -> None:
 
 
 def _footer_stats(path: str) -> list:
-    import pyarrow.parquet as pq  # pylint: disable=C0415
-
     key = (path, os.stat(path).st_mtime)
     got = _FOOTER_CACHE.get(key)
     if got is None:
         # Prefer the save-time manifest: one JSON fetch for the whole table
         # instead of a footer read per file (the scale path for tables with
         # many part files on object storage).
-        from ..sources.parquet import read_tile_manifest  # pylint: disable=C0415
+        from ..sources.parquet import (  # pylint: disable=C0415
+            read_tile_manifest,
+            row_group_tile_stats,
+        )
 
         manifest = read_tile_manifest(os.path.dirname(path))
         if manifest is not None and os.path.basename(path) in manifest:
             got = manifest[os.path.basename(path)]
             _footer_cache_put(key, got)
             return got
-        md = pq.ParquetFile(path).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        iy, ix = names.get("tile_y"), names.get("tile_x")
-
-        def minmax(group, idx):
-            if idx is None:
-                return None
-            st = group.column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            return (st.min, st.max)
-
-        got = []
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            got.append((rg, minmax(g, iy), minmax(g, ix)))
+        got = row_group_tile_stats(path)
         _footer_cache_put(key, got)
     return got
 
@@ -537,8 +523,15 @@ def _manifest_rows(spark: SparkSession, payload: dict,
         for f in os.listdir(first["path"])
         if f.endswith(".parquet")
     )
+    band_lo, band_hi = min(bands), max(bands)
     for f in part_files:
-        for rg, ymm, xmm in _footer_stats(f):
+        for rg, ymm, xmm, bmm in _footer_stats(f):
+            # Band pruning: non-interleaved multiband tables are band-pure
+            # per file, so a single-band query drops the other bands' files
+            # entirely instead of decoding their payloads only to discard
+            # every row kernel-side.
+            if bmm is not None and (bmm[1] < band_lo or bmm[0] > band_hi):
+                continue
             if ymm is not None and (ymm[1] < sy_lo or ymm[0] > sy_hi):
                 continue
             if xmm is not None and (xmm[1] < sx_lo or xmm[0] > sx_hi):

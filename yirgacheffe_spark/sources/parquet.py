@@ -107,31 +107,47 @@ def write_tile_manifest(path: str) -> None:
     reader plans its pruned scan from a SINGLE metadata fetch.  Without it,
     planning reads every parquet footer — one ranged GET per file against
     object storage, linear driver cost as table file counts grow."""
-    import pyarrow.parquet as pq  # pylint: disable=C0415
-
     entries: dict[str, list] = {}
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
-        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        iy, ix = cols.get("tile_y"), cols.get("tile_x")
-
-        def minmax(group, idx):
-            if idx is None:
-                return None
-            st = group.column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            return [int(st.min), int(st.max)]
-
-        rows = []
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            rows.append([rg, minmax(g, iy), minmax(g, ix)])
-        entries[name] = rows
+        entries[name] = [
+            [rg, list(ymm) if ymm else None, list(xmm) if xmm else None,
+             list(bmm) if bmm else None]
+            for rg, ymm, xmm, bmm in row_group_tile_stats(
+                os.path.join(path, name))
+        ]
     with open(os.path.join(path, MANIFEST_JSON), "w", encoding="utf-8") as fp:
-        json.dump({"version": 1, "entries": entries}, fp)
+        json.dump({"version": 2, "entries": entries}, fp)
+
+
+def row_group_tile_stats(file_path: str) -> list:
+    """Per-row-group (rg, (ty_min, ty_max), (tx_min, tx_max),
+    (band_min, band_max)) from one parquet footer — the single source of
+    the footer-stat format, shared by the save-time manifest writer and
+    the executor's planning-time footer reader (they used to carry
+    separate copies of this loop).  Band stats let a single-band read of a
+    non-interleaved multiband table prune the other bands' row groups
+    driver-side (files are band-pure, so whole files drop)."""
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    md = pq.ParquetFile(file_path).metadata
+    cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    iy, ix, ib = cols.get("tile_y"), cols.get("tile_x"), cols.get("band")
+
+    def minmax(group, idx):
+        if idx is None:
+            return None
+        st = group.column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        return (int(st.min), int(st.max))
+
+    out = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        out.append((rg, minmax(g, iy), minmax(g, ix), minmax(g, ib)))
+    return out
 
 
 _TILE_MANIFEST_CACHE: dict[tuple[str, float], dict] = {}
@@ -151,8 +167,12 @@ def read_tile_manifest(path: str) -> dict | None:
             doc = json.load(fp)
         got = {
             name: [
-                (rg, tuple(ymm) if ymm else None, tuple(xmm) if xmm else None)
-                for rg, ymm, xmm in rows
+                # v1 rows have 3 fields (no band stats); pad with None.
+                (r[0],
+                 tuple(r[1]) if r[1] else None,
+                 tuple(r[2]) if r[2] else None,
+                 tuple(r[3]) if len(r) > 3 and r[3] else None)
+                for r in rows
             ]
             for name, rows in doc.get("entries", {}).items()
         }
