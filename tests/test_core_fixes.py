@@ -93,14 +93,19 @@ class TestReaderCacheInvalidation:
         yg.write_array_as_raster_table(path, a, area, tile_size=4)
         s1 = yg.read_raster(path).sum(spark=spark)
         assert s1 == 64.0
-        time.sleep(1.1)  # ensure a distinct dir mtime on coarse filesystems
-        b = np.full((8, 8), 3.0, dtype=np.float64)
+        # Several overwrite cycles: the stale-read bug lived in a WORKER-side
+        # open-file cache keyed by path alone, so one cycle only failed when
+        # the same worker got the re-read task — loop until every worker has
+        # seen the file (caught in full-suite runs as a flaky 64 != 192).
         import shutil
 
-        shutil.rmtree(path)
-        yg.write_array_as_raster_table(path, b, area, tile_size=4)
-        s2 = yg.read_raster(path).sum(spark=spark)
-        assert s2 == 192.0
+        for i, v in enumerate((3.0, 5.0, 7.0, 11.0)):
+            time.sleep(1.1)  # distinct dir mtime on coarse filesystems
+            shutil.rmtree(path)
+            yg.write_array_as_raster_table(
+                path, np.full((8, 8), v, dtype=np.float64), area, tile_size=4)
+            got = yg.read_raster(path).sum(spark=spark)
+            assert got == v * 64, (i, v, got)
 
 
 def test_save_multiband_requires_square_tiles(spark, monkeypatch):
@@ -220,3 +225,30 @@ class TestManifestBandPruning:
         for f in kept_files:
             stats = ex._footer_stats(_os.path.join(path, f))
             assert all(bmm == (2, 2) for _rg, _y, _x, bmm in stats)
+
+
+def test_cse_does_not_merge_dtype_distinct_constants(spark):
+    """(a + 1) and (a + 1.0) are different computations on integer layers
+    (uint8 wrap vs float widen) but hash(1) == hash(1.0), so the CSE cache
+    used to serve one result for both."""
+    a = yg.from_array(np.array([[250, 251], [252, 255]], dtype=np.uint8),
+                      (10.0, 50.0), _proj())
+    int_branch = (a + 1) % 7          # uint8 arithmetic: 255+1 wraps to 0
+    float_branch = (a + 1.0) / 2.0    # float widen: 255+1.0 = 256.0
+    expr = int_branch + float_branch
+    got = np.asarray(expr.to_numpy(spark=spark))
+    base = np.array([[250, 251], [252, 255]], dtype=np.uint8)
+    want = ((base + np.uint8(1)) % 7) + ((base + 1.0) / 2.0)
+    np.testing.assert_allclose(got, want)
+    # the local oracle must agree too (it shares the CSE cache machinery)
+    np.testing.assert_allclose(np.asarray(kernel.evaluate_window(expr)), want)
+
+
+def test_dag_walkers_linear_on_shared_subtrees(spark):
+    """expr doubled 40 times is a 2^40-path DAG; plan-time walkers must
+    memoize by identity or the driver hangs before any job starts."""
+    a = yg.from_array(np.ones((4, 4), dtype=np.float64), (10.0, 50.0), _proj())
+    e = a
+    for _ in range(40):
+        e = e + e
+    assert e.sum(spark=spark) == 16 * 2.0 ** 40

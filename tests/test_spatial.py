@@ -787,3 +787,55 @@ def test_asof_string_tiebreak_keeps_own_type(spark):
         out = asof.asof_join(left, right, on="ts", by="user_id",
                              tiebreak_col="seq").collect()
         assert out[0]["r_px"] == 3.0  # max string seq wins on every layout
+
+
+def test_knn_exact_even_with_tiny_max_ring(spark):
+    """max_ring bounds only the cheap cell-disk search, never correctness:
+    when the disk cannot certify the k nearest (sparse corner data, tiny
+    max_ring), the unverifiable queries fall through to an exact pass.  The
+    old force-settle at max_ring returned disk-corner pages as 'nearest'
+    and silently DROPPED queries whose disk was empty."""
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import joins
+
+    # pages cluster far from the query; nothing within a 1-ring disk
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"u{i}" for i in range(6)],
+        "lat": [40.0, 40.1, 40.2, -35.0, -35.1, -35.2],
+        "lng": [10.0, 10.1, 10.2, 150.0, 150.1, 150.2],
+    }))
+    from yirgacheffe_spark.spatial import cells as ci
+    import numpy as np
+
+    pages = pages.withColumn("cell", joins.cell_expr("lat", "lng", 6))
+    queries = [
+        {"query_id": 1, "lat": 0.0, "lng": 0.0},     # empty disk at ring 1
+        {"query_id": 2, "lat": -30.0, "lng": 140.0}, # nearer to the -35 cluster
+    ]
+    out = joins.knn_join(spark, pages, queries, k=2, res=6, max_ring=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # no query vanishes, and each gets its true 2 nearest (brute force oracle)
+    assert set(by_q) == {1, 2}
+    p = pages.toPandas()
+    for q in queries:
+        d = joins.haversine_m(p["lat"].to_numpy(), p["lng"].to_numpy(),
+                              np.full(6, q["lat"]), np.full(6, q["lng"]))
+        want = set(p["url"].to_numpy()[np.argsort(d)][:2])
+        got = {r.url for r in by_q[q["query_id"]]}
+        assert got == want, (q, got, want)
+
+
+def test_knn_empty_query_list(spark):
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import joins
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["a"], "lat": [1.0], "lng": [2.0]}))
+    pages = pages.withColumn("cell", joins.cell_expr("lat", "lng", 6))
+    out = joins.knn_join(spark, pages, [], k=3, res=6)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "url", "dist_m", "rank"}

@@ -168,7 +168,11 @@ class LayerConstant:
 
     @property
     def cse_hash(self) -> int | None:
-        return hash(self.val)
+        # Include the type: hash(1) == hash(1.0) == hash(True), so (a + 1)
+        # and (a + 1.0) would otherwise merge into ONE CSE cache line even
+        # though their numpy result dtypes (and values, e.g. uint8 wrap vs
+        # float widen) differ — silently wrong pixels with no error.
+        return hash((type(self.val).__name__, self.val))
 
     @property
     def datatype(self) -> DataType:
@@ -557,6 +561,22 @@ class LayerOperation(LayerMathMixin):
         if self.operator == Op.ASAREA:
             return self.kwargs["new_area"]
 
+        # Memoized per (projection, flags): the fold recurses over children,
+        # and an expression DAG (e = a + a; e = e + e; ...) would otherwise
+        # walk 2^depth paths — nodes are immutable after construction, so
+        # the result is fixed.  repr() keys the projection (its __eq__ is
+        # pitch-tolerant, unsafe as a dict key).
+        memo = self.__dict__.setdefault("_area_memo", {})
+        key = (repr(projection), force_union, top_level)
+        if key in memo:
+            return memo[key]
+        memo[key] = out = self._operation_area_uncached(
+            projection, force_union, top_level)
+        return out
+
+    def _operation_area_uncached(
+        self, projection: MapProjection | None, force_union: bool = False, top_level: bool = True
+    ) -> Area:
         areas = []
         for child in self.children:
             child_area = child.operation_area(projection, force_union, top_level=False)
@@ -631,7 +651,12 @@ class LayerOperation(LayerMathMixin):
     def datatype(self) -> DataType:
         if self.operator == Op.ASTYPE:
             return self.kwargs["datatype"]
-        return result_datatype(*[c.datatype for c in self.children])
+        cached = self.__dict__.get("_dtype_memo")
+        if cached is None:
+            # Memoized for the same DAG reason as operation_area.
+            cached = result_datatype(*[c.datatype for c in self.children])
+            self.__dict__["_dtype_memo"] = cached
+        return cached
 
     def pretty_print(self, prefix="", is_last=True):
         kwargs_str = ", ".join(f"{k}={v}" for k, v in self.kwargs.items())

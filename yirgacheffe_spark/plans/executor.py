@@ -776,7 +776,12 @@ def _assemble_slot(meta: dict, pieces, y0: int, x0: int, h: int, w: int):
     return out, (oy, ox)
 
 
-_PQ_FILE_CACHE: dict[str, Any] = {}
+# Keyed by (path, mtime_ns, size), NOT path alone: an overwrite that reuses
+# the file name would otherwise keep serving the DELETED inode through the
+# cached open handle — stale reads that depend on which worker gets the task
+# (caught as a flaky overwrite-loop test; one os.stat per row group is noise
+# next to the footer parse the cache avoids).
+_PQ_FILE_CACHE: dict[tuple, Any] = {}
 
 # Per-stage worker timing for scaling diagnosis (scripts/diag_aoh.py): when
 # YG_STAGE_TIMING names a path prefix, each Python worker appends its
@@ -814,11 +819,13 @@ def _manifest_pieces(batch: pa.RecordBatch, man: dict, payload: dict,
         if f is None:  # out-of-coverage tile: exists as zeros
             groups.setdefault((int(mty), int(mtx)), [[] for _ in range(n_slots)])
             continue
-        pf = _PQ_FILE_CACHE.get(f)
+        st = os.stat(f)
+        fkey = (f, st.st_mtime_ns, st.st_size)
+        pf = _PQ_FILE_CACHE.get(fkey)
         if pf is None:
             if len(_PQ_FILE_CACHE) > 64:
                 _PQ_FILE_CACHE.clear()
-            pf = _PQ_FILE_CACHE[f] = pq.ParquetFile(f)
+            pf = _PQ_FILE_CACHE[fkey] = pq.ParquetFile(f)
         tbl = pf.read_row_group(
             rg, columns=["band", "tile_y", "tile_x", "ysize", "xsize", "payload"]
         )

@@ -35,43 +35,71 @@ class EvalContext:
     cache: dict = field(default_factory=dict)
 
 
-def collect_hash_counts(node, counter: Counter | None = None) -> Counter:
+def collect_hash_counts(node, counter: Counter | None = None,
+                        _seen: set | None = None) -> Counter:
     """Count structural-hash occurrences across the tree; hashes seen twice or
-    more become per-tile cache lines."""
+    more become per-tile cache lines.
+
+    Memoized by object identity so a DAG (``e = a + a; e = e + e; ...``)
+    traverses in linear time instead of 2^depth paths — a revisited node
+    still bumps its hash count (it IS a reuse, the whole point of CSE) but
+    never recurses again."""
     if counter is None:
         counter = Counter()
+    if _seen is None:
+        _seen = set()
     h = node.cse_hash if not isinstance(node, LayerConstant) else None
     if h is not None:
         counter[h] += 1
+    if id(node) in _seen:
+        return counter
+    _seen.add(id(node))
     if isinstance(node, LayerOperation):
         for child in node.children:
-            collect_hash_counts(child, counter)
+            collect_hash_counts(child, counter, _seen)
     return counter
 
 
-def collect_leaf_paddings(node, acc: int = 0, out: dict | None = None) -> dict:
-    """Maximum accumulated conv2d halo on any root-to-leaf path, per leaf id."""
+def collect_leaf_paddings(node, acc: int = 0, out: dict | None = None,
+                          _seen: set | None = None) -> dict:
+    """Maximum accumulated conv2d halo on any root-to-leaf path, per leaf id.
+
+    Memoized by (node identity, accumulated pad): re-entering a shared
+    subtree with a pad already explored cannot change any leaf's maximum,
+    so DAG traversal stays linear per distinct pad instead of exponential."""
     if out is None:
         out = {}
+    if _seen is None:
+        _seen = set()
     if isinstance(node, LayerOperation):
+        key = (id(node), acc)
+        if key in _seen:
+            return out
+        _seen.add(key)
         acc += node.buffer_padding
         for child in node.children:
-            collect_leaf_paddings(child, acc, out)
+            collect_leaf_paddings(child, acc, out, _seen)
     elif not isinstance(node, LayerConstant):
         out[id(node)] = max(out.get(id(node), 0), acc)
     return out
 
 
-def collect_parquet_leaves(node, out: list | None = None) -> list:
+def collect_parquet_leaves(node, out: list | None = None,
+                           _seen: set | None = None) -> list:
     """Direct ParquetRasterLayer leaves of the tree, deduplicated by identity,
     in deterministic discovery order."""
     from ..sources.parquet import ParquetRasterLayer  # pylint: disable=C0415
 
     if out is None:
         out = []
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:
+        return out
+    _seen.add(id(node))
     if isinstance(node, LayerOperation):
         for child in node.children:
-            collect_parquet_leaves(child, out)
+            collect_parquet_leaves(child, out, _seen)
     elif isinstance(node, ParquetRasterLayer):
         if not any(leaf is node for leaf in out):
             out.append(node)

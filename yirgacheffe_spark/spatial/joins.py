@@ -56,19 +56,14 @@ def points_in_rings(lat: np.ndarray, lng: np.ndarray, rings) -> np.ndarray:
     return inside
 
 
-def polygon_cover(polygons: list[dict], res: int) -> pd.DataFrame:
-    """(poly_id, cell) covering rows: each polygon's envelope cells at ``res``
-    — the candidate-pruning table (driver-side; polygons are the small dim)."""
-    rows_poly, rows_cell = [], []
-    for f in polygons:
-        rings = parse_wkt_polygon(f["geom_wkt"])
-        pts = np.vstack(rings)
-        cover = cellindex.cells_covering_bbox(
-            pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
-        )
-        rows_poly.extend([f["poly_id"]] * len(cover))
-        rows_cell.extend(cover.tolist())
-    return pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
+def _envelope_cover(wkt: str, res: int) -> np.ndarray:
+    """Cells at ``res`` covering a polygon's bbox envelope — THE cover rule,
+    shared by the broadcast and distributed PIP paths (a change here, e.g.
+    antimeridian handling, must apply to both or they silently diverge)."""
+    pts = np.vstack(parse_wkt_polygon(wkt))
+    return cellindex.cells_covering_bbox(
+        pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
+    )
 
 
 def _pip_broadcast(
@@ -88,11 +83,8 @@ def _pip_broadcast(
     pip bench regression, 0.8s -> 1.4s.)"""
     rings_by_id = {pid: parse_wkt_polygon(wkt) for pid, wkt in pairs}
     cell_to_pids: dict[int, list] = {}
-    for pid, rings in rings_by_id.items():
-        pts = np.vstack(rings)
-        for c in cellindex.cells_covering_bbox(
-            pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res,
-        ):
+    for pid, wkt in pairs:
+        for c in _envelope_cover(wkt, res):
             cell_to_pids.setdefault(int(c), []).append(pid)
     if not cell_to_pids:
         # No polygons (or none covering any cell): empty result with the
@@ -101,7 +93,16 @@ def _pip_broadcast(
         return pages.where(F.lit(False)).withColumn(
             "poly_id", F.lit(None).cast(poly_id_type)
         )
-    rings_bc = spark.sparkContext.broadcast(rings_by_id)
+    try:
+        rings_bc = spark.sparkContext.broadcast(rings_by_id)
+    except Exception:  # pylint: disable=W0703
+        # Spark Connect has no sparkContext; ship the dict in the UDF
+        # closure instead (same data, serialized per task batch instead of
+        # once per worker — dim-sized by contract, so this is acceptable).
+        class _PlainValue:  # noqa: D401 - minimal .value shim
+            value = rings_by_id
+
+        rings_bc = _PlainValue()
 
     if len(cell_to_pids) <= 256:  # keep the CASE chain inside codegen limits
         chain = None
@@ -162,11 +163,7 @@ def point_in_polygon_join_df(
         for pdf in batches:
             rows_poly, rows_cell = [], []
             for pid, wkt in zip(pdf["poly_id"], pdf["geom_wkt"]):
-                pts = np.vstack(parse_wkt_polygon(wkt))
-                cover_cells = cellindex.cells_covering_bbox(
-                    pts[:, 0].min(), pts[:, 1].min(),
-                    pts[:, 0].max(), pts[:, 1].max(), res,
-                )
+                cover_cells = _envelope_cover(wkt, res)
                 rows_poly.extend([pid] * len(cover_cells))
                 rows_cell.extend(cover_cells.tolist())
             yield pd.DataFrame({"poly_id": rows_poly, "cell": rows_cell})
@@ -213,15 +210,26 @@ def point_in_polygon_join(
     polygons: list[dict],
     res: int = 7,
     broadcast: bool = True,
+    poly_id_type: "str | None" = None,
 ) -> DataFrame:
     """List-of-dicts convenience wrapper.  The broadcast (default) path goes
     straight to ``_pip_broadcast`` with the in-memory pairs — round-tripping
     through createDataFrame + collect costs two driver jobs (~0.6s) for
-    nothing."""
+    nothing.
+
+    ``poly_id_type`` pins the output poly_id column's Spark type; inferred
+    from the first polygon when omitted (string ids -> string column).  It
+    only matters for ``polygons=[]``, where nothing can be inferred and the
+    default is bigint — pass it explicitly if an empty batch's result will
+    be unioned with string-id results."""
+    if poly_id_type is None and polygons:
+        poly_id_type = ("string" if isinstance(polygons[0]["poly_id"], str)
+                        else "bigint")
     if broadcast:
         return _pip_broadcast(
             spark, pages,
             [(f["poly_id"], f["geom_wkt"]) for f in polygons], res,
+            poly_id_type=poly_id_type or "bigint",
         )
     poly_df = spark.createDataFrame(
         pd.DataFrame(
@@ -368,9 +376,15 @@ def knn_join_df(
     # coalesced to 64 tasks -> 0.8s, 4.6x).  Narrow coalesce keeps every
     # core busy (2 waves) without a repartition shuffle.
     pages = pages.select("cell", "lat", "lng", id_col)
-    target_parts = 2 * spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() > 2 * target_parts:
-        pages = pages.coalesce(target_parts)
+    try:
+        # sparkContext/.rdd are absent on Spark Connect; the coalesce is a
+        # shuffle-overhead optimisation, not a correctness step — skip it
+        # there rather than crash before the query runs.
+        target_parts = 2 * spark.sparkContext.defaultParallelism
+        if pages.rdd.getNumPartitions() > 2 * target_parts:
+            pages = pages.coalesce(target_parts)
+    except Exception:  # pylint: disable=W0703
+        pass
 
     q = queries.select(
         "query_id",
@@ -582,9 +596,11 @@ def knn_join_df(
         * F.sin(F.radians(F.least(ring_c * F.lit(cell_w_deg), F.lit(180.0))) / 2)
     )
     safe_v = F.least(ring_c * F.lit(cell_h_m), chord_v)
-    is_settled = (F.col("ring") >= max_ring) | (
-        (F.col("_c") >= k) & (F.col("_kth") <= safe_v)
-    )
+    # Settled ONLY when the verified bound holds — never merely because the
+    # search hit max_ring: a force-settled max_ring disk can return the
+    # corner of the disk as "nearest" while a closer page sits just outside
+    # it, and a query whose disk is empty would vanish from the output.
+    is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_v)
     pending = judged.where(~F.coalesce(is_settled, F.lit(False)))
 
     if pending.isEmpty():
@@ -596,10 +612,50 @@ def knn_join_df(
         pend_q = pending.select("query_id", "qlat", "qlng", "qrow", "qcol").withColumn(
             "ring", F.lit(max_ring).cast("int")
         )
-        settled_ids = judged.where(is_settled).select("query_id")
+        settled_ids = judged.where(F.coalesce(is_settled, F.lit(False))).select(
+            "query_id")
+        esc = topk(make_disk(pend_q)).localCheckpoint(eager=True)
+        # Judge the escalated results against the max_ring inscribed bound;
+        # queries it cannot certify (ultra-sparse regions, or k larger than
+        # the disk's population) fall through to an exact brute-force pass —
+        # the result is the true global top-k for EVERY query, max_ring only
+        # bounds how far the cheap cell-disk search is allowed to reach.
+        esc_stats = esc.groupBy("query_id").agg(
+            F.count("*").alias("_c"), F.max("dist_m").alias("_kth")
+        )
+        esc_judged = pend_q.select("query_id", "qlat").join(
+            esc_stats, "query_id", "left")
+        mr = float(max_ring)
+        phi_far_m = F.least(F.lit(90.0),
+                            F.abs(F.col("qlat")) + F.lit((mr + 1) * cell_h_deg))
+        chord_m = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+            F.greatest(F.cos(F.radians(phi_far_m)), F.lit(0.0))
+            * F.sin(F.radians(F.lit(min(mr * cell_w_deg, 180.0))) / 2)
+        )
+        safe_m = F.least(F.lit(mr * cell_h_m), chord_m)
+        esc_ok = (F.col("_c") >= k) & (F.col("_kth") <= safe_m)
+        unverified = esc_judged.where(~F.coalesce(esc_ok, F.lit(False)))
         out = best.join(
             F.broadcast(settled_ids), "query_id", "left_semi"
-        ).unionByName(topk(make_disk(pend_q)))
+        )
+        if unverified.isEmpty():
+            out = out.unionByName(esc)
+        else:
+            bq = pending.select("query_id", "qlat", "qlng").join(
+                F.broadcast(unverified.select("query_id")), "query_id",
+                "left_semi")
+            esc_ids = esc_judged.where(F.coalesce(esc_ok, F.lit(False))).select(
+                "query_id")
+            bf = pages.crossJoin(F.broadcast(bq)).select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                haversine_col(
+                    F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
+                ).alias("dist_m"),
+            )
+            out = out.unionByName(
+                esc.join(F.broadcast(esc_ids), "query_id", "left_semi")
+            ).unionByName(bf)
 
     out = (
         out.withColumn(
@@ -630,6 +686,12 @@ def knn_join(
 ) -> DataFrame:
     """List-of-dicts convenience wrapper over ``knn_join_df`` (``queries``:
     dicts with ``query_id``, ``lat``, ``lng``)."""
+    if not queries:
+        # createDataFrame cannot infer a schema from an empty pandas frame;
+        # an empty query batch is a legal pipeline state, not an error.
+        return spark.createDataFrame(
+            [], f"query_id bigint, {id_col} string, dist_m double, rank int"
+        )
     qdf = spark.createDataFrame(
         pd.DataFrame(queries, columns=["query_id", "lat", "lng"])
     )
@@ -656,14 +718,16 @@ def adaptive_cells(pages: DataFrame, res: int, max_rows: int,
             break
         current_res += 1
         hot = F.broadcast(hot.withColumnRenamed("part_cell", "hot_cell"))
-        # Child id at res+1: (res+1)<<56 | (row*2 + lat_half)<<28 | (col*2 + lng_half)
+        # Hot rows re-key to the cell CONTAINING them at the finer level —
+        # recomputed from lat/lng with cell_expr (equivalent to deriving the
+        # child from the parent id, since the grid nests exactly 4-way).
         out = (
             out.join(hot, out["part_cell"] == hot["hot_cell"], "left")
             .withColumn(
                 "part_cell",
                 F.when(
                     F.col("hot_cell").isNull(), F.col("part_cell")
-                ).otherwise(_child_cell_expr("part_cell", "lat", "lng", current_res)),
+                ).otherwise(cell_expr("lat", "lng", current_res)),
             )
             .drop("hot_cell")
         )
@@ -683,10 +747,6 @@ def cell_expr(lat_col: str, lng_col: str, res: int):
     col = F.least(F.greatest(col, F.lit(0)), F.lit((1 << (res + 1)) - 1))
     return (F.lit(res).cast("long") * F.lit(1 << 56).cast("long")) + \
         F.shiftleft(row, 28) + col
-
-
-def _child_cell_expr(cell_col: str, lat_col: str, lng_col: str, child_res: int):
-    return cell_expr(lat_col, lng_col, child_res)
 
 
 def salted(df: DataFrame, key_col: str, buckets: int = 16) -> DataFrame:
