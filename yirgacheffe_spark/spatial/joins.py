@@ -347,25 +347,28 @@ def knn_join_df(
 
     ONE-SHOT adaptive-disk design: every query is assigned its own ring —
     the smallest power of two whose disk (a) is expected to hold >= 4k
-    candidates at the table's mean density and (b) has a provable settle
-    radius (chord-form width bound at the disk's most poleward latitude)
-    larger than the density-predicted k-th distance; queries with no such
-    ring (near-polar, where the longitude bound collapses) go straight to
-    ``max_ring`` and force-settle, exactly as the old escalation eventually
-    did.  All disks are scored in ONE page-table scan (cells via JVM
-    ``explode(sequence(...))``, cell-equality join, JVM haversine), the
-    per-query top-k is one window rank, and the settle condition is then
-    VERIFIED exactly (count >= k and k-th distance <= the sound chord/
-    meridian bound); the rare under-predicted queries get a single exact
-    escalation scan at ``max_ring``.  The driver never sees a result row.
+    candidates at the table's per-latitude-band density and (b) has a
+    provable settle radius larger than the density-predicted k-th distance
+    (which is floored at the distance to the nearest nonempty band, so an
+    empty-region query picks a disk that REACHES the data).  All disks are
+    scored in ONE page-table scan (cells via JVM ``explode(sequence(...))``,
+    cell-equality join, JVM haversine), the per-query top-k is one window
+    rank, and the settle condition is then VERIFIED exactly: count >= k
+    and k-th distance within the sound outside-point bound (min over
+    integer row offsets d of max(d*cell_h meridian term, longitude chord
+    at the point's own latitude)).  Queries the bound cannot certify take
+    one cell-histogram-pruned exact pass: per-(query, cell) sound distance
+    bounds over the (cached) nonempty-cell counts shrink candidates to the
+    few cells around the nearest data, then one candidate-fetch scan and a
+    window rank.  The driver never sees a result row.
 
-    Why one-shot: the previous multi-round shell expansion cost one full
+    Why one-shot: the earliest multi-round shell expansion cost one full
     page scan PLUS an eager ``localCheckpoint`` barrier per round, and the
     barriers' fixed costs grow with cores — measured 0.91x scaling from 8
     to 32 cores on the bench mix (2-3 serialized rounds).  The one-shot
     plan has one heavy job and one cheap check, and the density prediction
     only affects PERFORMANCE — exactness comes from the verified settle
-    bound and the escalation scan.
+    bound and the histogram-pruned final pass.
 
     ``initial_ring`` (optional) bypasses the density estimate and gives
     every query that uniform starting ring.
