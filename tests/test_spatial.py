@@ -858,3 +858,69 @@ def test_knn_empty_query_list(spark):
     out = joins.knn_join(spark, pages, [], k=3, res=6)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "url", "dist_m", "rank"}
+
+
+def test_knn_polar_exact(spark):
+    """Polar regression for the histogram pass's per-cell distance UPPER
+    bound: the parallel leg must use the cos that MAXIMIZES it over the
+    cell's latitude range (1.0 across the equator), not cos(far_lat) —
+    at far_lat = +-90 that collapsed the leg to 0, understating ub by up
+    to ~cell_h*R for pole-adjacent cells, and the resulting cap pruned
+    cells holding the true nearest neighbor for exactly the polar/remote
+    queries the pass exists to serve."""
+    import pandas as pd
+
+    from yirgacheffe_spark.spatial import joins
+
+    # Pages ONLY in the pole-adjacent rows (row 0 and row 63 at res 6),
+    # spread over longitudes including across the antimeridian; every
+    # query's ring-1 disk is empty -> all take the histogram fallback.
+    lngs = np.arange(-175.0, 180.0, 10.0)
+    lat_n = np.full(len(lngs), 89.3)
+    lat_s = np.full(len(lngs), -89.3)
+    pdf = pd.DataFrame({
+        "url": [f"n{i}" for i in range(len(lngs))]
+               + [f"s{i}" for i in range(len(lngs))],
+        "lat": np.concatenate([lat_n, lat_s]),
+        "lng": np.concatenate([lngs, lngs]),
+    })
+    pages = spark.createDataFrame(pdf).withColumn(
+        "cell", joins.cell_expr("lat", "lng", 6))
+    queries = [
+        {"query_id": 1, "lat": 40.0, "lng": 179.0},
+        {"query_id": 2, "lat": 40.0, "lng": -179.0},
+        {"query_id": 3, "lat": -40.0, "lng": 1.0},
+        {"query_id": 4, "lat": 0.0, "lng": -91.0},
+        {"query_id": 5, "lat": 75.0, "lng": 13.0},
+    ]
+    out = joins.knn_join(spark, pages, queries, k=3, res=6,
+                         max_ring=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    lat_v, lng_v = pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+    for q in queries:
+        d = joins.haversine_m(lat_v, lng_v,
+                              np.full(len(pdf), q["lat"]),
+                              np.full(len(pdf), q["lng"]))
+        order = np.lexsort((pdf["url"].to_numpy(), d))[:3]
+        want = list(pdf["url"].to_numpy()[order])
+        got = [r.url for r in sorted(by_q[q["query_id"]],
+                                     key=lambda r: r.rank)]
+        assert got == want, (q, got, want)
+
+    # Pinned minimal failure of the old cos(far_lat) formula (verified
+    # numerically): for a query at (40, 179), the row-0 cell across the
+    # pole holding "polar" gets old-ub 5560 km (parallel leg collapsed to
+    # 0 at far_lat=90) while its page truly sits 5715 km away; the true
+    # nearest "near" (5701 km, row 36 straight south) has cell lb 5630 km
+    # > 5560, so the old cap pruned its cell and returned the polar page.
+    pinned = spark.createDataFrame(pd.DataFrame({
+        "url": ["polar", "near"],
+        "lat": [88.6, -11.3],
+        "lng": [-1.0, 179.0],
+    })).withColumn("cell", joins.cell_expr("lat", "lng", 6))
+    got = joins.knn_join(
+        spark, pinned, [{"query_id": 1, "lat": 40.0, "lng": 179.0}],
+        k=1, res=6, max_ring=1).collect()
+    assert [r.url for r in got] == ["near"]

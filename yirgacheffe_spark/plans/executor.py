@@ -79,6 +79,11 @@ def _read_raster_table(spark: SparkSession, path: str) -> DataFrame:
     # on the next action, or stale data on a name collision.
     key = (id(spark), path, os.stat(path).st_mtime_ns)
     if key not in _reader_cache:
+        # Evict superseded mtimes of the same table first: an overwrite
+        # loop would otherwise leak one cached DataFrame per rewrite for
+        # the process lifetime.
+        for old in [k for k in _reader_cache if k[:2] == key[:2]]:
+            del _reader_cache[old]
         _reader_cache[key] = spark.read.parquet(path)
     return _reader_cache[key]
 

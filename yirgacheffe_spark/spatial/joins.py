@@ -251,6 +251,10 @@ _BAND_DENSITY_CACHE_MAX = 32
 # (plan identity,) -> checkpointed per-cell count DataFrame (the exact-kNN
 # final pass's pruning histogram; same invalidation story as the band cache)
 _CELL_COUNT_CACHE: dict = {}
+# (plan identity,) -> (sorted cell ids, counts) numpy arrays — the
+# driver-side twin used when res is low enough that the nonempty-cell
+# histogram is driver-sized (<= 2*4^res rows)
+_CELL_HIST_CACHE: dict = {}
 
 
 def _plan_identity(df: DataFrame):
@@ -277,6 +281,7 @@ def invalidate_density_cache() -> None:
     the process restarts."""
     _BAND_DENSITY_CACHE.clear()
     _CELL_COUNT_CACHE.clear()
+    _CELL_HIST_CACHE.clear()
 
 
 def band_density_profile(pages: DataFrame, res: int) -> "np.ndarray":
@@ -486,7 +491,9 @@ def knn_join_df(
             kth_floor = np.zeros(n_bands)
         # Search rings PAST max_ring: a remote band may need a disk that
         # spans the gap; bigger rings only grow the (cell-pruned) disk,
-        # exactness always comes from the verified bound.
+        # exactness always comes from the verified bound.  Bands whose
+        # predicted ring exceeds max_ring are REROUTED below to the exact
+        # histogram fallback instead of paying the giant disk.
         ring_cap = max(max_ring, rows_n)
         r = 1
         while r < ring_cap:
@@ -527,6 +534,18 @@ def knn_join_df(
             ring_of_band[ok] = r
             undecided &= ~ok
             r *= 2
+        # Remote-band rerouting (measured on the 2048-query bench shape,
+        # 400k pages at res 6): the 38 queries whose gap-spanning disks
+        # needed ring 16/32 produced ~3.0M of the scan's ~4.4M candidate
+        # rows (69%), while the histogram fallback prices each pending
+        # query at only ~nonempty_cells skinny rows.  A band whose
+        # predicted ring exceeds max_ring therefore gets a MINIMAL disk
+        # (ring 1, near-zero scan work, cannot falsely certify — the
+        # settle bound still gates) and takes the exact fallback pass,
+        # which runs for the never-certified bands anyway.  max_ring is
+        # thus honestly the documented performance knob for the cheap
+        # disk search, never a correctness bound.
+        ring_of_band = np.where(ring_of_band > max_ring, 1, ring_of_band)
         # Runs of equal ring over contiguous bands become one CASE branch —
         # a pure column expression, cheaper than materialising a lookup
         # DataFrame and paying a broadcast build (~0.9s of driver fixed cost
@@ -612,7 +631,13 @@ def knn_join_df(
     # One heavy job: all disks scored in a single scan.  localCheckpoint
     # because `best` feeds both the settle check and the output (without
     # truncation the scan would run twice).
+    _dbg = os.environ.get("YG_KNN_DEBUG")
+    if _dbg:
+        import time as _t
+        _t_scan = _t.time()
     best = topk(make_disk(qr)).localCheckpoint(eager=True)
+    if _dbg:
+        print(f"KNN_DEBUG main scan: {_t.time()-_t_scan:.2f}s")
 
     # Exact settle verification (the density prediction above affects only
     # performance, never correctness).
@@ -649,133 +674,251 @@ def knn_join_df(
     # it, and a query whose disk is empty would vanish from the output.
     is_settled = (F.col("_c") >= k) & (F.col("_kth") <= safe_v)
     pending = judged.where(~F.coalesce(is_settled, F.lit(False)))
-    if os.environ.get("YG_KNN_DEBUG"):
-        import time as _t
+    # Queries are dim-sized by contract, so collecting the UNSETTLED ones
+    # costs the same single job the old isEmpty() probe did, and powers the
+    # driver-side fallback planner below (which replaces ~6 sequential
+    # Spark jobs of crossJoin + window + joins with one numpy pass).
+    if _dbg:
         _t0 = _t.time()
-        print("KNN_DEBUG pending:", pending.count(), f"[{_t.time()-_t0:.2f}s]")
+    pending_rows = pending.select(
+        "query_id", "qlat", "qlng", "qrow", "qcol").collect()
+    if _dbg:
+        print("KNN_DEBUG pending:", len(pending_rows),
+              f"[{_t.time()-_t0:.2f}s]")
 
-    if pending.isEmpty():
+    if not pending_rows:
         out = best
+    elif res <= int(os.environ.get("YG_KNN_DRIVER_HIST_RES", "8")):
+        # Cell-histogram-pruned exact pass (SINGLE pass, no escalation
+        # loop) for what the disk bound could not certify (empty-region
+        # queries, k-th neighbor thousands of km out; plus the remote
+        # bands deliberately rerouted here by the max_ring clamp above).
+        # Per (query, cell) pair SOUND distance bounds from cell geometry:
+        # sorting cells by the upper bound, the first prefix holding k rows
+        # caps the true k-th distance, and cells whose LOWER bound exceeds
+        # that cap cannot contribute — candidates collapse to the few cells
+        # around the nearest data cluster instead of query x table.
+        #
+        # At res <= 8 the nonempty-cell histogram is bounded (<= 2*4^res <=
+        # 131k rows — collected ONCE per table and cached like the band
+        # profile), so the cap/keep planning is a vectorised numpy pass on
+        # the driver: the distributed formulation of the same math spent
+        # ~3s per call on six job barriers (crossJoin + window + two joins
+        # + two broadcast rebuilds of the pending plan) to prune what is
+        # arithmetically a sub-millisecond 279 x 6k bound matrix.  Beyond
+        # res 8 the histogram is no longer driver-sized and the distributed
+        # path below runs instead (same bounds, same exactness).
+        if len(pending_rows) <= 16384:
+            out = best.where(
+                ~F.col("query_id").isin([r["query_id"] for r in pending_rows])
+            )
+        else:
+            out = best.join(
+                F.broadcast(pending.select("query_id")),
+                "query_id", "left_anti",
+            )
+        ident = _plan_identity(pages)
+        hist = _CELL_HIST_CACHE.get(ident) if ident is not None else None
+        if hist is None:
+            rows = pages.groupBy("cell").agg(F.count("*").alias("_n")).collect()
+            h_cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+            h_counts = np.array([r["_n"] for r in rows], dtype=np.int64)
+            order = np.argsort(h_cells)
+            hist = (h_cells[order], h_counts[order])
+            if ident is not None:
+                while len(_CELL_HIST_CACHE) >= _BAND_DENSITY_CACHE_MAX:
+                    _CELL_HIST_CACHE.pop(next(iter(_CELL_HIST_CACHE)))
+                _CELL_HIST_CACHE[ident] = hist
+        h_cells, h_counts = hist
+        if h_cells.size == 0:
+            # Empty pages table: no candidates exist anywhere; the settled
+            # side (also empty) is the whole answer.
+            return out.withColumn("rank", F.lit(1)).where(F.lit(False)).select(
+                "query_id", F.col("neighbor_id").alias(id_col), "dist_m", "rank")
+        mask28 = (1 << 28) - 1
+        crow = (h_cells >> 28) & mask28
+        ccol = h_cells & mask28
+        c_north_v = 90.0 - crow.astype(np.float64) * cell_h_deg
+        c_south_v = c_north_v - cell_h_deg
+        cos_n = np.cos(np.radians(c_north_v))
+        cos_s = np.cos(np.radians(c_south_v))
+        cos_cell_v = np.minimum(cos_n, cos_s)
+        cos_par_v = np.where((c_north_v >= 0) & (c_south_v <= 0), 1.0,
+                             np.maximum(cos_n, cos_s))
+        m_np = 111_194.9
+        keep_q, keep_cell, keep_qlat, keep_qlng = [], [], [], []
+        # Chunk the query axis so the bound matrix stays bounded in memory
+        # no matter how many queries went unsettled.
+        for c0 in range(0, len(pending_rows), 1024):
+            chunk = pending_rows[c0:c0 + 1024]
+            qlat_a = np.array([r["qlat"] for r in chunk], dtype=np.float64)
+            qrow_a = np.array([r["qrow"] for r in chunk], dtype=np.int64)
+            qcol_a = np.array([r["qcol"] for r in chunk], dtype=np.int64)
+            dcol_m = np.abs(ccol[None, :] - qcol_a[:, None])
+            dcol_m = np.minimum(dcol_m, cols_n - dcol_m)  # longitude wrap
+            drow_m = np.abs(crow[None, :] - qrow_a[:, None])
+            gap_lat = np.maximum(drow_m - 1, 0) * cell_h_deg
+            gap_lng = np.maximum(dcol_m - 1, 0) * cell_w_deg
+            # Sound LOWER bound (see the distributed twin below for the
+            # derivation): meridian term + haversine longitude term
+            # minimised over the cell's latitude range.
+            lb_lng = 2.0 * EARTH_RADIUS_M * np.arcsin(
+                np.sqrt(np.maximum(
+                    np.cos(np.radians(qlat_a))[:, None] * cos_cell_v[None, :],
+                    0.0))
+                * np.sin(np.radians(gap_lng) / 2.0))
+            lb_m = np.maximum(gap_lat * m_np, lb_lng)
+            # Sound UPPER bound: meridian leg to the far latitude edge +
+            # parallel leg with the cos MAXIMISED over the cell's latitude
+            # range (1.0 across the equator) — the cos(far_lat) form
+            # understated ub for pole-adjacent cells and pruned true
+            # nearest neighbors (test_knn_polar_exact).
+            far_m = np.where(
+                np.abs(qlat_a[:, None] - c_north_v[None, :])
+                > np.abs(qlat_a[:, None] - c_south_v[None, :]),
+                c_north_v[None, :], c_south_v[None, :])
+            ub_m = (np.abs(qlat_a[:, None] - far_m) * m_np
+                    + (dcol_m + 1) * cell_w_deg * m_np * cos_par_v[None, :])
+            for qi, r in enumerate(chunk):
+                order = np.lexsort((h_cells, ub_m[qi]))
+                cum_excl = np.cumsum(h_counts[order]) - h_counts[order]
+                prefix = order[cum_excl < k]  # rows up to and incl. the k-th
+                cap = ub_m[qi][prefix].max()
+                sel = lb_m[qi] <= cap
+                n_sel = int(sel.sum())
+                keep_q.append(np.full(n_sel, r["query_id"]))
+                keep_cell.append(h_cells[sel])
+                keep_qlat.append(np.full(n_sel, r["qlat"]))
+                keep_qlng.append(np.full(n_sel, r["qlng"]))
+        qid_type = dict(q.dtypes)["query_id"]
+        kp = spark.createDataFrame(
+            pd.DataFrame({
+                "query_id": np.concatenate(keep_q),
+                "cell": np.concatenate(keep_cell),
+                "qlat": np.concatenate(keep_qlat),
+                "qlng": np.concatenate(keep_qlng),
+            }),
+            schema=f"query_id {qid_type}, cell long, qlat double, qlng double",
+        )
+        final = pages.join(F.broadcast(kp), "cell", "inner").select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            haversine_col(
+                F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
+            ).alias("dist_m"),
+        )
+        out = out.unionByName(final)
     else:
-        # The density prediction under-shot for these queries.  Escalate by
-        # ring DOUBLING through the same cell-join machinery: each pass
-        # re-runs top-k for the still-unverified queries at twice the ring,
-        # verifying against that ring's inscribed bound, until every query
-        # certifies or the disk provably covers the whole grid — at which
-        # point the candidates ARE the table and the top-k is exact by
-        # totality.  This keeps exactness for arbitrarily sparse regions
-        # without ever building a query x pages cross join (measured 10x
-        # slower than two extra disk passes on the bench's scattered-query
-        # shape).
+        # Distributed twin of the driver-side planner above, for res > 8
+        # where the nonempty-cell histogram may exceed driver bounds.
         out = best.join(
             F.broadcast(judged.where(F.coalesce(is_settled, F.lit(False)))
                         .select("query_id")),
             "query_id", "left_semi",
         )
         final_q = pending.select("query_id", "qlat", "qlng", "qrow", "qcol")
-        if True:
-            # Cell-histogram-pruned exact pass for what the disk bound could
-            # not certify (empty-region queries, k-th neighbor thousands of
-            # km out).  One nonempty-cell count table; per (query, cell)
-            # pair SOUND distance bounds from ring geometry: a cell at
-            # Chebyshev ring rho lies outside disk(rho-1), so its minimum
-            # distance >= safe(rho-1); its maximum distance <= the meridian
-            # + parallel legs of (rho+1) cells.  Sorting cells by the upper
-            # bound, the first prefix holding k rows caps the true k-th
-            # distance, and cells whose LOWER bound exceeds that cap cannot
-            # contribute — candidates collapse to the few cells around the
-            # nearest data cluster instead of query x table (the cross-join
-            # variant measured 10x slower; ring-doubling, 20x).
-            # Checkpointed: ~one row per nonempty cell, consumed by caps
-            # AND keep AND the candidate join — without it each action
-            # re-runs the full pages scan behind the groupBy.  Cached per
-            # table plan (like the band-density profile): repeated kNN
-            # calls against the same table skip the scan entirely.
-            ident = _plan_identity(pages)
-            cnts = _CELL_COUNT_CACHE.get(ident) if ident is not None else None
-            if cnts is None:
-                cnts = pages.groupBy("cell").agg(
-                    F.count("*").alias("_n")).localCheckpoint(eager=False)
-                if ident is not None:
-                    while len(_CELL_COUNT_CACHE) >= _BAND_DENSITY_CACHE_MAX:
-                        _CELL_COUNT_CACHE.pop(next(iter(_CELL_COUNT_CACHE)))
-                    _CELL_COUNT_CACHE[ident] = cnts
-            cell_row = (F.col("cell") / F.lit(1 << 28)).cast("long") % F.lit(1 << 28)
-            cell_col = F.col("cell") % F.lit(1 << 28)
-            dcol = F.abs(cell_col - F.col("qcol"))
-            dcol = F.least(dcol, F.lit(cols_n) - dcol)  # longitude wrap
-            drow = F.abs(cell_row - F.col("qrow"))
-            m_deg = F.lit(111_194.9)
-            # Sound LOWER bound on the distance to any point of the cell:
-            # the meridian term (distance >= R * delta_lat, always) and the
-            # haversine longitude term (sin^2(d/2) >= cos(p1) cos(p2)
-            # sin^2(dlng/2), minimized over the cell's latitude range via
-            # its most poleward edge).  The earlier disk-chord bound
-            # collapsed to ~0 at high latitudes and kept every cell.
-            gap_lat = F.greatest(drow.cast("double") - 1, F.lit(0.0)) \
-                * F.lit(cell_h_deg)
-            gap_lng = F.greatest(dcol.cast("double") - 1, F.lit(0.0)) \
-                * F.lit(cell_w_deg)
-            c_north = F.lit(90.0) - cell_row.cast("double") * F.lit(cell_h_deg)
-            c_south = c_north - F.lit(cell_h_deg)
-            cos_cell = F.least(F.cos(F.radians(c_north)),
-                               F.cos(F.radians(c_south)))
-            lb_lng = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
-                F.sqrt(F.greatest(
-                    F.cos(F.radians(F.col("qlat"))) * cos_cell, F.lit(0.0)))
-                * F.sin(F.radians(gap_lng) / 2)
+        # Checkpointed: ~one row per nonempty cell, consumed by caps
+        # AND keep AND the candidate join — without it each action
+        # re-runs the full pages scan behind the groupBy.  Cached per
+        # table plan (like the band-density profile): repeated kNN
+        # calls against the same table skip the scan entirely.
+        ident = _plan_identity(pages)
+        cnts = _CELL_COUNT_CACHE.get(ident) if ident is not None else None
+        if cnts is None:
+            cnts = pages.groupBy("cell").agg(
+                F.count("*").alias("_n")).localCheckpoint(eager=False)
+            if ident is not None:
+                while len(_CELL_COUNT_CACHE) >= _BAND_DENSITY_CACHE_MAX:
+                    _CELL_COUNT_CACHE.pop(next(iter(_CELL_COUNT_CACHE)))
+                _CELL_COUNT_CACHE[ident] = cnts
+        cell_row = (F.col("cell") / F.lit(1 << 28)).cast("long") % F.lit(1 << 28)
+        cell_col = F.col("cell") % F.lit(1 << 28)
+        dcol = F.abs(cell_col - F.col("qcol"))
+        dcol = F.least(dcol, F.lit(cols_n) - dcol)  # longitude wrap
+        drow = F.abs(cell_row - F.col("qrow"))
+        m_deg = F.lit(111_194.9)
+        # Sound LOWER bound on the distance to any point of the cell:
+        # the meridian term (distance >= R * delta_lat, always) and the
+        # haversine longitude term (sin^2(d/2) >= cos(p1) cos(p2)
+        # sin^2(dlng/2), minimized over the cell's latitude range via
+        # its most poleward edge).  The earlier disk-chord bound
+        # collapsed to ~0 at high latitudes and kept every cell.
+        gap_lat = F.greatest(drow.cast("double") - 1, F.lit(0.0)) \
+            * F.lit(cell_h_deg)
+        gap_lng = F.greatest(dcol.cast("double") - 1, F.lit(0.0)) \
+            * F.lit(cell_w_deg)
+        c_north = F.lit(90.0) - cell_row.cast("double") * F.lit(cell_h_deg)
+        c_south = c_north - F.lit(cell_h_deg)
+        cos_cell = F.least(F.cos(F.radians(c_north)),
+                           F.cos(F.radians(c_south)))
+        lb_lng = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+            F.sqrt(F.greatest(
+                F.cos(F.radians(F.col("qlat"))) * cos_cell, F.lit(0.0)))
+            * F.sin(F.radians(gap_lng) / 2)
+        )
+        lb = F.greatest(gap_lat * m_deg, lb_lng)
+        # Sound UPPER bound: meridian leg to the cell's far latitude
+        # edge, then the parallel leg AT THE TARGET POINT'S latitude.
+        # The point may sit anywhere in the cell's latitude range, so the
+        # parallel leg must use the cos that MAXIMIZES it over
+        # [c_south, c_north]: 1.0 when the cell straddles the equator,
+        # else the larger of the two edge cosines.  (The previous
+        # cos(far_lat) understated ub by up to ~cell_h*R for pole-adjacent
+        # cells — far_lat at +-90 collapses the leg to 0 — which let the
+        # cap prune cells holding the true nearest neighbor for polar
+        # queries; see test_knn_polar_exact.)
+        far_lat = F.when(
+            F.abs(F.col("qlat") - c_north) > F.abs(F.col("qlat") - c_south),
+            c_north,
+        ).otherwise(c_south)
+        cos_par = F.when(
+            (c_north >= 0) & (c_south <= 0), F.lit(1.0)
+        ).otherwise(
+            F.greatest(F.cos(F.radians(c_north)), F.cos(F.radians(c_south)))
+        )
+        ub = (
+            F.abs(F.col("qlat") - far_lat) * m_deg
+            + (dcol.cast("double") + 1) * F.lit(cell_w_deg) * m_deg
+            * cos_par
+        )
+        pairs = cnts.crossJoin(
+            F.broadcast(final_q.select("query_id", "qlat", "qrow", "qcol"))
+        ).select(
+            "query_id", "cell", "_n",
+            lb.alias("_lb"), ub.alias("_ub"),
+        )
+        w_ub = (
+            W.partitionBy("query_id").orderBy(F.col("_ub").asc(),
+                                              F.col("cell").asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        caps = (
+            pairs.withColumn("_cum", F.coalesce(F.sum("_n").over(w_ub),
+                                                F.lit(0)))
+            .where(F.col("_cum") < k)  # rows up to and incl. the k-th
+            .groupBy("query_id").agg(F.max("_ub").alias("_cap"))
+        )
+        keep = (
+            pairs.join(F.broadcast(caps), "query_id", "inner")
+            .where(F.col("_lb") <= F.col("_cap"))
+            .select("query_id", "cell")
+        ).localCheckpoint(eager=False)
+        final_cand = pages.join(
+            F.broadcast(keep), "cell", "inner"
+        ).join(
+            F.broadcast(final_q.select("query_id", "qlat", "qlng")),
+            "query_id", "inner",
+        )
+        final = (
+            final_cand.select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                haversine_col(
+                    F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
+                ).alias("dist_m"),
             )
-            lb = F.greatest(gap_lat * m_deg, lb_lng)
-            # Sound UPPER bound: meridian leg to the cell's far latitude
-            # edge, then the parallel leg along that edge (its cos shrinks
-            # the longitude span — tight at high latitudes).
-            far_lat = F.when(
-                F.abs(F.col("qlat") - c_north) > F.abs(F.col("qlat") - c_south),
-                c_north,
-            ).otherwise(c_south)
-            ub = (
-                F.abs(F.col("qlat") - far_lat) * m_deg
-                + (dcol.cast("double") + 1) * F.lit(cell_w_deg) * m_deg
-                * F.cos(F.radians(far_lat))
-            )
-            pairs = cnts.crossJoin(
-                F.broadcast(final_q.select("query_id", "qlat", "qrow", "qcol"))
-            ).select(
-                "query_id", "cell", "_n",
-                lb.alias("_lb"), ub.alias("_ub"),
-            )
-            w_ub = (
-                W.partitionBy("query_id").orderBy(F.col("_ub").asc(),
-                                                  F.col("cell").asc())
-                .rowsBetween(W.unboundedPreceding, -1)
-            )
-            caps = (
-                pairs.withColumn("_cum", F.coalesce(F.sum("_n").over(w_ub),
-                                                    F.lit(0)))
-                .where(F.col("_cum") < k)  # rows up to and incl. the k-th
-                .groupBy("query_id").agg(F.max("_ub").alias("_cap"))
-            )
-            keep = (
-                pairs.join(F.broadcast(caps), "query_id", "inner")
-                .where(F.col("_lb") <= F.col("_cap"))
-                .select("query_id", "cell")
-            ).localCheckpoint(eager=False)
-            final_cand = pages.join(
-                F.broadcast(keep), "cell", "inner"
-            ).join(
-                F.broadcast(final_q.select("query_id", "qlat", "qlng")),
-                "query_id", "inner",
-            )
-            final = (
-                final_cand.select(
-                    "query_id",
-                    F.col(id_col).alias("neighbor_id"),
-                    haversine_col(
-                        F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
-                    ).alias("dist_m"),
-                )
-            )
-            out = out.unionByName(final)
+        )
+        out = out.unionByName(final)
 
     out = (
         out.withColumn(
@@ -791,7 +934,8 @@ def knn_join_df(
     )
     # `best` is localCheckpoint-backed (executor-resident, <= k rows per
     # query); Spark's ContextCleaner reclaims it when the result goes out of
-    # scope.  No driver collect anywhere.
+    # scope.  The driver never holds result rows — only the dim-sized
+    # unsettled-query list and (at low res) the bounded cell histogram.
     return out
 
 
@@ -809,8 +953,12 @@ def knn_join(
     if not queries:
         # createDataFrame cannot infer a schema from an empty pandas frame;
         # an empty query batch is a legal pipeline state, not an error.
+        # The neighbor column's type follows the pages table (string urls,
+        # integer ids, ...) so an empty batch unions cleanly with non-empty
+        # results; query_id has nothing to infer from and defaults bigint.
+        id_type = pages.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"query_id bigint, {id_col} string, dist_m double, rank int"
+            [], f"query_id bigint, {id_col} {id_type}, dist_m double, rank int"
         )
     qdf = spark.createDataFrame(
         pd.DataFrame(queries, columns=["query_id", "lat", "lng"])

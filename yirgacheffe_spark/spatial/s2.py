@@ -205,9 +205,17 @@ def latlng_to_cell(lat, lng, level: int = MAX_LEVEL):
 
 
 def cell_level(cell):
-    """Level of each id: 30 - tz(id)/2 where tz is the trailing-zero count."""
+    """Level of each id: 30 - tz(id)/2 where tz is the trailing-zero count.
+
+    Raises on the invalid sentinel id 0 (emitted by ``latlng_to_cell`` for
+    non-finite coordinates): log2(0) would silently produce an undefined
+    level and downstream ``cell_parent``/``cell_contains`` misbehaviour."""
     cell = _as_u64(cell)
     lsb = cell & (~cell + np.uint64(1))
+    if np.any(lsb == 0):
+        raise ValueError(
+            "cell_level of invalid id 0 (the non-finite-coordinate sentinel)"
+        )
     # log2 of a power of two is exact in float64 up to 2^63.
     exp = np.rint(np.log2(lsb.astype(np.float64))).astype(np.int64)
     return MAX_LEVEL - (exp >> 1)
