@@ -319,6 +319,103 @@ def band_density_profile(pages: DataFrame, res: int) -> "np.ndarray":
     return counts
 
 
+def _knn_histogram_plan(pdf: "pd.DataFrame", hist, geom, k: int) -> "pd.DataFrame":
+    """Exact-kNN fallback planner for one batch of unsettled queries:
+    per (query, cell) SOUND distance bounds over the nonempty-cell
+    histogram select the few cells that can hold the true top-k.
+
+    Bounds use the EXACT query point (not the cell-granular drow/dcol-1
+    forms of the distributed twin, which concede up to a full cell of
+    slack per axis).  UPPER bound: meridian leg to the cell's far
+    latitude edge + parallel leg (exact far longitude separation) with
+    the cos MAXIMISED over the cell's latitude range (1.0 across the
+    equator — the cos(far_lat) form understated ub for pole-adjacent
+    cells and pruned true nearest neighbors, test_knn_polar_exact).
+    Sorting cells by ub, the cheapest prefix holding k rows caps the
+    true k-th distance.  LOWER bound: max(meridian term of the exact
+    latitude gap, haversine longitude term with cos minimised over the
+    cell's latitude range) — cells with lb > cap cannot contribute.  The
+    transcendental lng term is evaluated only for cells whose cheap
+    meridian term survives the cap (the dense trig pass was the
+    planner's measured cost).
+
+    Returns (query_id, cell, qlat, qlng, cap) keep rows; ``cap`` lets the
+    candidate fetch drop dist > cap rows exactly (>= k rows exist at
+    <= cap by construction)."""
+    h_cells, h_counts = hist
+    cell_h_deg, cell_w_deg, cols_n = geom
+    m_np = 111_194.9
+    qid_a = pdf["query_id"].to_numpy()
+    if len(qid_a) == 0 or len(h_cells) == 0:
+        return pd.DataFrame({
+            "query_id": qid_a[:0], "cell": np.array([], dtype=np.int64),
+            "qlat": np.array([]), "qlng": np.array([]), "cap": np.array([]),
+        })
+    qlat_a = pdf["qlat"].to_numpy(dtype=np.float64)
+    qlng_a = pdf["qlng"].to_numpy(dtype=np.float64)
+    mask28 = (1 << 28) - 1
+    crow = (h_cells >> 28) & mask28
+    ccol = h_cells & mask28
+    c_north_v = 90.0 - crow.astype(np.float64) * cell_h_deg
+    c_south_v = c_north_v - cell_h_deg
+    cos_n = np.cos(np.radians(c_north_v))
+    cos_s = np.cos(np.radians(c_south_v))
+    cos_cell_v = np.minimum(cos_n, cos_s)
+    cos_par_v = np.where((c_north_v >= 0) & (c_south_v <= 0), 1.0,
+                         np.maximum(cos_n, cos_s))
+    cell_lng0 = ccol.astype(np.float64) * cell_w_deg - 180.0
+    keep = {"query_id": [], "cell": [], "qlat": [], "qlng": [], "cap": []}
+    for c0 in range(0, len(qid_a), 1024):
+        sl = slice(c0, c0 + 1024)
+        ql, qg, qi = qlat_a[sl], qlng_a[sl], qid_a[sl]
+        # Longitude separation from qlng to the cell's [l0, l0+cw)
+        # interval on the circle: far separation is to the farther edge,
+        # or 180 when the query's antipode falls inside.
+        ang = np.mod(qg[:, None] - cell_lng0[None, :], 360.0)
+        far_lng = np.where(
+            (ang >= 180.0) & (ang <= 180.0 + cell_w_deg), 180.0,
+            np.maximum(np.minimum(ang, 360.0 - ang),
+                       np.minimum(np.abs(ang - cell_w_deg),
+                                  360.0 - np.abs(ang - cell_w_deg))))
+        far_m = np.where(
+            np.abs(ql[:, None] - c_north_v[None, :])
+            > np.abs(ql[:, None] - c_south_v[None, :]),
+            c_north_v[None, :], c_south_v[None, :])
+        ub_m = (np.abs(ql[:, None] - far_m) * m_np
+                + far_lng * m_np * cos_par_v[None, :])
+        # Stable argsort over the cell-ascending axis reproduces the
+        # ORDER BY (_ub, cell) tie-break of the distributed twin.
+        order = np.argsort(ub_m, axis=1, kind="stable")
+        cnt_sorted = np.take(h_counts, order)
+        cum_excl = np.cumsum(cnt_sorted, axis=1) - cnt_sorted
+        ub_sorted = np.take_along_axis(ub_m, order, axis=1)
+        cap_a = np.max(np.where(cum_excl < k, ub_sorted, -np.inf), axis=1)
+        gap_lat = np.maximum.reduce([
+            np.zeros((len(qi), len(h_cells))),
+            c_south_v[None, :] - ql[:, None],
+            ql[:, None] - c_north_v[None, :],
+        ])
+        maybe = gap_lat * m_np <= cap_a[:, None]
+        mq, mc = np.nonzero(maybe)
+        ang_s = ang[mq, mc]
+        gap_lng_s = np.where(
+            ang_s < cell_w_deg, 0.0,
+            np.minimum(ang_s - cell_w_deg, 360.0 - ang_s))
+        lb_lng_s = 2.0 * EARTH_RADIUS_M * np.arcsin(
+            np.sqrt(np.maximum(
+                np.cos(np.radians(ql))[mq] * cos_cell_v[mc], 0.0))
+            * np.sin(np.radians(gap_lng_s) / 2.0))
+        lb_s = np.maximum(gap_lat[mq, mc] * m_np, lb_lng_s)
+        sel = lb_s <= cap_a[mq]
+        sq, sc = mq[sel], mc[sel]
+        keep["query_id"].append(qi[sq])
+        keep["cell"].append(h_cells[sc])
+        keep["qlat"].append(ql[sq])
+        keep["qlng"].append(qg[sq])
+        keep["cap"].append(cap_a[sq])
+    return pd.DataFrame({c: np.concatenate(v) for c, v in keep.items()})
+
+
 def haversine_col(lat, lng, qlat, qlng):
     """Great-circle metres as a JVM column expression (term-for-term mirror
     of ``haversine_m``, so both engines and the SQL oracle agree)."""
@@ -380,6 +477,9 @@ def knn_join_df(
     """
     from pyspark.sql import Window as W
 
+    if os.environ.get("YG_KNN_DEBUG"):
+        import time as _time_entry
+        _t_entry = _time_entry.time()
     rows_n, cols_n = 1 << res, 1 << (res + 1)
     cell_h_deg = 180.0 / rows_n
     cell_w_deg = 360.0 / cols_n
@@ -635,6 +735,7 @@ def knn_join_df(
     if _dbg:
         import time as _t
         _t_scan = _t.time()
+        print(f"KNN_DEBUG ring assignment+plan: {_t_scan-_t_entry:.2f}s")
     best = topk(make_disk(qr)).localCheckpoint(eager=True)
     if _dbg:
         print(f"KNN_DEBUG main scan: {_t.time()-_t_scan:.2f}s")
@@ -685,6 +786,7 @@ def knn_join_df(
     if _dbg:
         print("KNN_DEBUG pending:", len(pending_rows),
               f"[{_t.time()-_t0:.2f}s]")
+        _t0 = _t.time()
 
     if not pending_rows:
         out = best
@@ -717,6 +819,9 @@ def knn_join_df(
                 F.broadcast(pending.select("query_id")),
                 "query_id", "left_anti",
             )
+        if _dbg:
+            print(f"KNN_DEBUG settled filter build: {_t.time()-_t0:.2f}s")
+            _t0 = _t.time()
         ident = _plan_identity(pages)
         hist = _CELL_HIST_CACHE.get(ident) if ident is not None else None
         if hist is None:
@@ -730,84 +835,59 @@ def knn_join_df(
                     _CELL_HIST_CACHE.pop(next(iter(_CELL_HIST_CACHE)))
                 _CELL_HIST_CACHE[ident] = hist
         h_cells, h_counts = hist
+        if _dbg:
+            print(f"KNN_DEBUG ident+hist: {_t.time()-_t0:.2f}s")
+            _t0 = _t.time()
         if h_cells.size == 0:
             # Empty pages table: no candidates exist anywhere; the settled
             # side (also empty) is the whole answer.
             return out.withColumn("rank", F.lit(1)).where(F.lit(False)).select(
                 "query_id", F.col("neighbor_id").alias(id_col), "dist_m", "rank")
-        mask28 = (1 << 28) - 1
-        crow = (h_cells >> 28) & mask28
-        ccol = h_cells & mask28
-        c_north_v = 90.0 - crow.astype(np.float64) * cell_h_deg
-        c_south_v = c_north_v - cell_h_deg
-        cos_n = np.cos(np.radians(c_north_v))
-        cos_s = np.cos(np.radians(c_south_v))
-        cos_cell_v = np.minimum(cos_n, cos_s)
-        cos_par_v = np.where((c_north_v >= 0) & (c_south_v <= 0), 1.0,
-                             np.maximum(cos_n, cos_s))
-        m_np = 111_194.9
-        keep_q, keep_cell, keep_qlat, keep_qlng = [], [], [], []
-        # Chunk the query axis so the bound matrix stays bounded in memory
-        # no matter how many queries went unsettled.
-        for c0 in range(0, len(pending_rows), 1024):
-            chunk = pending_rows[c0:c0 + 1024]
-            qlat_a = np.array([r["qlat"] for r in chunk], dtype=np.float64)
-            qrow_a = np.array([r["qrow"] for r in chunk], dtype=np.int64)
-            qcol_a = np.array([r["qcol"] for r in chunk], dtype=np.int64)
-            dcol_m = np.abs(ccol[None, :] - qcol_a[:, None])
-            dcol_m = np.minimum(dcol_m, cols_n - dcol_m)  # longitude wrap
-            drow_m = np.abs(crow[None, :] - qrow_a[:, None])
-            gap_lat = np.maximum(drow_m - 1, 0) * cell_h_deg
-            gap_lng = np.maximum(dcol_m - 1, 0) * cell_w_deg
-            # Sound LOWER bound (see the distributed twin below for the
-            # derivation): meridian term + haversine longitude term
-            # minimised over the cell's latitude range.
-            lb_lng = 2.0 * EARTH_RADIUS_M * np.arcsin(
-                np.sqrt(np.maximum(
-                    np.cos(np.radians(qlat_a))[:, None] * cos_cell_v[None, :],
-                    0.0))
-                * np.sin(np.radians(gap_lng) / 2.0))
-            lb_m = np.maximum(gap_lat * m_np, lb_lng)
-            # Sound UPPER bound: meridian leg to the far latitude edge +
-            # parallel leg with the cos MAXIMISED over the cell's latitude
-            # range (1.0 across the equator) — the cos(far_lat) form
-            # understated ub for pole-adjacent cells and pruned true
-            # nearest neighbors (test_knn_polar_exact).
-            far_m = np.where(
-                np.abs(qlat_a[:, None] - c_north_v[None, :])
-                > np.abs(qlat_a[:, None] - c_south_v[None, :]),
-                c_north_v[None, :], c_south_v[None, :])
-            ub_m = (np.abs(qlat_a[:, None] - far_m) * m_np
-                    + (dcol_m + 1) * cell_w_deg * m_np * cos_par_v[None, :])
-            for qi, r in enumerate(chunk):
-                order = np.lexsort((h_cells, ub_m[qi]))
-                cum_excl = np.cumsum(h_counts[order]) - h_counts[order]
-                prefix = order[cum_excl < k]  # rows up to and incl. the k-th
-                cap = ub_m[qi][prefix].max()
-                sel = lb_m[qi] <= cap
-                n_sel = int(sel.sum())
-                keep_q.append(np.full(n_sel, r["query_id"]))
-                keep_cell.append(h_cells[sel])
-                keep_qlat.append(np.full(n_sel, r["qlat"]))
-                keep_qlng.append(np.full(n_sel, r["qlng"]))
         qid_type = dict(q.dtypes)["query_id"]
-        kp = spark.createDataFrame(
+        # The cap/keep planning itself runs DISTRIBUTED: one mapInPandas
+        # over the (dim-sized) pending queries, executed inside the
+        # broadcast build of the keep table — no extra job barrier, and
+        # the bound matrices are spread over the cluster instead of
+        # serialising on the driver (the driver-side numpy formulation
+        # measured 0.5-1.3s for 279 x 6k pairs on this memory-bound VM).
+        # The histogram arrays ride in the closure (~16 bytes/nonempty
+        # cell, bounded by the res <= 8 gate above).
+        pend_df = spark.createDataFrame(
             pd.DataFrame({
-                "query_id": np.concatenate(keep_q),
-                "cell": np.concatenate(keep_cell),
-                "qlat": np.concatenate(keep_qlat),
-                "qlng": np.concatenate(keep_qlng),
+                "query_id": [r["query_id"] for r in pending_rows],
+                "qlat": [r["qlat"] for r in pending_rows],
+                "qlng": [r["qlng"] for r in pending_rows],
             }),
-            schema=f"query_id {qid_type}, cell long, qlat double, qlng double",
+            schema=f"query_id {qid_type}, qlat double, qlng double",
         )
+        n_plan_parts = max(1, min(len(pending_rows) // 8 + 1, 64))
+        if n_plan_parts > 1:
+            pend_df = pend_df.repartition(n_plan_parts)
+        geom = (cell_h_deg, cell_w_deg, cols_n)
+
+        def plan_gen(batches, _hist=hist, _geom=geom, _k=k):
+            for pdf in batches:
+                yield _knn_histogram_plan(pdf, _hist, _geom, _k)
+
+        kp = pend_df.mapInPandas(
+            plan_gen,
+            schema=(f"query_id {qid_type}, cell long, qlat double, "
+                    "qlng double, cap double"),
+        )
+        # dist > cap rows cannot be top-k (the cap's prefix cells already
+        # hold >= k rows at <= cap), so they are dropped BEFORE the union
+        # feeds the final rank's exchange.
         final = pages.join(F.broadcast(kp), "cell", "inner").select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             haversine_col(
                 F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")
             ).alias("dist_m"),
-        )
+            "cap",
+        ).where(F.col("dist_m") <= F.col("cap")).drop("cap")
         out = out.unionByName(final)
+        if _dbg:
+            print(f"KNN_DEBUG kp+final build: {_t.time()-_t0:.2f}s")
     else:
         # Distributed twin of the driver-side planner above, for res > 8
         # where the nonempty-cell histogram may exceed driver bounds.
