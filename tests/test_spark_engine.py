@@ -231,3 +231,98 @@ def test_conv2d_over_widened_window_sees_neighbour_data(spark, tmp_path, monkeyp
     np.testing.assert_array_equal(expr.to_numpy(spark=spark), local)
     monkeypatch.setenv("YG_HALO_BROADCAST_MAX", "0")
     np.testing.assert_array_equal(expr.to_numpy(spark=spark), local)
+
+
+def test_conv2d_manifest_halo_path_matches_jvm(spark, tmp_path, monkeypatch):
+    """When storage tiles coincide with computation tiles, a stencil query
+    takes the manifest body (pyarrow-direct decode) with halo strips
+    collected once and shipped inside the payload broadcast.  Results must
+    be bit-identical to the JVM body scan + halo join path and to the
+    local oracle — including tiles outside stored coverage, which must
+    still receive their neighbours' strips."""
+    import numpy as np
+
+    import yirgacheffe_spark as yg
+    import yirgacheffe_spark.constants as C
+    from yirgacheffe_spark.plans import executor, kernel
+
+    monkeypatch.setattr(C, "TILE_YSIZE", 4)
+    monkeypatch.setattr(C, "TILE_XSIZE", 4)
+    rng = np.random.default_rng(31)
+    data = rng.integers(1, 50, (20, 24)).astype(np.float32)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    layer = yg.write_array_as_raster_table(
+        str(tmp_path / "conv_src"), data, yg.Area(0.0, 0.0, 0.24, -0.20, proj),
+        tile_size=4,
+    )
+    expr = layer.conv2d(np.ones((3, 3), dtype=np.float32))
+    # The padded-manifest plan must actually be eligible here.
+    payload = executor._plan_payload(executor._as_root(expr))
+    box = (0, payload["tiles_y"] - 1, 0, payload["tiles_x"] - 1)
+    assert executor._manifest_rows(spark, payload, box, allow_pad=True) is not None
+
+    local = kernel.evaluate_window(expr)
+    man_out = expr.to_numpy(spark=spark)
+    man_sum = expr.sum(spark=spark)
+    np.testing.assert_array_equal(man_out, local)
+
+    monkeypatch.setenv("YG_MANIFEST_SCAN", "0")
+    np.testing.assert_array_equal(expr.to_numpy(spark=spark), man_out)
+    assert expr.sum(spark=spark) == man_sum
+    monkeypatch.delenv("YG_MANIFEST_SCAN")
+
+    # Widened window: the border one tile outside stored coverage reads
+    # real neighbour pixels through the broadcast halo map too.
+    wide = layer.as_area(yg.Area(0.0, 0.0, 0.32, -0.28, proj))
+    wexpr = wide.conv2d(np.ones((3, 3), np.float32))
+    wlocal = kernel.evaluate_window(wexpr)
+    assert wlocal[20].sum() > 0
+    np.testing.assert_array_equal(wexpr.to_numpy(spark=spark), wlocal)
+
+
+def test_multi_table_planar_manifest_matches(spark, tmp_path, monkeypatch):
+    """Per-band tables on one grid take the co-partitioned multi-table
+    manifest scan (zero shuffles, slot completeness verified) and match
+    both the local oracle and the JVM fallback plans bit-for-bit."""
+    import numpy as np
+
+    import yirgacheffe_spark as yg
+    import yirgacheffe_spark.constants as C
+    from yirgacheffe_spark.plans import executor, kernel
+
+    monkeypatch.setattr(C, "TILE_YSIZE", 4)
+    monkeypatch.setattr(C, "TILE_XSIZE", 4)
+    rng = np.random.default_rng(32)
+    a = rng.integers(0, 90, (16, 20)).astype(np.int16)
+    b = rng.integers(0, 900, (16, 20)).astype(np.int16)
+    proj = yg.MapProjection("epsg:4326", 0.01, -0.01)
+    area = yg.Area(0.0, 0.0, 0.20, -0.16, proj)
+    la = yg.write_array_as_raster_table(str(tmp_path / "a"), a, area, tile_size=4)
+    lb = yg.write_array_as_raster_table(str(tmp_path / "b"), b, area, tile_size=4)
+    expr = la * 2 + (lb >= 300) * la
+
+    payload = executor._plan_payload(executor._as_root(expr))
+    box = (0, payload["tiles_y"] - 1, 0, payload["tiles_x"] - 1)
+    assert executor._manifest_rows(spark, payload, box) is not None
+
+    local = kernel.evaluate_window(expr)
+    got = expr.to_numpy(spark=spark)
+    got_sum = expr.sum(spark=spark)
+    np.testing.assert_array_equal(got, local)
+
+    monkeypatch.setenv("YG_MANIFEST_SCAN", "0")
+    np.testing.assert_array_equal(expr.to_numpy(spark=spark), got)
+    assert expr.sum(spark=spark) == got_sum
+    monkeypatch.delenv("YG_MANIFEST_SCAN")
+
+    # Tables whose stored grids differ (different heights) must NOT be
+    # stitched by the multi-table manifest — the general plans take over.
+    c = rng.integers(0, 9, (12, 20)).astype(np.int16)
+    lc = yg.write_array_as_raster_table(
+        str(tmp_path / "c"), c, yg.Area(0.0, 0.0, 0.20, -0.12, proj), tile_size=4)
+    expr2 = la + lc
+    payload2 = executor._plan_payload(executor._as_root(expr2))
+    box2 = (0, payload2["tiles_y"] - 1, 0, payload2["tiles_x"] - 1)
+    assert executor._manifest_rows(spark, payload2, box2) is None
+    np.testing.assert_array_equal(
+        expr2.to_numpy(spark=spark), kernel.evaluate_window(expr2))

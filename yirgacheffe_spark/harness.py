@@ -303,21 +303,32 @@ def bench_mosaic_children(sf_dir: str, repeat: int = 48,
 
 
 def bench_rasters_multiband(sf_dir: str, repeat: int = 48) -> dict[str, ParquetRasterLayer]:
-    """The bench channels as ONE interleaved multiband table: multi-channel
-    expressions read it in a single scan with zero shuffles.
+    """The bench channels as per-band (planar) tables on one shared grid.
 
     Channels are stored at their natural width (qty/elev/hab fit int16;
     price, which no bench query touches, is a separate int32 table) — at
     100 TB the scan-byte budget is the throughput ceiling, so a 4x narrower
     dtype + zstd is a 4x cheaper query.  The layer algebra's numpy coercion
     (np.result_type) and float64 sum promotion keep results integer-exact.
-    """
-    from .sources.parquet import write_multiband_interleaved
 
-    base = os.path.join(_cache_dir(sf_dir), f"bench_mb16_r{repeat}")
+    Layout note (r6): the channels were previously ONE interleaved
+    multiband table, which gave multi-channel expressions a zero-shuffle
+    single scan but forced every single-channel query (conv2d, unique,
+    the save input) to decode ALL bands' payloads — 3x the bytes for a
+    1-band read, and row-group band statistics cannot prune interleaved
+    groups.  Planar per-band tables keep the single scan for
+    multi-channel expressions (the manifest scan co-partitions the
+    band tables' row groups by their tile ranges) while 1-band queries
+    decode only their own band — the 100 TB-correct layout for mixed
+    workloads.
+    """
+    base = os.path.join(_cache_dir(sf_dir), f"bench_pb16_r{repeat}")
     names = ("qty", "elev", "hab")
     price_path = os.path.join(base, "price_i32")
-    if not os.path.exists(os.path.join(base, "_raster_meta.json")):
+    if not all(
+        os.path.exists(os.path.join(base, ch, "_raster_meta.json"))
+        for ch in names
+    ):
         import pyarrow.parquet as pq
 
         table = pq.read_table(
@@ -333,20 +344,21 @@ def bench_rasters_multiband(sf_dir: str, repeat: int = 48) -> dict[str, ParquetR
         n = len(channels["qty"]) * repeat
         height = math.ceil(n / BENCH_W)
         area = Area(0.0, 0.0, BENCH_W * STEP, -height * STEP, PROJ)
-        grids = {}
-        for i, ch in enumerate(names):
+        os.makedirs(base, exist_ok=True)
+        for ch in names:
             grid = np.zeros(height * BENCH_W, dtype=np.int16)
             tiled = np.tile(channels[ch], repeat)
             grid[: len(tiled)] = tiled
-            grids[i + 1] = grid.reshape(height, BENCH_W)
-        write_multiband_interleaved(base, grids, area)
+            write_array_as_raster_table(
+                os.path.join(base, ch), grid.reshape(height, BENCH_W), area
+            )
         pgrid = np.zeros(height * BENCH_W, dtype=np.int32)
         ptiled = np.tile(price, repeat)
         pgrid[: len(ptiled)] = ptiled
         write_array_as_raster_table(price_path, pgrid.reshape(height, BENCH_W), area)
     layers = {
-        ch: ParquetRasterLayer(base, band=i + 1, name=f"mb_{ch}")
-        for i, ch in enumerate(names)
+        ch: ParquetRasterLayer(os.path.join(base, ch), name=f"pb_{ch}")
+        for ch in names
     }
     layers["price"] = ParquetRasterLayer(price_path, name="bench_price")
     return layers
