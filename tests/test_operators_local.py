@@ -201,3 +201,37 @@ def test_numpy_nonscalar_operand_rejected():
 def test_zero_dim_numpy_scalar_lifted():
     got = evaluate_window(L(A) + np.float64(2.0))
     np.testing.assert_array_equal(got, A + 2.0)
+
+
+def test_conv2d_integer_fast_path_bit_identical():
+    """Integer data + integer-valued weights take the exact box/shifted-add
+    fast path; with every product and partial sum an exactly-representable
+    float64 integer the result must be BIT-identical to the einsum form
+    (order-free arithmetic), for uniform and general kernels, all small
+    int dtypes, and int64 (which skips the cumsum box)."""
+    import numpy as np
+
+    from yirgacheffe_spark.operators import _conv2d
+
+    def einsum_ref(data, weights):
+        view = np.lib.stride_tricks.sliding_window_view(data, weights.shape)
+        return np.einsum("ijkl,kl->ij", view, weights.astype(np.float64))
+
+    rng = np.random.default_rng(9)
+    kernels = [
+        np.ones((5, 5), dtype=np.float32),
+        np.ones((3, 3), dtype=np.float64) * 4,
+        rng.integers(-3, 4, (3, 5)).astype(np.float64),
+        np.array([[0, 1], [2, 0]], dtype=np.float32),
+    ]
+    for dt in (np.int16, np.int32, np.uint8, np.int64):
+        lo, hi = (0, 200) if dt == np.uint8 else (-900, 900)
+        data = rng.integers(lo, hi, (40, 37)).astype(dt)
+        for w in kernels:
+            got = _conv2d(data, w)
+            ref = einsum_ref(data, w)
+            assert np.array_equal(got, ref), (dt, w.shape)
+    # Float data must keep the einsum path (order-sensitive sums).
+    fdata = rng.random((20, 20)).astype(np.float64)
+    w = rng.random((3, 3))
+    assert np.array_equal(_conv2d(fdata, w), einsum_ref(fdata, w))

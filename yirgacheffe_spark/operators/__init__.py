@@ -91,9 +91,44 @@ def _conv2d(data: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """2-D cross-correlation (torch Conv2d convention, no kernel flip).
 
     The caller supplies a halo-grown input; output shrinks by k-1 per axis.
-    """
+
+    Fast path: for INTEGER data with integer-valued weights whose worst-
+    case accumulator stays below 2^53, every product and partial sum is an
+    exactly-representable float64 integer, so the result is independent of
+    evaluation order — a uniform kernel collapses to a cumsum box filter
+    and a general integer kernel to shifted adds, both several times
+    cheaper than the strided einsum while provably bit-identical to it.
+    Float inputs (including NaN-substituted nodata) keep the einsum."""
+    wf = weights.astype(np.float64)
+    if np.issubdtype(data.dtype, np.integer) and np.all(wf == np.rint(wf)):
+        info = np.iinfo(data.dtype)
+        bound = float(np.abs(wf).sum()) * float(max(abs(info.min), info.max))
+        if bound < 2.0**53:
+            kh, kw = weights.shape
+            oh, ow = data.shape[0] - kh + 1, data.shape[1] - kw + 1
+            if oh <= 0 or ow <= 0:
+                pass  # keep the einsum path's error behaviour
+            elif np.all(wf == wf.flat[0]) and data.dtype.itemsize <= 4:
+                # Uniform kernel: separable box sums via cumsum diffs
+                # (exact integer arithmetic in int64).
+                c = np.cumsum(data, axis=0, dtype=np.int64)
+                rows = np.empty((oh, data.shape[1]), dtype=np.int64)
+                rows[0] = c[kh - 1]
+                rows[1:] = c[kh:] - c[:-kh]
+                c2 = np.cumsum(rows, axis=1)
+                out = np.empty((oh, ow), dtype=np.int64)
+                out[:, 0] = c2[:, kw - 1]
+                out[:, 1:] = c2[:, kw:] - c2[:, :-kw]
+                return out.astype(np.float64) * wf.flat[0]
+            else:
+                out = np.zeros((oh, ow), dtype=np.float64)
+                for k in range(kh):
+                    for l in range(kw):
+                        if wf[k, l]:
+                            out += data[k:k + oh, l:l + ow] * wf[k, l]
+                return out
     view = np.lib.stride_tricks.sliding_window_view(data, weights.shape)
-    return np.einsum("ijkl,kl->ij", view, weights.astype(np.float64))
+    return np.einsum("ijkl,kl->ij", view, wf)
 
 
 def _astype(data: np.ndarray, datatype: DataType) -> np.ndarray:

@@ -396,10 +396,19 @@ def _halo_strips_direct(spark: SparkSession, payload: dict, slot: int,
     except OSError:
         return None
     box = (int(ty_lo), int(ty_hi), int(tx_lo), int(tx_hi))
-    mdf = spark.createDataFrame(rows or [(None, -1, -1, -1)], MANIFEST_SCHEMA)
-    parallelism = max(spark.sparkContext.defaultParallelism * 2, 1)
-    if len(rows) > 1:
-        mdf = mdf.repartition(min(len(rows), parallelism))
+    use_rows = rows or [(None, -1, -1, -1)]
+    try:
+        # parallelize slices directly: a createDataFrame + repartition of
+        # this dim-sized list costs an extra exchange stage per call.
+        parallelism = max(spark.sparkContext.defaultParallelism * 2, 1)
+        mdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                use_rows, min(len(use_rows), parallelism)),
+            MANIFEST_SCHEMA,
+        )
+    except Exception:  # pylint: disable=W0703
+        # Spark Connect: no sparkContext — the JVM halo path handles it.
+        return None
 
     def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq  # pylint: disable=C0415
@@ -752,9 +761,16 @@ def _manifest_rows(spark: SparkSession, payload: dict,
             mdf = mdf.repartition(min(max(n_groups, 1), parallelism), "mty")
         return meta, mdf
     rows = rows + missing
-    mdf = spark.createDataFrame(rows, MANIFEST_SCHEMA)
-    if len(rows) > 1:
-        mdf = mdf.repartition(min(len(rows), parallelism))
+    try:
+        mdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, min(len(rows), parallelism)),
+            MANIFEST_SCHEMA,
+        )
+    except Exception:  # pylint: disable=W0703
+        # Spark Connect: no sparkContext.
+        mdf = spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        if len(rows) > 1:
+            mdf = mdf.repartition(min(len(rows), parallelism))
     return meta, mdf
 
 
@@ -878,13 +894,47 @@ def _build(tree, spark: SparkSession | None, sub_window: Window | None = None):
                     strips_df = _halo_strips_direct(spark, payload, 0, tile_box)
                     if strips_df is None:
                         strips_df = _halo_strips(spark, payload, 0, tile_box, src)
+                    flat = strips_df.select(
+                        "ty", "tx", "piece.slot", "piece.py0", "piece.px0",
+                        "piece.sh", "piece.sw", "piece.p")
                     halo_map: dict = {}
-                    for r in strips_df.collect():
-                        piece = r["piece"]
-                        halo_map.setdefault((r["ty"], r["tx"]), []).append(
-                            (piece["slot"], piece["py0"], piece["px0"],
-                             piece["sh"], piece["sw"], bytes(piece["p"]))
+                    try:
+                        # Arrow transfer: the strip rows are thousands of
+                        # small binary pieces, and the py4j row path
+                        # measured 0.68s where Arrow moves the same ~MBs
+                        # in tens of ms.
+                        prev = spark.conf.get(
+                            "spark.sql.execution.arrow.pyspark.enabled", None)
+                        spark.conf.set(
+                            "spark.sql.execution.arrow.pyspark.enabled", "true")
+                        try:
+                            pdf = flat.toPandas()
+                        finally:
+                            if prev is None:
+                                spark.conf.unset(
+                                    "spark.sql.execution.arrow.pyspark.enabled")
+                            else:
+                                spark.conf.set(
+                                    "spark.sql.execution.arrow.pyspark.enabled",
+                                    prev)
+                        rows_it = zip(
+                            pdf["ty"].to_numpy(), pdf["tx"].to_numpy(),
+                            pdf["slot"].to_numpy(), pdf["py0"].to_numpy(),
+                            pdf["px0"].to_numpy(), pdf["sh"].to_numpy(),
+                            pdf["sw"].to_numpy(), pdf["p"],
                         )
+                        for ty_v, tx_v, sl, py0, px0, sh, sw, p in rows_it:
+                            halo_map.setdefault((int(ty_v), int(tx_v)), []).append(
+                                (int(sl), int(py0), int(px0), int(sh), int(sw),
+                                 bytes(p)))
+                    except Exception:  # pylint: disable=W0703
+                        halo_map = {}
+                        for r in strips_df.collect():
+                            piece = r["piece"]
+                            halo_map.setdefault((r["ty"], r["tx"]), []).append(
+                                (piece["slot"], piece["py0"], piece["px0"],
+                                 piece["sh"], piece["sw"], bytes(piece["p"]))
+                            )
                     payload["manifest"] = man_pad[0]
                     payload["halo_pieces"] = halo_map
                     bc = spark.sparkContext.broadcast(payload)
