@@ -155,8 +155,7 @@ def main() -> int:
             (t8 / t32) / comp["composite_ceiling_speedup"], 3
         )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as fp:
-        fp.write(
+    generated = (
             "# Scaling measurement (local[8] vs local[32], same input)\n\n"
             "Sandbox evidence for the north rule's two-cluster-size criterion\n"
             "(N and 4N executors): the same bench suite on the same sf dir at\n"
@@ -231,7 +230,31 @@ def main() -> int:
                 if ceiling else ""
             )
             + "\n\n```json\n" + json.dumps(report, indent=1) + "\n```\n"
-        )
+    )
+    # The full run report always lands in its own file; BASELINE.md only
+    # has its DELIMITED generated block replaced.  (The round-5 end-of-round
+    # regeneration opened BASELINE.md with mode "w" and destroyed the
+    # hand-written calm-host/10x/headline evidence sections — generated
+    # output must never share a blast radius with curated prose.)
+    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w",
+              encoding="utf-8") as fp:
+        fp.write(generated)
+    begin = "<!-- scaling_bench generated: begin (do not edit inside) -->\n"
+    end = "<!-- scaling_bench generated: end -->\n"
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    block = begin + generated + end
+    if os.path.exists(baseline_path):
+        with open(baseline_path, "r", encoding="utf-8") as fp:
+            cur = fp.read()
+        if begin in cur and end in cur:
+            new = cur.split(begin)[0] + block + cur.split(end, 1)[1]
+        else:
+            # No markers yet: append the block, keep every existing line.
+            new = cur.rstrip("\n") + "\n\n" + block
+    else:
+        new = block
+    with open(baseline_path, "w", encoding="utf-8") as fp:
+        fp.write(new)
     print(json.dumps(report))
     return 0
 
