@@ -57,6 +57,40 @@ def _dataset_for(path: str):
     return found
 
 
+# TASK-scoped decoded-row-group cache for kernel-side ranged reads (mosaic
+# children): a per-tile ``dataset.to_table(filter)`` decodes every matching
+# row group (~16 tiles) to use 1-2 of them — up to 16x decode amplification
+# over a task's contiguous tile run.  The executor pushes a scope around
+# each task's tile loop and pops it when the task ends, so consecutive
+# tiles reuse the decoded groups while NOTHING persists across tasks or
+# passes (each bench/oracle invocation still decodes from parquet).
+_READ_SCOPE: list[dict] = []
+_READ_SCOPE_MAX_RGS = 16  # ~16 x 8 MB decoded per task, bounded
+_PQ_HANDLE_CACHE: dict[tuple, Any] = {}
+
+
+def push_read_scope() -> None:
+    _READ_SCOPE.append({})
+
+
+def pop_read_scope() -> None:
+    if _READ_SCOPE:
+        _READ_SCOPE.pop()
+
+
+def _pq_handle(fpath: str):
+    import pyarrow.parquet as pq  # pylint: disable=C0415
+
+    st = os.stat(fpath)
+    key = (fpath, st.st_mtime_ns, st.st_size)
+    pf = _PQ_HANDLE_CACHE.get(key)
+    if pf is None:
+        while len(_PQ_HANDLE_CACHE) >= 64:
+            _PQ_HANDLE_CACHE.pop(next(iter(_PQ_HANDLE_CACHE)))
+        pf = _PQ_HANDLE_CACHE[key] = pq.ParquetFile(fpath)
+    return pf
+
+
 def write_meta(
     path: str,
     area: Area,
@@ -232,6 +266,66 @@ class ParquetRasterLayer(Layer):
             return np.where(data == self._nodata, float("nan"), data)
         return data
 
+    def _ranged_rows_scoped(self, ty_lo: int, ty_hi: int, tx_lo: int, tx_hi: int):
+        """Row-group-cached form of the ranged fetch, active only inside a
+        task read scope (see ``push_read_scope``).  Returns (tys, txs, hs,
+        ws, payloads) for rows in range, or None when no scope is active or
+        the table carries no manifest (then the dataset filter path runs).
+        Decoded groups are kept per task so a contiguous tile run stops
+        re-decoding the same ~16-tile group per tile."""
+        if not _READ_SCOPE:
+            return None
+        manifest = read_tile_manifest(self.path)
+        if manifest is None:
+            return None
+        cache = _READ_SCOPE[-1]
+        tys, txs, hs, ws, payloads = [], [], [], [], []
+        for fname, rgs in manifest.items():
+            fpath = os.path.join(self.path, fname)
+            for rg, ymm, xmm, bmm in rgs:
+                if ymm is not None and (ymm[1] < ty_lo or ymm[0] > ty_hi):
+                    continue
+                if xmm is not None and (xmm[1] < tx_lo or xmm[0] > tx_hi):
+                    continue
+                if bmm is not None and (bmm[1] < self.band or bmm[0] > self.band):
+                    continue
+                key = (fpath, rg)
+                entry = cache.get(key)
+                if entry is None:
+                    tbl = _pq_handle(fpath).read_row_group(
+                        rg, columns=["band", "tile_y", "tile_x",
+                                     "ysize", "xsize", "payload"]
+                    )
+                    pay = tbl.column("payload")
+                    if pay.num_chunks != 1:
+                        pay = pay.combine_chunks()
+                    chunk = pay.chunk(0) if hasattr(pay, "chunk") else pay
+                    entry = (
+                        tbl.column("band").to_numpy(),
+                        tbl.column("tile_y").to_numpy(),
+                        tbl.column("tile_x").to_numpy(),
+                        tbl.column("ysize").to_numpy(),
+                        tbl.column("xsize").to_numpy(),
+                        [memoryview(chunk[i].as_buffer())
+                         for i in range(len(chunk))],
+                    )
+                    while len(cache) >= _READ_SCOPE_MAX_RGS:
+                        cache.pop(next(iter(cache)))
+                    cache[key] = entry
+                b_a, ty_a, tx_a, h_a, w_a, bufs = entry
+                sel = np.nonzero(
+                    (b_a == self.band)
+                    & (ty_a >= ty_lo) & (ty_a <= ty_hi)
+                    & (tx_a >= tx_lo) & (tx_a <= tx_hi)
+                )[0]
+                for i in sel:
+                    tys.append(int(ty_a[i]))
+                    txs.append(int(tx_a[i]))
+                    hs.append(int(h_a[i]))
+                    ws.append(int(w_a[i]))
+                    payloads.append(bufs[i])
+        return tys, txs, hs, ws, payloads
+
     def read_window(self, xoff: int, yoff: int, xsize: int, ysize: int, window: Window) -> Any:
         """Direct pyarrow read of the requested region (tests / mosaics)."""
         import pyarrow.dataset as ds  # pylint: disable=C0415
@@ -248,20 +342,24 @@ class ParquetRasterLayer(Layer):
         s = self.tile_size
         ty_lo, ty_hi = overlap.yoff // s, (overlap.ymax - 1) // s
         tx_lo, tx_hi = overlap.xoff // s, (overlap.xmax - 1) // s
-        dataset = _dataset_for(self.path)
-        table = dataset.to_table(
-            filter=(
-                (ds.field("band") == self.band)
-                & (ds.field("tile_y") >= ty_lo) & (ds.field("tile_y") <= ty_hi)
-                & (ds.field("tile_x") >= tx_lo) & (ds.field("tile_x") <= tx_hi)
+        cached = self._ranged_rows_scoped(ty_lo, ty_hi, tx_lo, tx_hi)
+        if cached is not None:
+            tys, txs, hs, ws, payloads = cached
+        else:
+            dataset = _dataset_for(self.path)
+            table = dataset.to_table(
+                filter=(
+                    (ds.field("band") == self.band)
+                    & (ds.field("tile_y") >= ty_lo) & (ds.field("tile_y") <= ty_hi)
+                    & (ds.field("tile_x") >= tx_lo) & (ds.field("tile_x") <= tx_hi)
+                )
             )
-        )
+            tys = table.column("tile_y").to_numpy()
+            txs = table.column("tile_x").to_numpy()
+            hs = table.column("ysize").to_numpy()
+            ws = table.column("xsize").to_numpy()
+            payloads = table.column("payload").to_pylist()
         out = np.zeros((overlap.ysize, overlap.xsize), dtype=np_dtype)
-        tys = table.column("tile_y").to_numpy()
-        txs = table.column("tile_x").to_numpy()
-        hs = table.column("ysize").to_numpy()
-        ws = table.column("xsize").to_numpy()
-        payloads = table.column("payload").to_pylist()
         for ty, tx, h, w, payload in zip(tys, txs, hs, ws, payloads):
             tile = np.frombuffer(payload, dtype=np_dtype).reshape(h, w)
             y0, x0 = int(ty) * s, int(tx) * s
