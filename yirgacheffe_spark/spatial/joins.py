@@ -730,15 +730,18 @@ def knn_join_df(
 
     # One heavy job: all disks scored in a single scan.  localCheckpoint
     # because `best` feeds both the settle check and the output (without
-    # truncation the scan would run twice).
+    # truncation the scan would run twice).  LAZY (eager=False): the
+    # pending collect below is then the scan's first action, so the disk
+    # scan, the settle stats and the checkpoint materialise in ONE job
+    # instead of paying a separate eager barrier first.
     _dbg = os.environ.get("YG_KNN_DEBUG")
     if _dbg:
         import time as _t
         _t_scan = _t.time()
         print(f"KNN_DEBUG ring assignment+plan: {_t_scan-_t_entry:.2f}s")
-    best = topk(make_disk(qr)).localCheckpoint(eager=True)
+    best = topk(make_disk(qr)).localCheckpoint(eager=False)
     if _dbg:
-        print(f"KNN_DEBUG main scan: {_t.time()-_t_scan:.2f}s")
+        print(f"KNN_DEBUG main scan (lazy): {_t.time()-_t_scan:.2f}s")
 
     # Exact settle verification (the density prediction above affects only
     # performance, never correctness).
