@@ -574,8 +574,13 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    # Undirected edge set, both orientations.
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Undirected edge set, both orientations — CHECKPOINTED: every
+    # iteration joins against it, and without truncation each of the
+    # O(log n) rounds would re-execute the full upstream pair pipeline
+    # (LSH candidate generation and all) from scratch.
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -612,7 +617,10 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("comp_of_comp"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy: the fixpoint signature below is the first action, so
+            # the propagation and the checkpoint materialise in one job
+            # per round instead of two.
+            .localCheckpoint(eager=False)
         )
         # bit_xor: order-insensitive and overflow-free under ANSI mode
         # (SUM of xxhash64 longs overflows).
